@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count-collapsed via a
+write-free action) and timed individually; value = total seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the shuffle/join/agg-heavy queries plus the extension
+# operators — the ones whose plans matter at 100 TB.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "left_join_enrich",
+    "cdc_split_updated",
+    "top3_orders_per_segment",
+    "sliding_window_refresh",
+    "derived_surrogate_key",
+]
+# extension queries are added to the registry later; include if present
+OPTIONAL = [
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "ann_bruteforce_topk",
+    "text_quality_scores",
+    "sessionize_events",
+]
+
+
+def main() -> None:
+    from etl_python_azure_spark.queries import registry
+    from etl_python_azure_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    reg = registry()
+    names = [q for q in HEADLINE if q in reg] + [q for q in OPTIONAL if q in reg]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        builder = reg[name].builder
+        # warm the input file listing/schema, not the result
+        t0 = time.time()
+        df = builder(spark, sf_dir)
+        # force full execution incl. result materialization
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

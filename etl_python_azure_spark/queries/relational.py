@@ -1,0 +1,530 @@
+"""Relational operator queries (SURVEY §2.3–§2.8) with DuckDB oracles.
+
+Each query exercises a library operator end-to-end on the synthetic
+TPC-H-ish tables (FIXTURES.md §A) and has an exactly-equivalent ANSI
+SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import bounded_string_gate, drop_all_null_columns, surrogate_key
+from ..functions.dates import iso_date_part, parse_timestamp_naive
+from ..operators.joins import anti_join, cdc_split, left_join, semi_join
+from ..schema import select_existing
+from ..session import load_tables
+from . import register
+
+
+def _dsum(col: Column, alias: str, dec: str = "decimal(18,2)") -> Column:
+    """Exact decimal-accumulated sum, surfaced as double.
+
+    Summation over doubles is order-dependent; casting each element to
+    DECIMAL first makes the aggregate exact and bit-identical across
+    engines (Spark vs DuckDB), so oracle value-hashes match.
+    """
+    return F.sum(col.cast(dec)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Flagship: the "implied reports aggregate" (SURVEY §2.6) — the
+# aggregation the reference delegates to its API, restated as a
+# Catalyst hash-aggregate over the fact table. TPC-H-Q1 shaped.
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price", "decimal(24,6)"),
+            _dsum(charge, "sum_charge", "decimal(24,6)"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P4/F12 — projection + scalar-inequality filter + arithmetic scale
+# --------------------------------------------------------------------------
+@register(
+    "filter_project_scale",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice / 100 AS price_scaled
+    FROM lineitem
+    WHERE l_quantity < 25 AND l_orderkey != 40660
+    """,
+)
+def filter_project_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    # P4 scalar-inequality filter (`L:49`) + F12 scale (`L:256`)
+    return (
+        li.filter((F.col("l_quantity") < 25) & (F.col("l_orderkey") != 40660))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") / 100).alias("price_scaled"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — drift-tolerant projection (select only existing columns)
+# --------------------------------------------------------------------------
+@register(
+    "drift_tolerant_select",
+    "SELECT o_orderkey, o_totalprice FROM orders",
+)
+def drift_tolerant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    # ask for two real columns and two that don't exist (`L:113`)
+    return select_existing(o, ["o_orderkey", "no_such_col", "o_totalprice", "ghost"])
+
+
+# --------------------------------------------------------------------------
+# J1 — left equi-join (composite-key form tested in unit tests)
+# --------------------------------------------------------------------------
+@register(
+    "left_join_enrich",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    out = left_join(
+        t["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+        t["customer"],
+        on="c_custkey",
+        broadcast_right=True,  # customer is dimension-sized
+    )
+    return out.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J3 — anti join (customers with no orders)
+# --------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return anti_join(
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        big,
+        on="o_custkey",
+    ).select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+# --------------------------------------------------------------------------
+# semi join — customers having a big order
+# --------------------------------------------------------------------------
+@register(
+    "customers_with_big_order",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def customers_with_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return semi_join(
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"), big, on="o_custkey"
+    ).select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+# --------------------------------------------------------------------------
+# J2/J3/J4 + T4 — the CDC split, on a deterministic synthetic probe:
+#   existing  = orders with orderkey % 3 == 0 (at their stored date)
+#   incoming  = all orders, with updated_at advanced by (orderkey % 2) days
+# --------------------------------------------------------------------------
+_CDC_EXISTING_SQL = """
+  SELECT o_orderkey AS id, o_orderdate AS updated_at
+  FROM orders WHERE o_orderkey % 3 = 0
+"""
+_CDC_INCOMING_SQL = """
+  SELECT o_orderkey AS id,
+         o_orderdate + INTERVAL (o_orderkey % 2) DAY AS updated_at,
+         o_totalprice AS payload
+  FROM orders
+"""
+
+
+def _cdc_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_tables(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderdate").alias("updated_at")
+    )
+    incoming = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0, cast(o_orderkey % 2 AS INT))"
+        ).alias("updated_at"),
+        F.col("o_totalprice").alias("payload"),
+    )
+    return incoming, existing
+
+
+@register(
+    "cdc_split_new",
+    f"""
+    WITH existing AS ({_CDC_EXISTING_SQL}), incoming AS ({_CDC_INCOMING_SQL})
+    SELECT i.id, i.updated_at, i.payload
+    FROM incoming i LEFT JOIN existing e ON i.id = e.id
+    WHERE e.updated_at IS NULL
+    """,
+)
+def cdc_split_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    incoming, existing = _cdc_frames(spark, sf_dir)
+    return cdc_split(incoming, existing).new
+
+
+@register(
+    "cdc_split_updated",
+    f"""
+    WITH existing AS ({_CDC_EXISTING_SQL}), incoming AS ({_CDC_INCOMING_SQL})
+    SELECT i.id, i.updated_at, i.payload
+    FROM incoming i JOIN existing e ON i.id = e.id
+    WHERE i.updated_at > e.updated_at
+    """,
+)
+def cdc_split_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    incoming, existing = _cdc_frames(spark, sf_dir)
+    return cdc_split(incoming, existing).updated
+
+
+# --------------------------------------------------------------------------
+# U1 — drift-tolerant union (one side missing a column → NULL fill)
+# --------------------------------------------------------------------------
+@register(
+    "union_with_drift",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def union_with_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# --------------------------------------------------------------------------
+# A-4/A-5 — sort + limit (deterministic tiebreak on the unique key)
+# --------------------------------------------------------------------------
+@register(
+    "top100_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def top100_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — derived surrogate key (row-wise concat restated as concat_ws)
+# --------------------------------------------------------------------------
+@register(
+    "derived_surrogate_key",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey AS VARCHAR) || CAST(l_partkey AS VARCHAR)
+             || strftime(l_shipdate, '%Y-%m-%d') AS surrogate
+    FROM lineitem
+    """,
+)
+def derived_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        surrogate_key(
+            "l_orderkey", "l_partkey", F.date_format("l_shipdate", "yyyy-MM-dd")
+        ).alias("surrogate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P7 — drop rows null in any of N columns (left join makes the nulls)
+# --------------------------------------------------------------------------
+@register(
+    "dropna_after_left_join",
+    """
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0
+    WHERE c.c_name IS NOT NULL
+    """,
+)
+def dropna_after_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    pos = t["customer"].filter(F.col("c_acctbal") > 0)
+    joined = left_join(
+        t["orders"].withColumnRenamed("o_custkey", "c_custkey"),
+        pos,
+        on="c_custkey",
+        broadcast_right=True,
+    ).select("o_orderkey", "c_name")
+    return joined.na.drop(how="any", subset=["c_name"])
+
+
+# --------------------------------------------------------------------------
+# F9/F10 — null fill + cast (floor both sides: DuckDB CAST rounds,
+# Spark truncates — floor() removes the dialect divergence)
+# --------------------------------------------------------------------------
+@register(
+    "null_fill_cast",
+    """
+    SELECT o_orderkey,
+           CAST(floor(coalesce(
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END, 0
+           )) AS BIGINT) AS price_filled
+    FROM orders
+    """,
+)
+def null_fill_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    nulled = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.floor(F.coalesce(nulled, F.lit(0))).cast("bigint").alias("price_filled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P8 — all-null column drop as a query (dead column disappears)
+# --------------------------------------------------------------------------
+@register(
+    "drop_all_null_columns_q",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS half_null
+    FROM orders
+    """,
+)
+def drop_all_null_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("dead"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority")).alias(
+            "half_null"
+        ),
+    )
+    return drop_all_null_columns(df)
+
+
+# --------------------------------------------------------------------------
+# F3 — bounded string gate (null→'' and len>N→'')
+# --------------------------------------------------------------------------
+@register(
+    "string_length_gate",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_type IS NULL THEN ''
+                WHEN length(p_type) <= 20 THEN p_type
+                ELSE '' END AS p_type_gated
+    FROM part
+    """,
+)
+def string_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", bounded_string_gate("p_type", 20).alias("p_type_gated")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 + F7 — ISO split and timestamp round-trip parse
+# --------------------------------------------------------------------------
+@register(
+    "iso_split_and_parse",
+    """
+    SELECT o_orderkey,
+           split_part(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), 'T', 1) AS fecha,
+           strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'),
+                    '%Y-%m-%dT%H:%M:%S') AS parsed_ts
+    FROM orders
+    """,
+)
+def iso_split_and_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")
+    df = o.select("o_orderkey", iso.alias("__iso"))
+    return df.select(
+        "o_orderkey",
+        iso_date_part("__iso").alias("fecha"),
+        F.to_timestamp("__iso", "yyyy-MM-dd'T'HH:mm:ss").alias("parsed_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N1/N2 — JSON flatten (events.props is a JSON string column)
+# --------------------------------------------------------------------------
+@register(
+    "json_flatten_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_flatten_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5-shaped join tree — revenue by nation (dimension broadcast chain)
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _dsum(rev, "revenue", "decimal(24,6)"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window function — top-3 orders per market segment
+# --------------------------------------------------------------------------
+@register(
+    "top3_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.o_totalprice DESC, o.o_orderkey
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    j = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# T3 — sliding reprocess window (−25d…+2d around the data's max date)
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_refresh",
+    """
+    WITH b AS (SELECT max(l_shipdate) AS mx FROM lineitem)
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS fecha,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem, b
+    WHERE l_shipdate >= b.mx - INTERVAL 25 DAY
+      AND l_shipdate <= b.mx + INTERVAL 2 DAY
+    GROUP BY 1
+    """,
+)
+def sliding_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.max("l_shipdate").alias("mx"))
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("l_shipdate") >= F.expr("mx - make_interval(0,0,0,25)"))
+            & (F.col("l_shipdate") <= F.expr("mx + make_interval(0,0,0,2)"))
+        )
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("fecha"))
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity"), "qty"))
+    )

@@ -1,0 +1,91 @@
+"""SparkSession factory.
+
+One place to encode the engine-wide execution policy:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting)
+  so the same plan survives sf0.001 smoke tests and a 1000-executor
+  100 TB run without re-tuning.
+- ``spark.sql.session.timeZone=UTC`` — the reference pipelines work
+  in tz-naive timestamps (``S:141,199`` strip tzinfo); pinning UTC
+  makes Spark's session-tz timestamps equivalent to naive, and keeps
+  DuckDB-oracle comparisons stable.
+- Arrow enabled for every pandas interop (Pandas UDFs, toPandas).
+- shuffle partitions default to cores locally; on a real cluster the
+  caller passes ``shuffle_partitions`` sized to the data (or leaves
+  AQE to coalesce from a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# local test box: 32 cores.  On a cluster, submit-time --master wins.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "etl_python_azure_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` when no master is
+        already configured (cluster submit sets its own).
+    shuffle_partitions:
+        Initial shuffle partition count. Locally ~cores is right;
+        at 100 TB set high (e.g. 2000+) and let AQE coalesce.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{_DEFAULT_CPUS}]")
+    n_shuffle = shuffle_partitions or int(_DEFAULT_CPUS)
+    conf = {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # parquet scans: pushdown + pruning are on by default; keep
+        # split sizes bounded so a 100 TB table still yields sane tasks
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.parquet.filterPushdown": "true",
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # ns timestamp — read as long, convert in load_events()
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read one or more of the standard parquet tables from *sf_dir*.
+
+    Returns a single DataFrame for one name, else a dict.
+    ``events`` gets its ns-precision timestamp converted to Spark's
+    µs TimestampType (truncation — matches DuckDB's ns→µs behavior).
+    """
+    dfs = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events" and dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dfs[n] = df
+    if len(names) == 1:
+        return dfs[names[0]]
+    return dfs
