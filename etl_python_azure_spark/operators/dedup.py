@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale text/embedding corpora.
+
+The reference has no dedup (its full-refresh loads just replace
+tables); these are the north-star LLM-data-pipeline operators
+(BASELINE.json) built Spark-first:
+
+- :func:`exact_dedup` — hash-groupBy; one shuffle on the content hash.
+- :func:`word_shingles` → :func:`minhash_signatures` →
+  :func:`minhash_lsh_pairs` — MinHash+LSH banding: candidate
+  generation is equi-joins on (band, band_signature), so at 100 TB
+  the quadratic pair space is never materialized — only hash-bucket
+  collisions are.
+- :func:`ngram_jaccard_pairs` — exact pairwise Jaccard (the O(n²)
+  baseline / verifier; restrict to candidates at scale).
+- :func:`simhash` / :func:`simhash_pairs` — bitwise fingerprints;
+  near-dup = small Hamming distance.
+- :func:`embedding_cosine_pairs` — embedding near-dup via cosine.
+
+Determinism: all hashing is md5-based (identical in Spark and
+DuckDB) so every operator is oracle-checkable; aggregation-order
+sensitivity in float sums is removed by exact DECIMAL accumulation
+when ``exact=True`` (the default keeps fast double math for
+production paths).
+
+Everything is pure DataFrame/Column expression — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Collapse exact-duplicate content, keeping the min (or max) id.
+
+    One hash-aggregate on md5(content) — at 100 TB this is a single
+    shuffle of (hash, id) pairs, not of the payloads. Deterministic
+    (unlike ``dropDuplicates``, which keeps an arbitrary row).
+    """
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("fingerprint"))
+        .agg(
+            keep_fn(F.col(id_col)).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "fingerprint", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Pure array expressions (split → transform/slice → explode);
+    documents shorter than *n* words yield no shingles.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    shingle_arr = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_on_pairs(
+    shingles: DataFrame, id_col: str, pairs: DataFrame | None
+) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) pairs given a (id, shingle) table.
+
+    *pairs=None* → all co-shingled pairs (the O(n²)-ish baseline;
+    in practice bounded by shingle collisions, not n²).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard ≥ *threshold*.
+
+    Scale note: the shingle self-join explodes on hot shingles; at
+    100 TB use :func:`minhash_lsh_pairs` to restrict to candidates
+    (this exact version is the verifier on the candidate set).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    return _jaccard_on_pairs(sh, id_col, None).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """(id, seed, sig): per-seed MinHash over md5(seed:shingle).
+
+    The min of a uniform hash over the shingle set — the classic
+    MinHash estimator, with the hash family indexed by seed. Using
+    the md5 hex string (min = lexicographic) keeps it reproducible
+    across engines.
+    """
+    spark = shingles.sparkSession
+    seeds = spark.range(num_hashes).select(F.col("id").alias("seed"))
+    return (
+        shingles.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash→LSH band bucketing→candidate pairs→exact-Jaccard verify.
+
+    The scale path: docs land in (band, band_sig) buckets; only
+    bucket collisions become candidate pairs (equi-join, no n²).
+    Candidates are then verified with exact Jaccard ≥ *threshold*.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    bands = (
+        sig.groupBy(
+            F.col(id_col), F.expr(f"seed div {band_size}").alias("band")
+        )
+        .agg(
+            F.md5(F.concat_ws("", F.min("sig"), F.max("sig"))).alias("band_sig")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return _jaccard_on_pairs(sh, id_col, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash fingerprint (token-count weighted).
+
+    Bit *i* of the fingerprint is the sign of the count-weighted sum
+    of ±1 votes, where token votes come from the parity of hex char
+    *i* of md5(token) — a reproducible per-bit hash. Near-duplicate
+    docs differ in few bits (small Hamming distance).
+    """
+    tok_counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    spark = df.sparkSession
+    bit_idx = spark.range(1, bits + 1).select(F.col("id").alias("bit"))
+    votes = tok_counts.crossJoin(F.broadcast(bit_idx)).select(
+        F.col(id_col),
+        F.col("bit"),
+        (
+            F.col("cnt")
+            * (
+                F.expr("ascii(substring(md5(token), CAST(bit AS INT), 1))") % 2
+                * 2
+                - 1
+            )
+        ).alias("vote"),
+    )
+    return (
+        votes.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT) - 1)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Candidate near-dup pairs: Hamming(simhash) ≤ *max_hamming*.
+
+    Self-join here is the small-scale form; at scale, block on
+    fingerprint chunks (pigeonhole: k-bit fingerprint split into
+    max_hamming+1 chunks — any pair within distance shares a chunk)
+    and equi-join on chunks.
+    """
+    fp = simhash(df, id_col, text_col, bits)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+#
+# Float determinism: a left-to-right fold over the array order makes
+# the double sum bit-reproducible, and both Spark (``aggregate`` HOF)
+# and DuckDB (``list_reduce``) fold sequentially — so the cosine is
+# cross-engine exact without decimal tricks (which are unsafe for
+# arbitrary doubles: Spark's double→decimal cast goes through the
+# shortest string repr, DuckDB through the exact binary expansion).
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two array<float> columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append the L2 norm of *vec_col* as ``__norm``."""
+    norm2 = F.expr(
+        f"aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    return df.withColumn("__norm", F.sqrt(norm2))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+) -> DataFrame:
+    """All pairs with cosine similarity ≥ *threshold*.
+
+    Brute-force O(n²) — correct baseline and verifier. At 100 TB,
+    generate candidates with sign-LSH buckets first
+    (:func:`.similarity.lsh_buckets`) and verify only collisions.
+    """
+    n = with_norm(df.select(id_col, vec_col), vec_col)
+    a = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = (dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
+        "cosine"
+    )
+    return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)

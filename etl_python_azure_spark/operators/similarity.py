@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (BASELINE.json north-star).
+
+- :func:`cosine_topk` — brute-force exact top-k: cross join +
+  sequential-fold cosine + per-query window rank. The O(n·q)
+  baseline and the verifier for approximate paths.
+- :func:`lsh_buckets` — sign-LSH (random-hyperplane) bucketing with
+  engine-reproducible pseudo-random hyperplanes derived from md5
+  parity, so the bucketing is oracle-checkable in any SQL engine.
+- :func:`lsh_topk` — top-k restricted to same-bucket candidates:
+  the 100 TB path (bucket equi-join replaces the n×q cross join;
+  probe multiple hash tables to trade recall for cost).
+
+Float determinism: all dot products fold left-to-right over the
+array (Spark ``aggregate`` HOF ≡ DuckDB ``list_reduce``), making
+cosines bit-identical across engines — see
+:mod:`.dedup` for the rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import dot_expr, with_norm
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-*k* neighbors (by cosine) for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches
+    (equal ids) are excluded; rank ties break on neighbor_id.
+    """
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    q = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_weights_expr(plane: int, dim: int) -> str:
+    """±1 hyperplane weights as a SQL array expression.
+
+    Weight for (plane p, dim d) = parity of the first hex char of
+    md5('p<p>_<d>') → ±1. Pure engine-side hashing: reproducible in
+    Spark and DuckDB without shipping literals.
+    """
+    return (
+        f"transform(sequence(1, {dim}), d -> "
+        f"CAST((ascii(substring(md5(concat('p{plane}_', d)), 1, 1)) % 2) * 2 - 1"
+        f" AS DOUBLE))"
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Assign each vector to a sign-LSH bucket (0 … 2^num_planes − 1).
+
+    Bit *p* of the bucket = sign of the projection onto
+    pseudo-random hyperplane *p*. Cosine-similar vectors land in the
+    same bucket with high probability (hyperplane LSH), so candidate
+    generation becomes an equi-join on ``bucket`` — no cross join.
+    """
+    bucket = None
+    for p in range(num_planes):
+        proj = F.expr(
+            f"aggregate(zip_with({vec_col}, {_plane_weights_expr(p, dim)}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", bucket.cast("bigint")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-*k*: rank only same-bucket candidates.
+
+    The scale path: the corpus is bucketed once (cacheable),
+    queries probe their bucket via an equi-join. Recall is tunable
+    with fewer planes (bigger buckets) or multiple tables.
+    """
+    cb = lsh_buckets(corpus, id_col, vec_col, num_planes, dim)
+    qb = lsh_buckets(queries, id_col, vec_col, num_planes, dim)
+    c = with_norm(cb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        "bucket",
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    q = with_norm(qb, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines
+(BASELINE.json north-star: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All pure Column expressions / joins — no Python UDFs — so they run
+JVM-side under whole-stage codegen and are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword-hit
+# language heuristic. Deliberately tiny: the operator's shape (token
+# explode → broadcast dim join → per-doc argmax) is what scales; the
+# dictionary is a plug-in.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"],
+}
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Guess each document's language by stopword hits.
+
+    Tokens join a broadcast (word, lang) dimension; the language with
+    the most hits wins (ties break alphabetically); no hits → 'und'.
+    At 100 TB this is one explode + broadcast join + hash aggregate —
+    no shuffle of the corpus beyond the per-doc counts.
+    """
+    stopwords = stopwords or STOPWORDS
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(w, lang) for lang, ws in stopwords.items() for w in ws],
+        "token string, lang string",
+    )
+    hits = (
+        _tokens(df, id_col, text_col)
+        .join(F.broadcast(dim), "token")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias("lang_guess"), "n_hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lang_guess", F.lit("und")).alias("lang_guess"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def text_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / word / character-class quality metrics + a keep flag.
+
+    Cheap single-pass metrics of the kind used to filter web corpora
+    (C4-style heuristics): word count, average word length,
+    alphabetic ratio, punctuation ratio, stopword ratio.
+    """
+    lower = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    words = F.split(lower, " ")
+    n_words = F.size(words)
+    n_nonspace = F.length(F.regexp_replace(lower, " ", ""))
+    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,!?;:]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda t: F.array_contains(en_stop, t)))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_nonspace / n_words).alias("avg_word_len"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_stop / n_words).alias("stopword_ratio"),
+        (
+            (n_words >= 20)
+            & ((n_nonspace / n_words) >= 2)
+            & ((n_nonspace / n_words) <= 12)
+            & ((n_alpha / n_chars) > 0.5)
+        ).alias("keep"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count.
+
+    The regex splits runs of letters, runs of digits, and individual
+    other symbols — a rough proxy for subword tokenizer output used
+    to budget training tokens.
+    """
+    lower = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish_tokens"),
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite).
+
+    md5 over word *n*-gram shingles; the minimum hash is the
+    fingerprint (stable under small edits away from the minimizing
+    window — the 1-hash degenerate case of winnowing).
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5("shingle")).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )

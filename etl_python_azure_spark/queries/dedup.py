@@ -1,1 +1,225 @@
-"""Placeholder — filled in as the suite grows."""
+"""Dedup queries over the `documents`/`embeddings` tables, each with
+a DuckDB oracle (BASELINE.json north-star: dedup suite).
+
+All hashing is md5-based so Spark and DuckDB agree bit-for-bit; see
+:mod:`..operators.dedup` for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ..session import load_tables
+from . import register
+
+# shared oracle CTE: distinct word-3-gram shingles per doc
+_SHINGLES_CTE = """
+  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_TAIL = """
+  SELECT i.id_a, i.id_b,
+         i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup — on a corpus with injected duplicates so the operator
+# visibly collapses something (base documents are all distinct)
+# --------------------------------------------------------------------------
+@register(
+    "exact_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dupes)
+    return exact_dedup(corpus, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# exact pairwise n-gram Jaccard (O(n²) baseline)
+# --------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    {_JACCARD_TAIL}
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding → candidates → verified Jaccard (scale path)
+# --------------------------------------------------------------------------
+@register(
+    "minhash_dedup_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(MIN(sig) || MAX(sig)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    inter_c AS (
+      SELECT i.* FROM inter i
+      WHERE EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) AS jaccard
+    FROM inter_c i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+    """,
+)
+def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, band_size=2, threshold=0.8
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + near-dup pairs by Hamming distance
+# --------------------------------------------------------------------------
+_SIMHASH_CTE = """
+  tokc AS (
+    SELECT doc_id, token, COUNT(*) AS cnt FROM (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ) GROUP BY doc_id, token
+  ),
+  bits AS (SELECT UNNEST(range(1, 33)) AS bit),
+  votes AS (
+    SELECT doc_id, bit,
+           cnt * ((ascii(substr(md5(token), CAST(bit AS INT), 1)) % 2) * 2 - 1)
+             AS vote
+    FROM tokc, bits
+  ),
+  sums AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY doc_id, bit),
+  fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN CAST(1 AS BIGINT) << (CAST(bit AS INT) - 1)
+                         ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM sums GROUP BY doc_id
+  )
+"""
+
+
+@register(
+    "simhash_fingerprints",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM fp",
+)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash")
+    )
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    out = simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=1)
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup pairs (brute-force verifier form)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_cosine_pairs",
+    """
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(
+             list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(
+            list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+            (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.46
+    """,
+)
+def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(em, "vec_id", "embedding", threshold=0.46)

@@ -1,1 +1,121 @@
-"""Placeholder — filled in as the suite grows."""
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force exact top-k (the baseline + verifier) and the
+LSH-bucketed approximate variant (the scale path), both
+oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk, lsh_buckets, lsh_topk
+from ..session import load_tables
+from . import register
+
+# DuckDB equivalents of the engine's fold-based cosine machinery
+_NORM_CTE = """
+  n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (acc, v) -> acc + v)) AS nrm
+    FROM embeddings
+  )
+"""
+
+_COS = """list_reduce(
+             list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (q.nrm * c.nrm)"""
+
+# bucket expression (must mirror operators.similarity._plane_weights_expr)
+_BUCKET = """
+    (CASE WHEN list_reduce(list_transform(range(1, 65),
+        d -> CAST({e}[d] AS DOUBLE)
+             * ((ascii(substr(md5('p0_' || CAST(d AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+        (acc, v) -> acc + v) > 0 THEN 1 ELSE 0 END
+   + CASE WHEN list_reduce(list_transform(range(1, 65),
+        d -> CAST({e}[d] AS DOUBLE)
+             * ((ascii(substr(md5('p1_' || CAST(d AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+        (acc, v) -> acc + v) > 0 THEN 2 ELSE 0 END
+   + CASE WHEN list_reduce(list_transform(range(1, 65),
+        d -> CAST({e}[d] AS DOUBLE)
+             * ((ascii(substr(md5('p2_' || CAST(d AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+        (acc, v) -> acc + v) > 0 THEN 4 ELSE 0 END
+   + CASE WHEN list_reduce(list_transform(range(1, 65),
+        d -> CAST({e}[d] AS DOUBLE)
+             * ((ascii(substr(md5('p3_' || CAST(d AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+        (acc, v) -> acc + v) > 0 THEN 8 ELSE 0 END)
+"""
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH {_NORM_CTE},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    return cosine_topk(em, em.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "lsh_bucket_assignments",
+    f"""
+    SELECT vec_id,
+           CAST({_BUCKET.format(e='embedding')} AS BIGINT) AS bucket
+    FROM embeddings
+    """,
+)
+def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    return lsh_buckets(em).select("vec_id", "bucket")
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH {_NORM_CTE},
+    b AS (
+      SELECT vec_id,
+             CAST({_BUCKET.format(e='embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    nb AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM nb q JOIN nb c
+        ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    return lsh_topk(em, em.filter(F.col("vec_id") < 10), k=5)

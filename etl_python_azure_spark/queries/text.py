@@ -1,1 +1,125 @@
-"""Placeholder — filled in as the suite grows."""
+"""Text-analysis queries over the `documents` table with DuckDB
+oracles (language-ID, quality metrics, token counts, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.text import (
+    STOPWORDS,
+    doc_fingerprints,
+    language_id,
+    text_quality,
+    token_counts,
+)
+from ..session import load_tables
+from . import register
+
+_STOPWORD_VALUES = ", ".join(
+    f"('{w}', '{lang}')" for lang, ws in STOPWORDS.items() for w in ws
+)
+
+
+@register(
+    "lang_id_guess",
+    f"""
+    WITH dim(token, lang) AS (VALUES {_STOPWORD_VALUES}),
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    hits AS (
+      SELECT t.doc_id, d.lang, COUNT(*) AS n_hits
+      FROM toks t JOIN dim d USING (token)
+      GROUP BY t.doc_id, d.lang
+    ),
+    best AS (
+      SELECT doc_id, lang AS lang_guess, n_hits,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY n_hits DESC, lang
+             ) AS rn
+      FROM hits
+    )
+    SELECT doc_id,
+           COALESCE(b.lang_guess, 'und') AS lang_guess,
+           COALESCE(b.n_hits, 0) AS n_hits
+    FROM documents LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      USING (doc_id)
+    """,
+)
+def lang_id_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return language_id(d)
+
+
+_EN_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(lower(text), ' ')) AS n_words,
+             length(replace(lower(text), ' ', '')) AS n_nonspace,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+             length(text)
+               - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> list_contains([{_EN_STOP_LIST}], t)))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           n_chars,
+           n_words,
+           n_nonspace * 1.0 / n_words AS avg_word_len,
+           n_alpha * 1.0 / n_chars AS alpha_ratio,
+           n_punct * 1.0 / n_chars AS punct_ratio,
+           n_stop * 1.0 / n_words AS stopword_ratio,
+           (n_words >= 20
+            AND n_nonspace * 1.0 / n_words >= 2
+            AND n_nonspace * 1.0 / n_words <= 12
+            AND n_alpha * 1.0 / n_chars > 0.5) AS keep
+    FROM m
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return text_quality(d)
+
+
+@register(
+    "token_count_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return token_counts(d)
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)
+    )
+    SELECT doc_id, MIN(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    return doc_fingerprints(d, n=5)
