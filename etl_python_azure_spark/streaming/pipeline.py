@@ -1,0 +1,138 @@
+"""Structured Streaming restatement of the reference's timer-driven
+micro-batch model (T1–T5).
+
+The reference re-runs batch pipelines on cron timers (`L:24`,
+`S:25`) and absorbs late data by recomputing a 27-day window (T3).
+Spark-first equivalents:
+
+- a file-source stream with ``Trigger.AvailableNow`` IS the
+  timer-driven rerun: each scheduler tick processes exactly the new
+  files, with checkpointed exactly-once bookkeeping replacing the
+  reference's at-least-once full refresh;
+- watermarks + windowed aggregation absorb late events without
+  recomputation (the T3 analog — `withWatermark(ts, "25 days")`);
+- ``foreachBatch`` + :func:`..operators.joins.merge_upsert` gives
+  the incremental CDC load (T4) on any sink.
+
+These wrappers keep the same operator expressions as the batch
+queries (sessionize/tumbling in :mod:`..operators.sessionize` use
+``session_window``/``window``, valid in both modes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def stream_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory (micro-batch
+    ingestion; schema explicit — streaming sources don't infer)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_stream_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums — late events inside
+    the watermark amend their window; older ones are dropped
+    (bounded state — the 100 TB-safe version of T3's recompute)."""
+    keys = key_cols or []
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), width).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            *keys,
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked session windows (merging state per key)."""
+    keys = key_cols or []
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *keys,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def micro_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    key: str,
+    version_col: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """T4 as a stream: each micro-batch MERGEs into a parquet
+    snapshot via ``foreachBatch`` (new snapshot dir + swap, since
+    plain parquet can't be read and overwritten in place — with a
+    Delta/Iceberg sink this becomes ``MERGE INTO`` directly).
+    """
+    from ..operators.joins import merge_upsert
+    from ..sinks.files import full_refresh
+
+    def do_merge(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path)
+            merged = merge_upsert(batch, existing, key, version_col)
+            tmp = f"{target_path}._new"
+            full_refresh(merged, tmp)
+            old = f"{target_path}._old"
+            os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            # dedupe within the first batch by (key, version desc)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key).orderBy(F.desc(version_col))
+            first = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            full_refresh(first, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
