@@ -23,19 +23,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
+    "shipping_priority",
+    "promo_revenue_by_supp_nation",
     "left_join_enrich",
     "cdc_split_updated",
     "top3_orders_per_segment",
     "sliding_window_refresh",
     "derived_surrogate_key",
 ]
-# extension queries are added to the registry later; include if present
+# extension-suite queries (dedup / similarity / text / events)
 OPTIONAL = [
     "exact_dedup",
     "minhash_dedup_pairs",
+    "simhash_fingerprints",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_quality_scores",
+    "lang_id_guess",
     "sessionize_events",
+    "hourly_event_rollup",
 ]
 
 

@@ -93,14 +93,25 @@ def _jaccard_on_pairs(
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    if pairs is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # candidates restrict the join BEFORE the shingle explosion:
+        # (id_a, id_b) ⋈ shingles(id_a) ⋈ shingles(id_b, same shingle).
+        # Hot shingles never produce non-candidate pairs — this is
+        # what makes LSH verification linear in candidates at 100 TB,
+        # instead of quadratic in co-shingled documents.
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(
             F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))),
@@ -148,24 +159,24 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """(id, seed, sig): per-seed MinHash over md5(seed:shingle).
+    """Wide MinHash signature: (id, sig_0 … sig_{k-1}).
 
-    The min of a uniform hash over the shingle set — the classic
-    MinHash estimator, with the hash family indexed by seed. Using
-    the md5 hex string (min = lexicographic) keeps it reproducible
-    across engines.
+    Per-seed minimum of md5("seed:shingle") — the classic MinHash
+    estimator with the hash family indexed by seed; the md5 hex
+    string min (lexicographic) keeps it engine-reproducible.
+
+    All k mins are computed in ONE hash aggregate keyed by *id* —
+    no k-fold row blowup, one shuffle of the shingle table. At
+    100 TB this is the difference between shuffling 8×|shingles|
+    and |shingles| rows.
     """
-    spark = shingles.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").alias("seed"))
-    return (
-        shingles.crossJoin(F.broadcast(seeds))
-        .groupBy(id_col, "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))
-            ).alias("sig")
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(
+            f"sig_{s}"
         )
-    )
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -183,15 +194,23 @@ def minhash_lsh_pairs(
     bucket collisions become candidate pairs (equi-join, no n²).
     Candidates are then verified with exact Jaccard ≥ *threshold*.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle table feeds three consumers (signatures, pair
+    # intersection, set sizes) — persist so it's computed once; at
+    # 100 TB this is the relation you'd materialize/bucket anyway
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
-    bands = (
-        sig.groupBy(
-            F.col(id_col), F.expr(f"seed div {band_size}").alias("band")
-        )
-        .agg(
-            F.md5(F.concat_ws("", F.min("sig"), F.max("sig"))).alias("band_sig")
-        )
+    # band fingerprint = md5(min ‖ max of the band's signature slots),
+    # computed column-wise from the wide signature (no extra shuffle)
+    n_bands = num_hashes // band_size
+    band_exprs = []
+    for b in range(n_bands):
+        slots = [f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        lo = f"least({', '.join(slots)})" if len(slots) > 1 else slots[0]
+        hi = f"greatest({', '.join(slots)})" if len(slots) > 1 else slots[0]
+        band_exprs.append(f"{b}L, md5(concat({lo}, {hi}))")
+    bands = sig.selectExpr(
+        id_col,
+        f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, band_sig)",
     )
     cand = (
         bands.alias("a")
