@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.arrays import array_head, positional_unnest
+from ..operators.asof import asof_join
 from ..operators.sessionize import sessionize, tumbling_window
 from ..session import load_tables
 from . import register
@@ -91,6 +92,41 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         ],
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join — last view value before each purchase, per user
+# (right side deduped on (user, ts) for determinism)
+# --------------------------------------------------------------------------
+@register(
+    "asof_last_view_before_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.value AS asof_value, v.ts AS asof_vts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select("user_id", F.col("ts").alias("vts"), "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="vts"
     )
 
 

@@ -501,6 +501,100 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# rollup — hierarchical super-aggregates (returnflag → linestatus)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot — wide quantity matrix by line status
+# --------------------------------------------------------------------------
+@register(
+    "pivot_qty_by_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct aggregates (A-3 / implied cardinality stats)
+# --------------------------------------------------------------------------
+@register(
+    "distinct_cardinalities",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def distinct_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact quantiles per group (continuous interpolation)
+# --------------------------------------------------------------------------
+@register(
+    "order_value_quantiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS q1,
+           quantile_cont(o_totalprice, 0.5) AS median,
+           quantile_cont(o_totalprice, 0.75) AS q3,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("median"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q3-shaped: shipping priority — fact-fact join under dimension filter
 # --------------------------------------------------------------------------
 @register(
