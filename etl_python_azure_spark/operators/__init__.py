@@ -1,4 +1,22 @@
 """Relational + extension operators (SURVEY §2.3–2.8 and north-star ops)."""
 
-from .joins import cdc_split, left_join, anti_join, semi_join  # noqa: F401
-from .arrays import positional_unnest  # noqa: F401
+from .arrays import array_head, positional_unnest  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from .joins import anti_join, cdc_split, left_join, merge_upsert, semi_join  # noqa: F401
+from .sessionize import sessionize, tumbling_window  # noqa: F401
+from .similarity import cosine_topk, lsh_buckets, lsh_topk  # noqa: F401
+from .skew import salted_aggregate, salted_join  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprints,
+    language_id,
+    text_quality,
+    token_counts,
+)

@@ -56,6 +56,31 @@ def ranged_overwrite(df: DataFrame, path: str, partition_col: str):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort: bool = True,
+):
+    """Bucketed (and bucket-sorted) table write for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join with NO exchange (and with ``sort`` also no sort step) — the
+    pre-shuffled layout that pays for itself the first time a big
+    fact-fact join repeats. The 100 TB answer to "this join shuffles
+    every run".
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def multi_table_load(tables: dict[str, DataFrame], root: str) -> str:
     """K4: load several tables "together" with per-table atomicity.
 

@@ -1,0 +1,63 @@
+"""Scale-path helpers: salted joins/aggs equal their plain forms;
+bucketed tables join without an exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_azure_spark.operators.skew import salted_aggregate, salted_join
+from etl_python_azure_spark.sinks.files import write_bucketed
+
+
+def _skewed_fact(spark):
+    # one hot key (k=1) with 5k rows, 100 cold keys
+    hot = spark.range(5000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(100).select(
+        (F.col("id") + 2).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = _skewed_fact(spark)
+    dim = spark.range(50).select(
+        (F.col("id") + 1).alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = fact.join(dim, "k").groupBy("k", "name").count()
+    salted = salted_join(fact, dim, on="k", buckets=4).groupBy("k", "name").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_aggregate_equals_plain(spark):
+    fact = _skewed_fact(spark)
+    plain = fact.groupBy("k").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    salted = salted_aggregate(
+        fact,
+        ["k"],
+        partial_aggs=[F.sum("v").alias("ps"), F.count("*").alias("pn")],
+        final_aggs=[F.sum("ps").alias("s"), F.sum("pn").alias("n")],
+        buckets=4,
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bt_a", "k", 8, path=str(tmp_path / "bt_a"))
+    write_bucketed(b, "bt_b", "k", 8, path=str(tmp_path / "bt_b"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
