@@ -52,6 +52,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    # pay JVM/codegen warmup outside the per-query timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     reg = registry()
     names = [q for q in HEADLINE if q in reg] + [q for q in OPTIONAL if q in reg]
 

@@ -1,0 +1,60 @@
+"""applyInPandasWithState: state persists across micro-batches.
+
+Sink is foreachBatch→parquet append (the memory sink can't resume
+from a checkpoint, and resuming is exactly what's under test).
+"""
+
+from __future__ import annotations
+
+from etl_python_azure_spark.streaming.pipeline import stream_parquet_dir
+from etl_python_azure_spark.streaming.stateful import running_totals
+
+SCHEMA = "user_id long, value double"
+
+
+def _run_batch(spark, src, ckpt, out):
+    stream = stream_parquet_dir(spark, src, SCHEMA)
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        running_totals(stream, "user_id", "value")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], SCHEMA
+    ).write.parquet(src)
+    _run_batch(spark, src, ckpt, out)
+    first = {
+        r.user_id: (r.n_events_total, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second micro-batch (restarted query, same checkpoint): state for
+    # user 1 carries over; user 3 is new; user 2 emits nothing
+    spark.createDataFrame([(1, 2.0), (3, 7.0)], SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    _run_batch(spark, src, ckpt, out)
+    rows = {
+        (r.user_id, r.n_events_total, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 3, 17.0) in rows  # 2+1 events, 15+2 value — state kept
+    assert (3, 1, 7.0) in rows
+    assert not any(u == 2 and n > 1 for (u, n, _) in rows)
