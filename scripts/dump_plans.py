@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Generate PLANS.md: physical-plan audit of the headline queries.
+
+For each headline query, records the scale-relevant plan facts —
+exchanges (shuffles), join strategies, pushed filters, read schemas,
+AQE — so plan regressions are reviewable in diffs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "promo_revenue_by_supp_nation",
+    "cdc_split_updated",
+    "top3_orders_per_segment",
+    "sliding_window_refresh",
+    "minhash_dedup_pairs",
+    "ann_lsh_topk",
+    "sessionize_events",
+    "asof_last_view_before_purchase",
+]
+
+
+def main() -> None:
+    from etl_python_azure_spark.queries import registry
+    from etl_python_azure_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plan-dump")
+    reg = registry()
+
+    lines = [
+        "# PLANS — physical-plan audit (auto-generated)",
+        "",
+        f"`python scripts/dump_plans.py` over `{sf_dir}`. For each",
+        "headline query: shuffle count, join strategies, and scan",
+        "pushdown evidence from the executed plan (pre-AQE initial",
+        "plan; AQE re-plans shuffles at runtime).",
+        "",
+    ]
+    for name in QUERIES:
+        df = reg[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = plan.count("Exchange")
+        joins = {
+            "BroadcastHashJoin": plan.count("BroadcastHashJoin"),
+            "SortMergeJoin": plan.count("SortMergeJoin"),
+            "ShuffledHashJoin": plan.count("ShuffledHashJoin"),
+            "BroadcastNestedLoopJoin": plan.count("BroadcastNestedLoopJoin"),
+        }
+        join_str = ", ".join(f"{k}×{v}" for k, v in joins.items() if v) or "none"
+        # Spark truncates long filter lists with "..." (no closing
+        # bracket) — stay within the line
+        pushed = re.findall(r"PushedFilters: \[([^\]\n]+?)[\]\n]", plan + "\n")
+        pushed_str = (
+            "; ".join(
+                p.split(", ReadSchema")[0] for p in pushed if p.strip()
+            )
+            or "—"
+        )
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        cols_read = sorted({c.split(":")[0] for s in schemas for c in s.split(",") if c})
+        lines += [
+            f"## {name}",
+            "",
+            f"- exchanges: {n_ex}",
+            f"- joins: {join_str}",
+            f"- pushed filters: {pushed_str}",
+            f"- columns read: {', '.join(cols_read) if cols_read else '—'}",
+            "",
+        ]
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
