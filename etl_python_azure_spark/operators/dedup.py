@@ -367,3 +367,43 @@ def embedding_cosine_pairs(
         "cosine"
     )
     return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
+
+
+def embedding_lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+    num_planes: int = 2,
+    num_tables: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup, the scale path: multi-table sign-LSH
+    bucket joins generate candidates (OR-amplified recall), cosine
+    verifies — the cross join never happens. Pairs it misses are
+    those split across buckets in every table, measurable against
+    :func:`embedding_cosine_pairs`.
+    """
+    from .similarity import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(
+        df.select(id_col, vec_col), id_col, vec_col, num_planes, num_tables, dim
+    )
+    n = with_norm(df.select(id_col, vec_col), vec_col)
+    a = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    bb = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    verified = cand.join(a, "id_a").join(bb, "id_b")
+    cos = (dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
+        "cosine"
+    )
+    return verified.select("id_a", "id_b", cos).filter(
+        F.col("cosine") >= threshold
+    )

@@ -87,18 +87,22 @@ def lsh_buckets(
     vec_col: str = "embedding",
     num_planes: int = 4,
     dim: int = 64,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Assign each vector to a sign-LSH bucket (0 … 2^num_planes − 1).
 
     Bit *p* of the bucket = sign of the projection onto
-    pseudo-random hyperplane *p*. Cosine-similar vectors land in the
-    same bucket with high probability (hyperplane LSH), so candidate
-    generation becomes an equi-join on ``bucket`` — no cross join.
+    pseudo-random hyperplane *plane_offset + p*. Cosine-similar
+    vectors land in the same bucket with high probability
+    (hyperplane LSH), so candidate generation becomes an equi-join on
+    ``bucket`` — no cross join. *plane_offset* selects an independent
+    hash table (for multi-table OR-amplification).
     """
     bucket = None
     for p in range(num_planes):
         proj = F.expr(
-            f"aggregate(zip_with({vec_col}, {_plane_weights_expr(p, dim)}, "
+            f"aggregate(zip_with({vec_col}, "
+            f"{_plane_weights_expr(plane_offset + p, dim)}, "
             f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
         )
         bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -106,6 +110,36 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "bucket", bucket.cast("bigint")
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 2,
+    num_tables: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Distinct candidate pairs from *num_tables* independent LSH
+    tables (OR-amplification): a pair is a candidate if ANY table
+    buckets it together. Recall ≈ 1 − (1 − p^planes)^tables for
+    same-bucket probability p — tune tables up for recall, planes up
+    for precision/cost. Still pure equi-joins; no cross join.
+    """
+    cand = None
+    for t in range(num_tables):
+        b = lsh_buckets(
+            df, id_col, vec_col, num_planes, dim, plane_offset=t * num_planes
+        )
+        a = b.select(F.col(id_col).alias("id_a"), "bucket")
+        bb = b.select(F.col(id_col).alias("id_b"), "bucket")
+        pairs = (
+            a.join(bb, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return cand.distinct()
 
 
 def lsh_topk(

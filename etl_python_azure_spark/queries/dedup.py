@@ -223,3 +223,63 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_tables(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs(em, "vec_id", "embedding", threshold=0.46)
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup via multi-table LSH (the no-cross-join scale path)
+# --------------------------------------------------------------------------
+
+
+def _duck_bucket_expr(planes: list[int]) -> str:
+    """DuckDB bucket expression mirroring similarity._plane_weights_expr."""
+    cases = " + ".join(
+        f"""CASE WHEN list_reduce(list_transform(range(1, 65),
+          d -> CAST(embedding[d] AS DOUBLE)
+               * ((ascii(substr(md5('p{p}_' || CAST(d AS VARCHAR)), 1, 1))
+                   % 2) * 2 - 1)),
+          (acc, v) -> acc + v) > 0 THEN {1 << i} ELSE 0 END"""
+        for i, p in enumerate(planes)
+    )
+    return f"CAST(({cases}) AS BIGINT)"
+
+
+_LSH_TABLES_SQL = ",\n".join(
+    f"{_duck_bucket_expr([2 * t, 2 * t + 1])} AS b{t}" for t in range(3)
+)
+
+
+@register(
+    "embedding_lsh_dup_pairs",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm,
+             {_LSH_TABLES_SQL}
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(
+             list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b
+      ON a.vec_id < b.vec_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+    WHERE list_reduce(
+            list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+            (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.46
+    """,
+)
+def embedding_lsh_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_lsh_dup_pairs
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return embedding_lsh_dup_pairs(
+        em, "vec_id", "embedding", threshold=0.46, num_planes=2, num_tables=3
+    )

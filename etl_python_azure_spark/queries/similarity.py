@@ -119,3 +119,76 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_tables(spark, sf_dir, "embeddings")
     return lsh_topk(em, em.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# recall@5 of the LSH path against brute-force ground truth — the
+# self-evaluation every ANN deployment needs (tune num_planes until
+# recall is acceptable, then ship the bucketed path)
+# --------------------------------------------------------------------------
+@register(
+    "ann_lsh_recall",
+    f"""
+    WITH {_NORM_CTE},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= 5
+    ),
+    b AS (
+      SELECT vec_id,
+             CAST({_BUCKET.format(e='embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    nb AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)),
+    lsims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM nb q JOIN nb c
+        ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM lsims
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT bf.query_id, COUNT(lsh.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN lsh
+        ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, n_hits, n_hits / 5.0 AS recall_at_5 FROM hits
+    """,
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_topk(em, q, k=5).select(
+        "query_id", F.col("neighbor_id").alias("lsh_neighbor")
+    )
+    hits = (
+        bf.join(
+            lsh,
+            (bf.query_id == lsh.query_id)
+            & (bf.neighbor_id == lsh.lsh_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("lsh_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
+    )
