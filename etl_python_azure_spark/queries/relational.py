@@ -256,6 +256,41 @@ def union_with_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# set ops beyond union: INTERSECT / EXCEPT (distinct semantics) —
+# customers active in both halves of the date range vs only the first
+# --------------------------------------------------------------------------
+@register(
+    "customer_set_ops",
+    """
+    WITH early AS (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    late AS (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_custkey, 'both' AS cohort FROM (
+      SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late
+    )
+    UNION ALL
+    SELECT o_custkey, 'early_only' AS cohort FROM (
+      SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late
+    )
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    both = early.intersect(late).withColumn("cohort", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
+    early_only = early.subtract(late).withColumn("cohort", F.lit("early_only"))
+    return both.unionByName(early_only)
+
+
+# --------------------------------------------------------------------------
 # A-4/A-5 — sort + limit (deterministic tiebreak on the unique key)
 # --------------------------------------------------------------------------
 @register(
@@ -386,6 +421,35 @@ def string_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_tables(spark, sf_dir, "part")
     return p.select(
         "p_partkey", bounded_string_gate("p_type", 20).alias("p_type_gated")
+    )
+
+
+# --------------------------------------------------------------------------
+# string toolbox: regex extract, case, replace, trim, pad
+# --------------------------------------------------------------------------
+@register(
+    "string_toolbox",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           upper(p_type) AS type_upper,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+           trim(concat(' ', p_brand, ' ')) AS brand_trimmed
+    FROM part
+    """,
+)
+def string_toolbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("bigint").alias("brand_num"),
+        F.upper("p_type").alias("type_upper"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trimmed"
+        ),
     )
 
 

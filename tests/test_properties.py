@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the CDC/merge algebra.
+
+Invariants of SURVEY §2.9 T4 that must hold for ANY (incoming,
+existing) pair, not just the fixture cases:
+
+- new ∪ updated ⊆ incoming, and they are disjoint on the key
+- equal-or-older versions appear in neither half (strict ``>``)
+- merge post-image: one row per key; every key from both inputs
+  survives; the surviving version is the max eligible one
+- merge is idempotent: merging the same incoming twice is a no-op
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_python_azure_spark.operators.joins import cdc_split, merge_upsert
+from etl_python_azure_spark.session import get_spark
+
+BASE = datetime.datetime(2024, 1, 1)
+
+# (key, version-offset-days) pairs; small domains force collisions
+row = st.tuples(st.integers(0, 5), st.integers(0, 3))
+rowset = st.lists(row, min_size=0, max_size=8, unique_by=lambda r: r)
+
+
+def _df(rows):
+    spark = get_spark("props")
+    data = [
+        (k, BASE + datetime.timedelta(days=v), f"{k}:{v}") for k, v in rows
+    ]
+    return spark.createDataFrame(
+        data or [(0, BASE, "sentinel")], "id long, updated_at timestamp, v string"
+    ).limit(len(data))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(incoming=rowset, existing=rowset)
+def test_cdc_split_invariants(incoming, existing):
+    # one version per key on the existing side (it's a keyed table)
+    existing = list({k: (k, v) for k, v in existing}.values())
+    inc_df, ex_df = _df(incoming), _df(existing)
+    split = cdc_split(inc_df, ex_df)
+    new = {(r.id, r.updated_at) for r in split.new.collect()}
+    upd = {(r.id, r.updated_at) for r in split.updated.collect()}
+    inc = {(k, BASE + datetime.timedelta(days=v)) for k, v in incoming}
+    ex = {k: BASE + datetime.timedelta(days=v) for k, v in existing}
+
+    assert new <= inc and upd <= inc
+    assert {k for k, _ in new}.isdisjoint({k for k, _ in upd})
+    for k, ts in new:
+        assert k not in ex
+    for k, ts in upd:
+        assert k in ex and ts > ex[k]
+    # strictness: equal/older rows land nowhere
+    dropped = inc - new - upd
+    for k, ts in dropped:
+        assert k in ex and ts <= ex[k]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(incoming=rowset, existing=rowset)
+def test_merge_upsert_post_image(incoming, existing):
+    # keyed sides: one version per key
+    incoming = list({k: (k, v) for k, v in incoming}.values())
+    existing = list({k: (k, v) for k, v in existing}.values())
+    inc_df, ex_df = _df(incoming), _df(existing)
+    merged = merge_upsert(inc_df, ex_df)
+    got = {r.id: r.updated_at for r in merged.collect()}
+
+    inc = {k: BASE + datetime.timedelta(days=v) for k, v in incoming}
+    ex = {k: BASE + datetime.timedelta(days=v) for k, v in existing}
+    # one row per key; all keys survive
+    assert set(got) == set(inc) | set(ex)
+    assert merged.count() == len(got)
+    for k, ts in got.items():
+        if k in inc and k in ex:
+            assert ts == (inc[k] if inc[k] > ex[k] else ex[k])
+        else:
+            assert ts == (inc.get(k) or ex[k])
+
+    # idempotence: applying the same incoming again changes nothing
+    again = merge_upsert(inc_df, merged)
+    got2 = {r.id: r.updated_at for r in again.collect()}
+    assert got2 == got
