@@ -369,6 +369,66 @@ def embedding_cosine_pairs(
     return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_rep).
+
+    The deliverable of a dedup pipeline is a keep/drop list, not a
+    pair list; pairs chain (A~B, B~C ⇒ one cluster), so cluster =
+    connected component, representative = min id in the component.
+
+    Iterative min-label propagation: each round, every node takes
+    the min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup components are shallow —
+    a handful of rounds in practice, bounded by *max_iter*). Each
+    round is one join + aggregate; intermediate results are
+    persisted and the loop stops early when no label changes. This
+    is the standard large-graph CC recipe (GraphFrames does the
+    same under the hood) without leaving DataFrames.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_rep"))
+
+
 def embedding_lsh_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -137,6 +137,48 @@ def minhash_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# near-dup clusters: pair list → connected components → keep list
+# (oracle: transitive closure via recursive CTE, min id per component)
+# --------------------------------------------------------------------------
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    d = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_clusters(pairs).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("cluster_rep").cast("bigint").alias("cluster_rep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints + near-dup pairs by Hamming distance
 # --------------------------------------------------------------------------
 _SIMHASH_CTE = """

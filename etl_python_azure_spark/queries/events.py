@@ -96,6 +96,153 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# conversion funnel — first view → first later click → first later
+# purchase, per user; one summary row
+# --------------------------------------------------------------------------
+@register(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str, out: str):
+        # rename the probe side to break self-join ambiguity
+        probe = prev.select(
+            F.col("user_id").alias("__uid"), F.col(prev_col).alias("__prev_ts")
+        )
+        j = e.filter(F.col("event_type") == etype).join(
+            probe,
+            (F.col("user_id") == F.col("__uid"))
+            & (F.col("ts") > F.col("__prev_ts")),
+        )
+        return j.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = first_after("click", v, "first_view", "first_click")
+    p = first_after("purchase", c, "first_click", "first_purchase")
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased")))
+    )
+
+
+# --------------------------------------------------------------------------
+# per-user conditional aggregation (FILTER-clause style)
+# --------------------------------------------------------------------------
+@register(
+    "user_event_profile",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+
+    def n_of(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return e.groupBy("user_id").agg(
+        n_of("view").alias("n_views"),
+        n_of("click").alias("n_clicks"),
+        n_of("purchase").alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# gap-filled daily activity — date spine × user, zero-filled counts
+# (bounded to user_id < 20 to keep the spine product intentional)
+# --------------------------------------------------------------------------
+@register(
+    "daily_activity_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(gs.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+           bounds,
+           LATERAL (SELECT UNNEST(generate_series(bounds.lo, bounds.hi,
+                                 INTERVAL 1 DAY)) AS d) gs
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def daily_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    all_e = load_tables(spark, sf_dir, "events")
+    bounds = all_e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # As-of join — last view value before each purchase, per user
 # (right side deduped on (user, ts) for determinism)
 # --------------------------------------------------------------------------

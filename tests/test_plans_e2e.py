@@ -197,3 +197,54 @@ def test_sercom_end_to_end(spark, tmp_path):
     # F7 on elements.deleted_at
     els = {r.id: r.deleted_at for r in spark.read.parquet(f"{sink}/elements").collect()}
     assert els[50] is None and els[51] == d(2024, 1, 5)
+
+
+def test_sercom_incremental_load_to_db(spark, tmp_path):
+    """Full T4 leg: CDC split halves land in a DB via the
+    foreachPartition upsert (sqlite standing in for SQL Server)."""
+    import sqlite3
+
+    from etl_python_azure_spark.sinks.jdbc import jdbc_upsert
+    from tests.test_sinks import _sqlite_factory
+
+    d = datetime.datetime
+    existing = spark.createDataFrame(
+        [(101, d(2024, 3, 1))], "id long, updated_at timestamp"
+    )
+    res = run_sercom(
+        spark, sercom_transport, "http://api", existing_tasks=existing
+    )
+    db = str(tmp_path / "tasks.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE tasks (id INTEGER PRIMARY KEY, state_name TEXT,"
+            " description TEXT, updated_at TEXT)"
+        )
+        c.execute(
+            "INSERT INTO tasks VALUES (101, 'open', 'stale', '2024-03-01')"
+        )
+    cols = ["id", "state_name", "description", "updated_at"]
+    to_load = res.task_split.new.unionByName(res.task_split.updated).select(
+        "id", "state_name", "description",
+        F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+    jdbc_upsert(
+        to_load,
+        "tasks",
+        key_cols=["id"],
+        update_cols=[c for c in cols if c != "id"],
+        connection_factory=_sqlite_factory(db),
+        dialect="upsert_sqlite",
+        num_partitions=1,
+    )
+    with sqlite3.connect(db) as c:
+        got = {
+            r[0]: (r[1], r[2])
+            for r in c.execute("SELECT id, state_name, description FROM tasks")
+        }
+    # 100, 102 inserted as new; 101 updated in place (newer updated_at)
+    assert got == {
+        100: ("open", "t100"),
+        101: ("done", "t101"),
+        102: ("done", "t102"),
+    }
