@@ -694,6 +694,37 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# rank-family windows: dense_rank, percent_rank, ntile deciles
+# --------------------------------------------------------------------------
+@register(
+    "order_rank_stats",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           NTILE(10) OVER w AS price_decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.ntile(10).over(w).alias("price_decile"),
+    )
+
+
+# --------------------------------------------------------------------------
 # exact quantiles per group (continuous interpolation)
 # --------------------------------------------------------------------------
 @register(
