@@ -78,6 +78,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     ``events`` gets its ns-precision timestamp converted to Spark's
     µs TimestampType (truncation — matches DuckDB's ns→µs behavior).
     """
+    # defensive: the caller may pass a session built elsewhere (the
+    # round driver does) — pin the runtime confs the query semantics
+    # rely on (ns-timestamp reads; UTC-naive timestamp comparisons)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dfs = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
