@@ -42,6 +42,10 @@ OPTIONAL = [
     "lang_id_guess",
     "sessionize_events",
     "hourly_event_rollup",
+    "user_event_profile",
+    "vocabulary_top200",
+    "sequence_packing",
+    "asof_last_view_before_purchase",
 ]
 
 

@@ -694,6 +694,45 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# time-range window frame — trailing 7-day revenue per order day
+# --------------------------------------------------------------------------
+@register(
+    "trailing_week_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM daily
+    """,
+)
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    daily.createOrReplaceTempView("__daily_rev")
+    return spark.sql(
+        """
+        SELECT day,
+               CAST(rev AS DOUBLE) AS day_revenue,
+               CAST(SUM(rev) OVER (
+                 ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d_revenue
+        FROM __daily_rev
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # rank-family windows: dense_rank, percent_rank, ntile deciles
 # --------------------------------------------------------------------------
 @register(
