@@ -694,6 +694,85 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# argmax aggregation — top order per status WITHOUT a window sort
+# (max_by: one hash-agg pass; the at-scale idiom for top-1-per-group)
+# --------------------------------------------------------------------------
+@register(
+    "argmax_order_per_status",
+    """
+    WITH m AS (
+      SELECT o_orderstatus, MAX(o_totalprice) AS top_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus,
+           (SELECT MAX(o.o_orderkey) FROM orders o
+            WHERE o.o_orderstatus = m.o_orderstatus
+              AND o.o_totalprice = m.top_price) AS top_orderkey,
+           m.top_price
+    FROM m
+    """,
+)
+def argmax_order_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    # tiebreak embedded in the ordering struct → deterministic argmax
+    return o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact second moments: mean/variance from explicit decimal sums
+# (built-in stddev/var aggregates use engine-specific streaming
+# algorithms whose float order diverges — the explicit formula over
+# exact sums is reproducible anywhere)
+# --------------------------------------------------------------------------
+@register(
+    "brand_price_stats",
+    """
+    WITH s AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           sx / n AS mean_price,
+           (sxx - sx * sx / n) / (n - 1) AS var_price
+    FROM s WHERE n > 1
+    """,
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")
+    s = p.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(
+            (F.col("p_retailprice") * F.col("p_retailprice")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    return s.filter(F.col("n") > 1).select(
+        "p_brand",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean_price"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # time-range window frame — trailing 7-day revenue per order day
 # --------------------------------------------------------------------------
 @register(
