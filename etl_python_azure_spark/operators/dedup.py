@@ -250,33 +250,26 @@ def simhash(
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("cnt"))
     )
-    spark = df.sparkSession
-    bit_idx = spark.range(1, bits + 1).select(F.col("id").alias("bit"))
-    votes = tok_counts.crossJoin(F.broadcast(bit_idx)).select(
-        F.col(id_col),
-        F.col("bit"),
-        (
+    # all `bits` weighted vote-sums in ONE hash aggregate keyed by id
+    # (no bits-fold row blowup — shuffle is |tokens|, not bits×|tokens|),
+    # then the fingerprint assembles column-wise. md5 is hoisted into
+    # a projection so it's computed once per token, not once per bit.
+    hashed = tok_counts.withColumn("__h", F.md5("token"))
+    bit_sums = [
+        F.sum(
             F.col("cnt")
-            * (
-                F.expr("ascii(substring(md5(token), CAST(bit AS INT), 1))") % 2
-                * 2
-                - 1
-            )
-        ).alias("vote"),
-    )
-    return (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT) - 1)"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
-    )
+            * (F.expr(f"ascii(substring(__h, {i}, 1))") % 2 * 2 - 1)
+        ).alias(f"s_{i}")
+        for i in range(1, bits + 1)
+    ]
+    sums = hashed.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for i in range(1, bits + 1):
+        bit = F.when(
+            F.col(f"s_{i}") > 0, F.lit(1 << (i - 1)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_pairs(
