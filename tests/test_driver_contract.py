@@ -1,0 +1,46 @@
+"""Guards on the round-driver contract (__spark_entry__ + bench)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_registry_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 60
+    # every oracle refers to a registered query
+    assert set(oracles) <= set(qs)
+    # builders are callables; oracle SQL is non-empty text
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_bench_emits_one_json_line(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["unit"] == "sec" and payload["queries"]
+    assert payload["value"] > 0
