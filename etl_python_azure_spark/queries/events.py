@@ -96,6 +96,90 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# inter-event gaps — mean seconds between consecutive events per user
+# (epoch-µs arithmetic: exact integers until the final division)
+# --------------------------------------------------------------------------
+@register(
+    "avg_inter_event_gap",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           SUM(gap_us) AS total_gap_us,
+           SUM(gap_us) / (COUNT(gap_us) * 1000000.0) AS avg_gap_sec
+    FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def avg_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        (F.sum("gap_us") / (F.count("gap_us") * F.lit(1000000.0))).alias(
+            "avg_gap_sec"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# value histogram — fixed-width bins (exact: integer bin via floor)
+# --------------------------------------------------------------------------
+@register(
+    "event_value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# array higher-order functions over embeddings
+# --------------------------------------------------------------------------
+@register(
+    "embedding_array_stats",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           list_max(embedding) AS max_val,
+           list_min(embedding) AS min_val
+    FROM embeddings
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+    )
+
+
+# --------------------------------------------------------------------------
 # conversion funnel — first view → first later click → first later
 # purchase, per user; one summary row
 # --------------------------------------------------------------------------

@@ -694,6 +694,144 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# filter variety: LIKE / BETWEEN / IN-list in one predicate
+# --------------------------------------------------------------------------
+@register(
+    "filter_variety",
+    """
+    SELECT p_partkey, p_type, p_size, p_brand
+    FROM part
+    WHERE p_type LIKE 'PRO%'
+      AND p_size BETWEEN 10 AND 20
+      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+    """,
+)
+def filter_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_tables(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PRO%")
+        & F.col("p_size").between(10, 20)
+        & F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+    ).select("p_partkey", "p_type", "p_size", "p_brand")
+
+
+# --------------------------------------------------------------------------
+# θ-join (inequality join) — balance dominance counts per nation
+# --------------------------------------------------------------------------
+@register(
+    "acctbal_dominance",
+    """
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_dominated_pairs
+    FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+)
+def acctbal_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "customer")
+    return (
+        t["supplier"]
+        .join(t["customer"], F.col("s_acctbal") > F.col("c_acctbal"))
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_dominated_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+@register(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS k
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    b AS (
+      SELECT CASE WHEN g % 3 = 0 THEN NULL ELSE g END AS k,
+             g AS tag
+      FROM (SELECT UNNEST(range(0, 7)) AS g)
+    )
+    SELECT a.o_orderkey, a.k, b.tag
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("k"),
+    )
+    spark_b = o.sparkSession.range(0, 7).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("tag"),
+    )
+    return a.join(
+        F.broadcast(spark_b), a.k.eqNullSafe(spark_b.k)
+    ).select("o_orderkey", a.k.alias("k"), "tag")
+
+
+# --------------------------------------------------------------------------
+# scalar null toolbox: NULLIF / GREATEST / LEAST / COALESCE chain
+# --------------------------------------------------------------------------
+@register(
+    "scalar_null_toolbox",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           GREATEST(o_totalprice, 100000.0) AS price_floor,
+           LEAST(o_totalprice, 400000.0) AS price_cap,
+           COALESCE(NULLIF(o_orderstatus, 'O'), o_orderpriority, 'x')
+             AS fallback_chain
+    FROM orders
+    """,
+)
+def scalar_null_toolbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")),
+            F.col("o_orderpriority"),
+            F.lit("x"),
+        ).alias("fallback_chain"),
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated EXISTS — orders containing a max-quantity line item
+# --------------------------------------------------------------------------
+@register(
+    "orders_with_large_items",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 50
+    )
+    """,
+)
+def orders_with_large_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    big = t["lineitem"].filter(F.col("l_quantity") >= 50).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return semi_join(t["orders"], big, on="o_orderkey").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
 # first/last values over full-partition frames per customer
 # --------------------------------------------------------------------------
 @register(
