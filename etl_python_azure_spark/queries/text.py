@@ -106,6 +106,56 @@ def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(d)
 
 
+# --------------------------------------------------------------------------
+# top distinctive terms per document — tf/df scoring.
+# NB deliberately log-free: JVM Math.log and libm ln() differ in ulps
+# (verified), so a true tf·log(N/df) score would break cross-engine
+# exactness; tf/df ranks terms identically for a fixed corpus size
+# and a single IEEE division is bit-identical everywhere.
+# --------------------------------------------------------------------------
+@register(
+    "top_distinctive_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * 1.0 / df.df AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * 1.0 / df.df DESC, tf.token
+             ) AS rnk
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df, score, rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    d = load_tables(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score", F.col("tf") * 1.0 / F.col("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
 @register(
     "doc_fingerprints",
     """
