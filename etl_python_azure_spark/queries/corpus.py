@@ -67,6 +67,104 @@ def stable_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_by_lang",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count per-stratum sample, ordered by a content hash so
+    the pick is stable across runs/partitionings (not `ORDER BY
+    random()`)."""
+    d = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "weighted_source_mixture",
+    f"""
+    WITH w(source, pct) AS (
+      VALUES ('src0', 80), ('src1', 40), ('src2', 20)
+    ),
+    b AS (
+      SELECT doc_id, source,
+             {_BUCKET_SQL} % 100 AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.source
+    FROM b JOIN w USING (source)
+    WHERE b.bucket < w.pct
+    """,
+)
+def weighted_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source inclusion rates (up/down-weighting a data mixture):
+    each source keeps its configured percentage, chosen by the same
+    stable hash bucket — re-runs and appends keep decisions."""
+    from ..operators.sampling import hash_bucket
+
+    d = load_tables(spark, sf_dir, "documents")
+    weights = d.sparkSession.createDataFrame(
+        [("src0", 80), ("src1", 40), ("src2", 20)], "source string, pct int"
+    )
+    return (
+        d.withColumn("bucket", hash_bucket("doc_id", 100))
+        .join(F.broadcast(weights), "source")
+        .filter(F.col("bucket") < F.col("pct"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)
+    ),
+    bench AS (SELECT shingle FROM sh WHERE doc_id < 10),
+    hits AS (
+      SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_8grams
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 10
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shared_8grams FROM hits
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination probe: training docs sharing ≥1 word-8-gram
+    with a benchmark set (here: doc_id < 10 stands in for the eval
+    suite). The n-gram-overlap check used before training runs; at
+    100 TB the benchmark shingle side is tiny → broadcast join.
+    """
+    from ..operators.dedup import word_shingles
+
+    d = load_tables(spark, sf_dir, "documents")
+    sh = word_shingles(d, "doc_id", "text", n=8)
+    bench = sh.filter(F.col("doc_id") < 10).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_8grams"))
+    )
+
+
+@register(
     "vocabulary_top200",
     """
     SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
