@@ -1,0 +1,100 @@
+"""Command-line runner for the pipeline plans.
+
+The reference triggers its pipelines on Azure timer functions with
+``run_on_startup=True`` (`L:24–26`, `S:25–31`); here scheduling is
+platform config (cron/Airflow/workflows), and this CLI is the unit
+they invoke:
+
+    python -m etl_python_azure_spark.cli latinad \
+        --base-url https://api.example.com --sink /data/latinad
+    python -m etl_python_azure_spark.cli sercom \
+        --base-url https://api.example.com --sink /data/sercom \
+        --existing-tasks /data/sercom/tasks_snapshot
+
+Uses the stdlib urllib transport (auth headers via --header k=v,
+repeatable). Exit code 0 only when the run completes; per-request
+fetch failures are captured as data (T5), not crashes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _headers(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        out[k] = v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_python_azure_spark")
+    sub = ap.add_subparsers(dest="pipeline", required=True)
+    for name in ("latinad", "sercom"):
+        p = sub.add_parser(name)
+        p.add_argument("--base-url", required=True)
+        p.add_argument("--sink", required=True)
+        p.add_argument("--header", action="append", default=[])
+        p.add_argument("--timeout", type=float, default=600.0)
+    sub.choices["sercom"].add_argument(
+        "--existing-tasks",
+        help="parquet path of the current task snapshot (id, updated_at) "
+        "for the CDC split; omit for a first full load",
+    )
+
+    args = ap.parse_args(argv)
+    from .session import get_spark
+    from .sources.rest import urllib_transport
+
+    spark = get_spark(f"pipeline-{args.pipeline}")
+    transport = urllib_transport(args.timeout)
+    headers = _headers(args.header)
+    t0 = time.time()
+
+    if args.pipeline == "latinad":
+        from .plans.latinad import run_latinad
+
+        res = run_latinad(
+            spark, transport, args.base_url, headers, sink_root=args.sink
+        )
+        n_failed = res.failed_requests.count()
+        print(
+            json.dumps(
+                {
+                    "pipeline": "latinad",
+                    "elapsed_sec": round(time.time() - t0, 1),
+                    "failed_requests": n_failed,
+                }
+            )
+        )
+    else:
+        from .plans.sercom import run_sercom
+
+        existing = (
+            spark.read.parquet(args.existing_tasks)
+            if args.existing_tasks
+            else None
+        )
+        res = run_sercom(
+            spark,
+            transport,
+            args.base_url,
+            headers,
+            existing_tasks=existing,
+            sink_root=args.sink,
+        )
+        out = {"pipeline": "sercom", "elapsed_sec": round(time.time() - t0, 1)}
+        if res.task_split is not None:
+            out["new_tasks"] = res.task_split.new.count()
+            out["updated_tasks"] = res.task_split.updated.count()
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,37 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sliding event-time windows — 2h width, 1h slide (each event lands
+# in two windows; oracle materializes both trunc-aligned starts)
+# --------------------------------------------------------------------------
+@register(
+    "sliding_window_counts",
+    """
+    WITH starts AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT event_type, window_start, COUNT(*) AS n_events
+    FROM starts GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # inter-event gaps — mean seconds between consecutive events per user
 # (epoch-µs arithmetic: exact integers until the final division)
 # --------------------------------------------------------------------------
