@@ -151,6 +151,30 @@ def test_dedupe_column_names(spark):
     assert out.columns == ["id", "name"]
 
 
+def test_language_id_no_hits_is_und(spark):
+    from etl_python_azure_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "zzz qqq xxyyzz"), (2, "the the of and"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.lang_guess, r.n_hits) for r in language_id(df).collect()}
+    assert got[1] == ("und", 0)
+    assert got[2] == ("en", 4)
+    assert got[3] == ("und", 0)
+
+
+def test_text_quality_short_doc_flagged(spark):
+    from etl_python_azure_spark.operators.text import text_quality
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, " ".join(["the word okay"] * 10))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.keep for r in text_quality(df).collect()}
+    assert got == {1: False, 2: True}
+
+
 def test_cdc_split_strict_greater(spark):
     d = datetime.datetime
     incoming = spark.createDataFrame(

@@ -1,0 +1,59 @@
+"""Physical-plan regression guards for the headline queries.
+
+If a future change makes a dimension join stop broadcasting, adds an
+unexpected shuffle to the flagship aggregate, or drops scan-level
+filter pushdown, these fail before the benchmark regresses.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_python_azure_spark.queries import registry
+
+
+def _plan(spark, sf_dir, name):
+    df = registry()[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert plan.count("Exchange") == 1  # just the groupBy shuffle
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation at least
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cdc_probe_is_narrow_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cdc_split_updated")
+    assert "BroadcastHashJoin" in plan
+    # probe side projects only (key, version): payload col absent from
+    # the probe-side scan schema
+    probe_scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:] if "o_totalprice" not in seg.split("\n")[0]
+    ]
+    assert probe_scans, "expected a narrow (o_orderkey, o_orderdate) scan"
+
+
+def test_filter_pushdown_everywhere(spark, sf_dir):
+    for name in ("filter_project_scale", "filter_events", "shipping_priority"):
+        plan = _plan(spark, sf_dir, name)
+        assert "PushedFilters: [" in plan, name
+
+
+def test_no_cartesian_in_join_queries(spark, sf_dir):
+    # cross joins are only intentional in similarity brute force
+    for name in (
+        "left_join_enrich",
+        "revenue_by_nation",
+        "shipping_priority",
+        "cdc_split_updated",
+        "dropna_after_left_join",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
