@@ -694,6 +694,33 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# per-group quantile outlier filter — orders above their status's p95
+# --------------------------------------------------------------------------
+@register(
+    "outlier_orders_p95",
+    """
+    WITH q AS (
+      SELECT o_orderstatus, quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, q.p95
+    FROM orders o JOIN q USING (o_orderstatus)
+    WHERE o.o_totalprice > q.p95
+    """,
+)
+def outlier_orders_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95")
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderstatus")
+        .filter(F.col("o_totalprice") > F.col("p95"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "p95")
+    )
+
+
+# --------------------------------------------------------------------------
 # filter variety: LIKE / BETWEEN / IN-list in one predicate
 # --------------------------------------------------------------------------
 @register(
