@@ -420,3 +420,46 @@ def positional_unnest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding_4",
         array_head("embedding", 4).alias("embedding_head"),
     )
+
+
+# --------------------------------------------------------------------------
+# Range (band) join — views within the 30 min before each purchase,
+# per user. Built on the bucketized range join (operators.range_join)
+# so the θ-predicate becomes an equi-join on (user_id, time bucket)
+# instead of a BroadcastNestedLoopJoin; the oracle states the raw
+# θ-join directly.
+# --------------------------------------------------------------------------
+@register(
+    "views_before_purchase_ranged",
+    """
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+     AND v.ts < p.ts
+    """,
+)
+def views_before_purchase_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import band_join
+
+    e = load_tables(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    return band_join(
+        views,
+        purchases,
+        left_ts="ts",
+        right_ts="pts",
+        lower="-INTERVAL 30 MINUTES",
+        upper="INTERVAL 0 SECONDS",
+        on=["user_id"],
+    ).select("user_id", "view_id", "purchase_id")
