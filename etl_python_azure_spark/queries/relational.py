@@ -1200,3 +1200,92 @@ def sliding_window_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("fecha"))
         .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity"), "qty"))
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping flags — the generalized form of the
+# rollup/cube queries above; gid disambiguates subtotal rows from
+# genuine NULL group keys.
+# --------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+        F.count("*").alias("n"),
+        _dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation / least-squares regression per group, decimal-exact.
+# Native corr()/regr_slope() accumulate doubles in partition order —
+# non-deterministic across engines — so the moments are accumulated
+# as exact decimals and the float math happens once, in an identical
+# expression order in both dialects (bit-exact per IEEE 754).
+# --------------------------------------------------------------------------
+_MOMENT_EXPRS = {
+    "corr_qp": "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)"
+    " * sqrt(n * syy - sy * sy))",
+    "slope_qp": "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
+    "intercept_qp": "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+}
+
+
+@register(
+    "corr_regression_qty_price",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {_MOMENT_EXPRS["corr_qp"]} AS corr_qp,
+           {_MOMENT_EXPRS["slope_qp"]} AS slope_qp,
+           {_MOMENT_EXPRS["intercept_qp"]} AS intercept_qp
+    FROM s
+    """,
+)
+def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    moments = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return moments.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        *[F.expr(e).alias(a) for a, e in _MOMENT_EXPRS.items()],
+    )
