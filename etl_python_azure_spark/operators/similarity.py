@@ -190,3 +190,115 @@ def lsh_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the other classic scale path besides LSH
+# --------------------------------------------------------------------------
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Deterministic coarse quantizer: the *num_centroids* lowest-id
+    corpus vectors serve as cell centroids.
+
+    Production systems fit these with KMeans on a sample; a fixed
+    deterministic pick keeps the whole IVF pipeline oracle-checkable
+    in plain SQL, and every piece downstream (assignment, probing,
+    in-cell search) is identical either way.
+    """
+    return (
+        with_norm(corpus.select(id_col, vec_col), vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.col("__norm").alias("__cnorm"),
+        )
+    )
+
+
+def _nearest_cells(
+    with_norm_df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+) -> DataFrame:
+    """Top-*n_cells* centroids per vector (by cosine, id tiebreak)."""
+    sims = with_norm_df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__norm"),
+        F.col("centroid_id"),
+        (
+            dot_expr(vec_col, "__cvec") / (F.col("__norm") * F.col("__cnorm"))
+        ).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("centroid_id"))
+    return (
+        sims.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_cells)
+        .select(id_col, vec_col, "__norm", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-*k* via an inverted file: each corpus vector is
+    assigned to its nearest centroid's cell (one equi-key), each query
+    probes its *nprobe* nearest cells, and exact ranking runs only
+    over the probed cells' members — ~``nprobe/num_centroids`` of the
+    corpus per query instead of all of it.
+
+    Scale shape: assignment is a one-off O(n·C) pass whose result is
+    a table partitioned/clustered by ``cell`` (write it out once,
+    reuse across query batches); per-batch cost is an equi-join of
+    (query, cell) probes against those cell partitions — no cross
+    join, no shuffle of the corpus. Recall tunes with *nprobe* (and
+    centroid quality); verify with the brute-force path like
+    ``ann_lsh_recall`` does for LSH.
+
+    Output: (query_id, neighbor_id, cosine, rank), self excluded.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    cn = with_norm(corpus.select(id_col, vec_col), vec_col)
+    inv = _nearest_cells(cn, cents, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+        "cell",
+    )
+    qn = with_norm(queries.select(id_col, vec_col), vec_col)
+    probes = _nearest_cells(qn, cents, id_col, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+        "cell",
+    )
+    sims = (
+        F.broadcast(probes)
+        .join(inv, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

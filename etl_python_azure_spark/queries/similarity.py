@@ -192,3 +192,58 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN — inverted-file variant: corpus assigned to nearest-centroid
+# cells (deterministic lowest-id centroids), queries probe their 4
+# nearest of 16 cells, exact rank only within probed cells.
+# --------------------------------------------------------------------------
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_NORM_CTE},
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        em, em.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
+    )

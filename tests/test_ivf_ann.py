@@ -1,0 +1,83 @@
+"""IVF ANN: cell assignment invariants + recall on clustered data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_azure_spark.operators.similarity import (
+    cosine_topk,
+    ivf_centroids,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # 4 tight clusters in 8-d: base direction per cluster + tiny jitter.
+    # Lowest-id vectors (the deterministic centroids) cover all clusters.
+    rows = []
+    bases = [
+        [1, 0, 0, 0, 0, 0, 0, 0],
+        [0, 1, 0, 0, 0, 0, 0, 0],
+        [0, 0, 1, 0, 0, 0, 0, 0],
+        [0, 0, 0, 1, 0, 0, 0, 0],
+    ]
+    vid = 0
+    for member in range(10):
+        for cl, base in enumerate(bases):
+            jitter = [(((vid * 7 + d) % 5) - 2) * 0.01 for d in range(8)]
+            rows.append((vid, [float(b) + j for b, j in zip(base, jitter)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_centroids_are_lowest_ids(clustered):
+    cents = ivf_centroids(clustered, num_centroids=4)
+    assert [r.centroid_id for r in cents.collect()] == [0, 1, 2, 3]
+
+
+def test_topk_shape_and_self_exclusion(clustered):
+    out = ivf_topk(
+        clustered,
+        clustered.filter(F.col("vec_id") < 4),
+        k=3,
+        num_centroids=4,
+        nprobe=2,
+    )
+    rows = out.collect()
+    assert len(rows) == 12  # 4 queries × 3
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    per_q = {q: sorted(r.rank for r in rows if r.query_id == q) for q in range(4)}
+    assert all(v == [1, 2, 3] for v in per_q.values())
+
+
+def test_recall_is_perfect_when_probing_own_cluster(clustered):
+    # centroids 0..3 are one per cluster, so nprobe=1 already reaches
+    # every same-cluster neighbor → IVF == brute force here
+    q = clustered.filter(F.col("vec_id") < 4)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, q, k=5, num_centroids=4, nprobe=1
+        ).collect()
+    }
+    assert ivf == bf
+
+
+def test_each_corpus_vector_in_one_cell(clustered):
+    from etl_python_azure_spark.operators.similarity import (
+        _nearest_cells,
+        with_norm,
+    )
+
+    cents = ivf_centroids(clustered, num_centroids=4)
+    asg = _nearest_cells(
+        with_norm(clustered, "embedding"), cents, "vec_id", "embedding", 1
+    )
+    assert asg.count() == clustered.count()
+    assert asg.select("vec_id").distinct().count() == clustered.count()
