@@ -30,6 +30,9 @@ HEADLINE = [
     "top3_orders_per_segment",
     "sliding_window_refresh",
     "derived_surrogate_key",
+    "grouping_sets_revenue",
+    "corr_regression_qty_price",
+    "outlier_orders_p95",
 ]
 # extension-suite queries (dedup / similarity / text / events)
 OPTIONAL = [
@@ -38,6 +41,8 @@ OPTIONAL = [
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "views_before_purchase_ranged",
     "text_quality_scores",
     "lang_id_guess",
     "sessionize_events",

@@ -26,6 +26,10 @@ QUERIES = [
     "ann_lsh_topk",
     "sessionize_events",
     "asof_last_view_before_purchase",
+    "views_before_purchase_ranged",
+    "ann_ivf_topk",
+    "grouping_sets_revenue",
+    "corr_regression_qty_price",
 ]
 
 
