@@ -1289,3 +1289,165 @@ def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         *[F.expr(e).alias(a) for a, e in _MOMENT_EXPRS.items()],
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: two-level aggregation — per-customer order count
+# (left join keeps zero-order customers) then the count distribution.
+# --------------------------------------------------------------------------
+@register(
+    "custdist_order_counts",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def custdist_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING on a grouped decimal sum, then enrich the
+# qualifying keys and take a deterministic top-100.
+# --------------------------------------------------------------------------
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__tq"))
+        .filter(F.col("__tq") > 150)
+        .select("l_orderkey", F.col("__tq").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar subquery (decimal-exact global average) +
+# NOT EXISTS — customers above the average balance with no 'F' order.
+# --------------------------------------------------------------------------
+@register(
+    "rich_inactive_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS a
+      FROM customer
+    )
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    """,
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    stats = c.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join(rich, f_orders, "c_custkey").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: grouped revenue kept only when it exceeds a
+# fraction of the global total (scalar-subquery threshold).
+# --------------------------------------------------------------------------
+@register(
+    "nation_revenue_share",
+    """
+    WITH nr AS (
+      SELECT n.n_name,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(24,6))) AS rev_d
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(rev_d) AS tot_d FROM nr)
+    SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue
+    FROM nr, tot
+    WHERE CAST(rev_d AS DOUBLE) > CAST(tot_d AS DOUBLE) * 0.05
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li, s, n = t["lineitem"], t["supplier"], t["nation"]
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(24,6)")
+    nr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).alias("rev_d"))
+    )
+    tot = nr.agg(F.sum("rev_d").alias("tot_d"))
+    return (
+        nr.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("rev_d").cast("double")
+            > F.col("tot_d").cast("double") * 0.05
+        )
+        .select("n_name", F.col("rev_d").cast("double").alias("revenue"))
+    )
