@@ -136,3 +136,45 @@ def micro_batch_upsert(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL -30 MINUTES",
+    upper: str = "INTERVAL 0 SECONDS",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-bound join condition:
+
+        l.on = r.on AND r_ts + lower <= l_ts < r_ts + upper
+
+    the streaming analog of :func:`..operators.range_join.band_join`
+    (e.g. views within the 30 min before each purchase, as the
+    events arrive). The interval bound is not just semantics — it is
+    what lets Spark EVICT buffered state: with both sides
+    watermarked and the join time-constrained, rows older than
+    (watermark + band) are dropped from the state store, so state
+    stays bounded on an unbounded stream. An unconstrained
+    stream-stream equi-join would buffer forever.
+
+    Column names must be disjoint apart from *on* (pre-alias like
+    the batch operator).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} "
+        f"AND l.{left_ts} >= r.{right_ts} + {lower} "
+        f"AND l.{left_ts} < r.{right_ts} + {upper}"
+    )
+    dup = [c for c in right.columns if c == on]
+    out = l.join(r, cond, "inner")
+    # keep one copy of the equi-key
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c != on
+    ]
+    return out.select(*keep) if dup else out
