@@ -1451,3 +1451,62 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", F.col("rev_d").cast("double").alias("revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-accuracy certificates. Approximate aggregates (HLL distinct,
+# quantile sketches) are engine-specific, so their raw values can't
+# be oracle-diffed — instead the query emits the EXACT value plus a
+# boolean certifying the sketch landed within tolerance; the oracle
+# asserts the exact value and `TRUE`. At 100 TB the approx forms are
+# the ones you run (no exact distinct over billions of keys); this
+# query is the accuracy gate you'd run on a sample first.
+# --------------------------------------------------------------------------
+@register(
+    "approx_distinct_certificate",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("__approx") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("sketch_within_5pct"),
+    )
+
+
+@register(
+    "approx_quantile_certificate",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS exact_median,
+           TRUE AS sketch_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("__approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_median",
+        (
+            F.abs(F.col("__approx") - F.col("exact_median"))
+            <= F.abs(F.col("exact_median")) * 0.02
+        ).alias("sketch_within_2pct"),
+    )
