@@ -1510,3 +1510,79 @@ def approx_quantile_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.abs(F.col("exact_median")) * 0.02
         ).alias("sketch_within_2pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function toolbox: ranking/navigation/distribution functions
+# in one pass (orders per status, price order, orderkey tiebreak).
+# percent_rank/cume_dist are int-ratio floats — exact both engines.
+# --------------------------------------------------------------------------
+@register(
+    "window_function_toolbox",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_function_toolbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Moving average over an explicit row frame (last 4 rows) — the
+# decimal-sum / count division keeps it bit-exact cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "moving_avg_order_price",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("moving_avg"),
+    )
