@@ -50,6 +50,7 @@ OPTIONAL = [
     "user_event_profile",
     "vocabulary_top200",
     "sequence_packing",
+    "corpus_curation_pipeline",
     "asof_last_view_before_purchase",
 ]
 

@@ -230,3 +230,64 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(n_tokens).over(w), F.lit(0)) / 2048
         ).alias("bin_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Composite curation pipeline — the end-to-end corpus pass every
+# training-data build runs: quality gate → exact dedup (min-id
+# representative) → stable 50% sample → per-source doc/token budget.
+# One lazy DAG: the gate and dedup prune BEFORE the token counting,
+# so the expensive regexp tokenization touches only surviving docs.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_words,
+             length(replace(lower(text), ' ', '')) AS n_nonspace,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN m USING (doc_id)
+      WHERE m.n_words >= 20
+        AND m.n_nonspace * 1.0 / m.n_words >= 2
+        AND m.n_nonspace * 1.0 / m.n_words <= 12
+        AND m.n_alpha * 1.0 / m.n_chars > 0.5
+    ),
+    reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    sampled AS (
+      SELECT k.* FROM kept k JOIN reps USING (doc_id)
+      WHERE {_BUCKET_SQL} % 100 < 50
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+           SUM(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe_ish_tokens
+    FROM sampled GROUP BY source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import text_quality, token_counts
+
+    d = load_tables(spark, sf_dir, "documents")
+    kept = d.join(
+        text_quality(d).filter(F.col("keep")).select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "text")
+    reps = exact_dedup(kept, "text", "doc_id").select("doc_id")
+    sampled = deterministic_sample(kept.join(reps, "doc_id"), "doc_id", 50)
+    toks = token_counts(sampled)
+    return (
+        sampled.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_ish_tokens").alias("total_bpe_ish_tokens"),
+        )
+    )
