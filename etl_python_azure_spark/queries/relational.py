@@ -1586,3 +1586,109 @@ def moving_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").over(w).cast("double")
         ).alias("moving_avg"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-count aggregation behind NOT-predicates —
+# how many distinct suppliers serve each surviving (brand, type,
+# size) bucket.
+# --------------------------------------------------------------------------
+@register(
+    "supplier_variety_by_part",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def supplier_variety_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade — revenue between two fixed nation
+# pairs by order year (two independent dimension paths onto the same
+# fact row, then a pair predicate).
+# --------------------------------------------------------------------------
+@register(
+    "bilateral_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, o_year,
+           CAST(sum(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation,
+             cn.n_name AS cust_nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, o_year
+    """,
+)
+def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    li, o, c, s, n = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["supplier"],
+        t["nation"],
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "o_year")
+        .agg(_dsum(F.col("volume"), "revenue", "decimal(24,6)"))
+    )

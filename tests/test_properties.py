@@ -94,3 +94,49 @@ def test_merge_upsert_post_image(incoming, existing):
     again = merge_upsert(inc_df, merged)
     got2 = {r.id: r.updated_at for r in again.collect()}
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# bucketized range join: the bucketing is an implementation detail —
+# results must be EXACTLY the naive θ-join's, for any bucket width
+# ---------------------------------------------------------------------------
+point = st.integers(0, 30)
+interval = st.tuples(st.integers(0, 30), st.integers(0, 12))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    points=st.lists(point, min_size=0, max_size=10),
+    intervals=st.lists(interval, min_size=0, max_size=6),
+    width=st.sampled_from([1.0, 2.5, 7.0, 100.0]),
+)
+def test_range_join_invariant_to_bucket_width(points, intervals, width):
+    from etl_python_azure_spark.operators.range_join import bucketed_range_join
+
+    spark = get_spark("props")
+    left = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)] or [(0, 0.0)],
+        "lid long, p double",
+    ).limit(len(points))
+    right = spark.createDataFrame(
+        [(100 + i, float(s), float(s + d)) for i, (s, d) in enumerate(intervals)]
+        or [(0, 0.0, 0.0)],
+        "rid long, s double, e double",
+    ).limit(len(intervals))
+    got = {
+        (r.lid, r.rid)
+        for r in bucketed_range_join(
+            left, right, "p", "s", "e", bucket_width=width
+        ).collect()
+    }
+    expect = {
+        (i, 100 + j)
+        for i, p in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= p < s + d
+    }
+    assert got == expect
