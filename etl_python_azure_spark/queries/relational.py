@@ -1692,3 +1692,32 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "o_year")
         .agg(_dsum(F.col("volume"), "revenue", "decimal(24,6)"))
     )
+
+
+# --------------------------------------------------------------------------
+# VariantType rollup (Spark 4): parse the JSON props column ONCE into
+# the binary Variant encoding, then extract typed fields — at scale
+# this replaces per-access string re-parsing (get_json_object) with
+# a single parse + cheap binary reads. Oracle reads the same JSON
+# with DuckDB's json extraction.
+# --------------------------------------------------------------------------
+@register(
+    "variant_props_rollup",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "bigint").alias("__k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("__k").alias("sum_k"), F.count("*").alias("n"))
+    )
