@@ -73,13 +73,18 @@ def language_id(
 
 
 def text_quality(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Length / word / character-class quality metrics + a keep flag.
 
     Cheap single-pass metrics of the kind used to filter web corpora
     (C4-style heuristics): word count, average word length,
     alphabetic ratio, punctuation ratio, stopword ratio.
+    *carry_cols* pass through unchanged, so a downstream filter on
+    ``keep`` needs no join back to the corpus (one scan, not two).
     """
     lower = F.lower(F.col(text_col))
     n_chars = F.length(F.col(text_col))
@@ -92,6 +97,7 @@ def text_quality(
     n_stop = F.size(F.filter(words, lambda t: F.array_contains(en_stop, t)))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         (n_nonspace / n_words).alias("avg_word_len"),
@@ -108,17 +114,21 @@ def text_quality(
 
 
 def token_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count.
 
     The regex splits runs of letters, runs of digits, and individual
     other symbols — a rough proxy for subword tokenizer output used
-    to budget training tokens.
+    to budget training tokens. *carry_cols* pass through unchanged.
     """
     lower = F.lower(F.col(text_col))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
         F.size(
             F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)

@@ -272,18 +272,29 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import exact_dedup
+    from pyspark.sql import Window
+
     from ..operators.text import text_quality, token_counts
 
     d = load_tables(spark, sf_dir, "documents")
-    kept = d.join(
-        text_quality(d).filter(F.col("keep")).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "text")
-    reps = exact_dedup(kept, "text", "doc_id").select("doc_id")
-    sampled = deterministic_sample(kept.join(reps, "doc_id"), "doc_id", 50)
-    toks = token_counts(sampled)
+    # single corpus scan: quality metrics carry (source, text) through
+    # so the keep-gate needs no join back; dedup keeps the min-id row
+    # per content fingerprint via a window (one shuffle, no
+    # groupBy+join); token counting carries `source` to the final agg.
+    kept = (
+        text_quality(d, carry_cols=["source", "text"])
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    reps = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sampled = deterministic_sample(reps, "doc_id", 50)
     return (
-        sampled.join(toks, "doc_id")
+        token_counts(sampled, carry_cols=["source"])
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -30,6 +30,8 @@ QUERIES = [
     "ann_ivf_topk",
     "grouping_sets_revenue",
     "corr_regression_qty_price",
+    "bilateral_trade_volume",
+    "corpus_curation_pipeline",
 ]
 
 
