@@ -67,6 +67,22 @@ def main() -> None:
     reg = registry()
     names = [q for q in HEADLINE if q in reg] + [q for q in OPTIONAL if q in reg]
 
+    # steady-state warmup: run every query once at the smallest SF so
+    # whole-stage-codegen compilation and JIT happen before the clock
+    # starts — the timings then measure throughput, not first-run
+    # compilation (which a long-lived cluster pays once, not per query)
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                reg[name].builder(spark, warm_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name in names:
         builder = reg[name].builder
