@@ -55,5 +55,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import text  # noqa: F401
     from . import events  # noqa: F401
     from . import corpus  # noqa: F401
+    from . import multimodal  # noqa: F401
 
     return dict(_REGISTRY)
