@@ -57,3 +57,26 @@ def test_no_cartesian_in_join_queries(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_corpus_pipeline_is_single_scan_no_joins(spark, sf_dir):
+    # quality gate + dedup + sample + token budget must stay one
+    # corpus scan (carry-through projections + window dedup) — a
+    # join-back or second scan here multiplies 100 TB of reads
+    plan = _plan(spark, sf_dir, "corpus_curation_pipeline")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2  # fingerprint window + source agg
+
+
+def test_range_join_query_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "views_before_purchase_ranged")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bilateral_trade_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bilateral_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the nation-pair predicate reaches both nation scans
+    assert "EqualTo(n_name,NATION_1)" in plan
