@@ -178,3 +178,24 @@ def interval_join_streams(
         F.col(f"r.{c}") for c in right.columns if c != on
     ]
     return out.select(*keep) if dup else out
+
+
+def deduped_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once ingest → effectively-once rows: drop re-deliveries
+    of the same *keys* arriving within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key
+    only until the watermark passes it — bounded state, unlike plain
+    ``dropDuplicates`` on a stream (which retains every key forever).
+    This is the streaming form of the reference's at-least-once
+    retry posture (T5): replays inside the horizon deduplicate; the
+    sink's CDC merge (T4) makes anything later idempotent anyway.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

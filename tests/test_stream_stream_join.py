@@ -79,3 +79,41 @@ def test_interval_join_matches_batch_band_join(spark, tmp_path):
     assert {
         (r.user_id, r.view_id, r.purchase_id) for r in batch.collect()
     } == got
+
+
+def test_deduped_stream_drops_redelivery(spark, tmp_path):
+    from etl_python_azure_spark.streaming.pipeline import deduped_stream
+
+    src, ckpt, out = (str(tmp_path / p) for p in ("dsrc", "dckpt", "dout"))
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [
+            (1, D(2024, 1, 1, 10, 0), 1.0),
+            (2, D(2024, 1, 1, 10, 5), 2.0),
+        ],
+        schema,
+    ).write.parquet(src)
+    # second batch redelivers event 1 (same key, within watermark)
+    spark.createDataFrame(
+        [(1, D(2024, 1, 1, 10, 0), 1.0), (3, D(2024, 1, 1, 10, 9), 3.0)],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    q = (
+        deduped_stream(
+            stream_parquet_dir(spark, src, schema), ["event_id"], "ts", "1 hour"
+        )
+        .writeStream.foreachBatch(
+            lambda b, _: b.write.mode("append").parquet(out)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # the redelivered event 1 appears once
