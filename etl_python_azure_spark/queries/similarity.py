@@ -247,3 +247,98 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         em, em.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
     )
+
+
+# --------------------------------------------------------------------------
+# recall@5 of the IVF path against brute force — same evaluation as
+# ann_lsh_recall, for the inverted-file variant (tune nprobe /
+# centroid count until recall is acceptable).
+# --------------------------------------------------------------------------
+_IVF_CANDIDATES = f"""
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    isims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM isims
+      ) WHERE rank <= 5
+    )
+"""
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+    WITH {_NORM_CTE},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= 5
+    ),
+    {_IVF_CANDIDATES},
+    hits AS (
+      SELECT bf.query_id, COUNT(ivf.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN ivf
+        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, n_hits, n_hits / 5.0 AS recall_at_5 FROM hits
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(em, q, k=5, num_centroids=16, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (bf.query_id == ivf.query_id)
+            & (bf.neighbor_id == ivf.ivf_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("ivf_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
+    )
