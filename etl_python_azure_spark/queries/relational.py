@@ -1240,6 +1240,11 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-deterministic across engines — so the moments are accumulated
 # as exact decimals and the float math happens once, in an identical
 # expression order in both dialects (bit-exact per IEEE 754).
+# NB the decimal→double cast goes through an exact decimal STRING:
+# engines' direct decimal→double casts disagree by 1 ulp on wide
+# decimals (observed on a decimal(38,4) sum at sf0.001 — Spark's
+# Decimal.toDouble vs DuckDB's int128 scaling), while string→double
+# parsing is correctly rounded everywhere.
 # --------------------------------------------------------------------------
 _MOMENT_EXPRS = {
     "corr_qp": "(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)"
@@ -1255,14 +1260,19 @@ _MOMENT_EXPRS = {
     WITH s AS (
       SELECT l_returnflag,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
@@ -1276,13 +1286,16 @@ def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
+    def _d(c):  # decimal → exact string → correctly-rounded double
+        return c.cast("string").cast("double")
+
     moments = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
+        _d(F.sum(x)).alias("sx"),
+        _d(F.sum(y)).alias("sy"),
+        _d(F.sum(x * y)).alias("sxy"),
+        _d(F.sum(x * x)).alias("sxx"),
+        _d(F.sum(y * y)).alias("syy"),
     )
     return moments.select(
         "l_returnflag",
