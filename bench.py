@@ -42,6 +42,7 @@ OPTIONAL = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_recall",
     "views_before_purchase_ranged",
     "text_quality_scores",
     "lang_id_guess",
@@ -51,6 +52,7 @@ OPTIONAL = [
     "vocabulary_top200",
     "sequence_packing",
     "corpus_curation_pipeline",
+    "media_decode_dimensions",
     "asof_last_view_before_purchase",
 ]
 
