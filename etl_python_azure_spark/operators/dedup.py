@@ -61,12 +61,15 @@ def exact_dedup(
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+    """Word n-gram shingles per document → (id, shingle).
 
     Pure array expressions (split → transform/slice → explode);
     documents shorter than *n* words yield no shingles.
+    ``distinct=True`` (set semantics, needed for Jaccard) costs a
+    shuffle of the whole shingle table; duplicate-insensitive
+    consumers (MinHash minima) pass ``distinct=False`` and skip it.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     shingle_arr = F.expr(
@@ -75,11 +78,10 @@ def word_shingles(
         f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    return (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
-        .distinct()
+    out = df.select(F.col(id_col), toks.alias("__toks")).select(
+        F.col(id_col), F.explode(shingle_arr).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def _jaccard_on_pairs(
@@ -194,10 +196,14 @@ def minhash_lsh_pairs(
     bucket collisions become candidate pairs (equi-join, no n²).
     Candidates are then verified with exact Jaccard ≥ *threshold*.
     """
-    # the shingle table feeds three consumers (signatures, pair
-    # intersection, set sizes) — persist so it's computed once; at
-    # 100 TB this is the relation you'd materialize/bucket anyway
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    # raw (non-distinct) shingles feed both consumers — persist so the
+    # explode happens once; at 100 TB this is the relation you'd
+    # materialize/bucket anyway. MinHash minima are duplicate-
+    # insensitive, so signatures skip the distinct entirely; the
+    # distinct (set semantics for exact Jaccard) is applied LATER,
+    # only over docs that appear in some candidate pair — the big
+    # corpus-wide distinct shuffle shrinks to the collision set.
+    sh = word_shingles(df, id_col, text_col, n, distinct=False).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     # band fingerprint = md5(min ‖ max of the band's signature slots),
     # computed column-wise from the wide signature (no extra shuffle)
@@ -222,7 +228,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_on_pairs(sh, id_col, cand).filter(
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, id_col, "left_semi").distinct()
+    return _jaccard_on_pairs(sh_cand, id_col, cand).filter(
         F.col("jaccard") >= threshold
     )
 
