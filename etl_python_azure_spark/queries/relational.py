@@ -1734,3 +1734,73 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("__k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (wide → long): per-status metric columns melted to
+# (status, metric, value) rows — Spark's unpivot/melt; the oracle
+# states the equivalent UNION ALL (engine-neutral form).
+# --------------------------------------------------------------------------
+@register(
+    "unpivot_order_metrics",
+    """
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(min(o_totalprice) AS DOUBLE) AS min_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'total_price', total_price FROM m
+    UNION ALL
+    SELECT o_orderstatus, 'min_price', min_price FROM m
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "total_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+    )
+    return m.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "min_price"],
+        "metric",
+        "value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Array-function toolbox over the embedding column: slice, sort,
+# reverse, distinct-size, containment — structural ops only (element
+# values are copied, never recomputed → exact cross-engine).
+# --------------------------------------------------------------------------
+@register(
+    "array_toolbox_embeddings",
+    """
+    SELECT vec_id,
+           embedding[1:3] AS head3,
+           list_sort(embedding[1:5]) AS sorted_head5,
+           list_reverse(embedding[1:3]) AS rev_head3,
+           len(list_distinct(embedding)) AS n_distinct_vals,
+           list_contains(embedding, embedding[1]) AS has_first
+    FROM embeddings
+    """,
+)
+def array_toolbox_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    head = lambda k: F.slice("embedding", 1, k)  # noqa: E731
+    return em.select(
+        "vec_id",
+        head(3).alias("head3"),
+        F.sort_array(head(5)).alias("sorted_head5"),
+        F.reverse(head(3)).alias("rev_head3"),
+        F.size(F.array_distinct("embedding")).alias("n_distinct_vals"),
+        F.array_contains("embedding", F.element_at("embedding", 1)).alias(
+            "has_first"
+        ),
+    )
