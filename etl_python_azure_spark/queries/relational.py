@@ -1804,3 +1804,38 @@ def array_toolbox_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_first"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional aggregation (FILTER clause): several differently-
+# filtered aggregates in ONE pass over the fact table — the pattern
+# that replaces N self-joins of filtered subsets.
+# --------------------------------------------------------------------------
+@register(
+    "filtered_aggregates",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           count(DISTINCT o_custkey)
+             FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent_custs,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE)
+             AS total_1997
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.expr("count(*) FILTER (WHERE o_totalprice > 100000)").alias("n_big"),
+        F.expr(
+            "count(DISTINCT o_custkey)"
+            " FILTER (WHERE o_orderpriority = '1-URGENT')"
+        ).alias("n_urgent_custs"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+            " FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE)"
+        ).alias("total_1997"),
+    )
