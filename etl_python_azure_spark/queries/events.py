@@ -463,3 +463,74 @@ def views_before_purchase_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper="INTERVAL 0 SECONDS",
         on=["user_id"],
     ).select("user_id", "view_id", "purchase_id")
+
+
+# --------------------------------------------------------------------------
+# Time-series similarity search: each user's 24-dim hour-of-day
+# activity profile, then exact top-3 most-similar users by cosine.
+# Profiles are integer counts (exact in double), the dot product
+# folds left-to-right — bit-identical cross-engine, like the
+# embedding queries.
+# --------------------------------------------------------------------------
+@register(
+    "similar_user_activity",
+    """
+    WITH cnt AS (
+      SELECT user_id, hour(ts) AS h, count(*) AS c
+      FROM events GROUP BY user_id, hour(ts)
+    ),
+    pairs AS (
+      SELECT user_id, list(struct_pack(h := h, c := c)) AS ps
+      FROM cnt GROUP BY user_id
+    ),
+    vec AS (
+      SELECT user_id,
+             list_transform(range(0, 24), hh ->
+               CAST(coalesce(list_sum(list_transform(ps,
+                 p -> CASE WHEN p.h = hh THEN p.c ELSE 0 END)), 0)
+               AS DOUBLE)) AS profile
+      FROM pairs
+    ),
+    n AS (
+      SELECT user_id, profile,
+             sqrt(list_reduce(list_transform(profile, x -> x * x),
+                              (acc, v) -> acc + v)) AS nrm
+      FROM vec
+    ),
+    sims AS (
+      SELECT q.user_id AS query_id, c.user_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 25),
+                 i -> q.profile[i] * c.profile[i]),
+               (acc, v) -> acc + v) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON c.user_id != q.user_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def similar_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    e = load_tables(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    prof = (
+        cnt.groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("h", "c"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "transform(sequence(0, 23),"
+                " h -> CAST(coalesce(try_element_at(m, h), 0) AS DOUBLE))"
+            ).alias("profile"),
+        )
+    )
+    return cosine_topk(prof, prof, id_col="user_id", vec_col="profile", k=3)
