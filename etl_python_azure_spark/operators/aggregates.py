@@ -1,0 +1,76 @@
+"""Partial-aggregate maintenance (incremental materialized rollups).
+
+The reference recomputes whole windows on every run (K2/K3 full
+refresh). For decomposable aggregates (sum/count/min/max — and
+anything derived from them: avg, rates) the 100 TB-appropriate form
+keeps a PARTIAL-aggregate table and folds each new micro-batch into
+it with one small merge, never touching history:
+
+    maintained = merge(stored_partials, aggregate(delta))
+
+This is the same partial/final split Spark's own hash aggregate does
+inside one query, lifted to table granularity across runs. Finalize
+ratios (avg = sum/count) only at read time — ratios don't merge.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def partial_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    sum_dec: str | None = "decimal(18,2)",
+) -> DataFrame:
+    """Per-key partials: sum_*/n plus optional min_*/max_*.
+
+    Sums accumulate as DECIMAL (*sum_dec*) by default: double sums
+    are not associative, so a float-based partial table would DRIFT
+    from the direct aggregate as merges accumulate — decimal partials
+    make ``merge(parts) == direct`` exact, forever. Pass
+    ``sum_dec=None`` only if the inputs are integers.
+    """
+    cast = (lambda c: F.col(c).cast(sum_dec)) if sum_dec else F.col
+    aggs = [F.sum(cast(c)).alias(f"sum_{c}") for c in sum_cols]
+    aggs += [F.min(c).alias(f"min_{c}") for c in min_cols or []]
+    aggs += [F.max(c).alias(f"max_{c}") for c in max_cols or []]
+    aggs.append(F.count("*").alias("n"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partial_aggregates(
+    parts: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """Fold partial-aggregate tables of identical shape into one.
+
+    Sums and counts add; mins/maxes re-min/re-max. Keys present in
+    only some parts merge correctly (union semantics). One shuffle
+    over the (small) partials — the base facts are never re-read.
+    """
+    combined = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=False), parts
+    )
+    value_cols = [c for c in combined.columns if c not in keys]
+    aggs = []
+    for c in value_cols:
+        if c.startswith(("sum_", "n")):
+            aggs.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(f"non-mergeable column in partials: {c}")
+    return combined.groupBy(*keys).agg(*aggs)
+
+
+def finalize_avg(df: DataFrame, sum_col: str, out_col: str) -> DataFrame:
+    """Read-time ratio: avg over whatever the partials now cover."""
+    return df.withColumn(out_col, F.col(sum_col) / F.col("n"))

@@ -1,0 +1,79 @@
+"""Algebra of partial-aggregate maintenance: merge(parts) == direct."""
+
+from __future__ import annotations
+
+from etl_python_azure_spark.operators.aggregates import (
+    finalize_avg,
+    merge_partial_aggregates,
+    partial_aggregate,
+)
+from etl_python_azure_spark.session import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _snapshot(df):
+    return {
+        tuple(r[k] for k in ("o_orderstatus",)): (
+            r["sum_o_totalprice"],
+            r["min_o_totalprice"],
+            r["max_o_totalprice"],
+            r["n"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_merge_of_splits_equals_direct(spark):
+    o = load_tables(spark, SF, "orders")
+    keys, sums = ["o_orderstatus"], ["o_totalprice"]
+    direct = partial_aggregate(
+        o, keys, sums, min_cols=sums, max_cols=sums
+    )
+    # split on an arbitrary predicate; thirds have disjoint rows
+    parts = [
+        partial_aggregate(
+            o.filter(f"o_orderkey % 3 = {i}"),
+            keys,
+            sums,
+            min_cols=sums,
+            max_cols=sums,
+        )
+        for i in range(3)
+    ]
+    merged = merge_partial_aggregates(parts, keys)
+    assert _snapshot(merged) == _snapshot(direct)
+
+
+def test_merge_handles_keys_missing_from_some_parts(spark):
+    o = load_tables(spark, SF, "orders")
+    keys, sums = ["o_orderstatus"], ["o_totalprice"]
+    # part A covers one status only; part B the rest
+    a = partial_aggregate(
+        o.filter("o_orderstatus = 'F'"), keys, sums, min_cols=sums, max_cols=sums
+    )
+    b = partial_aggregate(
+        o.filter("o_orderstatus <> 'F'"), keys, sums, min_cols=sums, max_cols=sums
+    )
+    merged = merge_partial_aggregates([a, b], keys)
+    direct = partial_aggregate(o, keys, sums, min_cols=sums, max_cols=sums)
+    assert _snapshot(merged) == _snapshot(direct)
+
+
+def test_finalize_avg_matches_builtin(spark):
+    o = load_tables(spark, SF, "orders")
+    p = partial_aggregate(o, ["o_orderstatus"], ["o_totalprice"])
+    fin = {
+        r.o_orderstatus: r.avg_price
+        for r in finalize_avg(p, "sum_o_totalprice", "avg_price").collect()
+    }
+    direct = {
+        r.o_orderstatus: r.a
+        for r in o.groupBy("o_orderstatus")
+        .agg({"o_totalprice": "avg"})
+        .withColumnRenamed("avg(o_totalprice)", "a")
+        .collect()
+    }
+    for k, v in direct.items():
+        # decimal-exact sum / exact count vs double-accumulated avg
+        assert abs(float(fin[k]) - v) < 1e-6
