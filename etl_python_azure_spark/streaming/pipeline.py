@@ -199,3 +199,49 @@ def deduped_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def maintained_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    target_path: str,
+    checkpoint: str,
+) -> DataStreamWriter:
+    """Incrementally-maintained rollup: each micro-batch is reduced
+    to per-key DECIMAL partials and folded into the stored partial
+    table (``merge_partial_aggregates``) — history is never re-read,
+    and the decimal algebra keeps the maintained table EXACTLY equal
+    to a from-scratch aggregate, with no float drift across
+    arbitrarily many batches. Same snapshot-swap sink as
+    :func:`micro_batch_upsert`.
+    """
+    import os
+    import shutil
+
+    from ..operators.aggregates import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+    from ..sinks.files import full_refresh
+
+    def fold(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        parts = [partial_aggregate(batch, keys, sum_cols)]
+        if os.path.exists(target_path):
+            parts.append(spark.read.parquet(target_path))
+            merged = merge_partial_aggregates(parts, keys)
+            tmp = f"{target_path}._new"
+            full_refresh(merged, tmp)
+            old = f"{target_path}._old"
+            os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            shutil.rmtree(old)
+        else:
+            full_refresh(parts[0], target_path)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )

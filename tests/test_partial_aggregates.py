@@ -77,3 +77,53 @@ def test_finalize_avg_matches_builtin(spark):
     for k, v in direct.items():
         # decimal-exact sum / exact count vs double-accumulated avg
         assert abs(float(fin[k]) - v) < 1e-6
+
+
+def test_streamed_rollup_equals_direct(spark, tmp_path):
+    from etl_python_azure_spark.streaming.pipeline import (
+        maintained_rollup,
+        stream_parquet_dir,
+    )
+
+    src, ckpt, tgt = (
+        str(tmp_path / p) for p in ("src", "ckpt", "rollup")
+    )
+    schema = "user_id long, ts timestamp, value double"
+    e = load_tables(spark, SF, "events").select("user_id", "ts", "value")
+    # two arrivals: first 60%, then the rest
+    e.filter("user_id % 5 < 3").write.parquet(src)
+    q = maintained_rollup(
+        stream_parquet_dir(spark, src, schema),
+        keys=["user_id"],
+        sum_cols=["value"],
+        target_path=tgt,
+        checkpoint=ckpt,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    e.filter("user_id % 5 >= 3").write.mode("append").parquet(src)
+    q = maintained_rollup(
+        stream_parquet_dir(spark, src, schema),
+        keys=["user_id"],
+        sum_cols=["value"],
+        target_path=tgt,
+        checkpoint=ckpt,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from etl_python_azure_spark.operators.aggregates import partial_aggregate
+
+    direct = {
+        r.user_id: (r.sum_value, r.n)
+        for r in partial_aggregate(e, ["user_id"], ["value"]).collect()
+    }
+    maintained = {
+        r.user_id: (r.sum_value, r.n)
+        for r in spark.read.parquet(tgt).collect()
+    }
+    assert maintained == direct  # decimal partials → exact, no drift
