@@ -1,5 +1,10 @@
 """Relational + extension operators (SURVEY §2.3–2.8 and north-star ops)."""
 
+from .aggregates import (  # noqa: F401
+    finalize_avg,
+    merge_partial_aggregates,
+    partial_aggregate,
+)
 from .arrays import array_head, positional_unnest  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
@@ -11,8 +16,10 @@ from .dedup import (  # noqa: F401
     simhash_pairs,
 )
 from .joins import anti_join, cdc_split, left_join, merge_upsert, semi_join  # noqa: F401
+from .layout import normalize_to_bits, write_zordered, zorder_key  # noqa: F401
+from .range_join import band_join, bucketed_range_join  # noqa: F401
 from .sessionize import sessionize, tumbling_window  # noqa: F401
-from .similarity import cosine_topk, lsh_buckets, lsh_topk  # noqa: F401
+from .similarity import cosine_topk, ivf_topk, lsh_buckets, lsh_topk  # noqa: F401
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprints,
