@@ -1839,3 +1839,39 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FILTER (WHERE year(o_orderdate) = 1997) AS DOUBLE)"
         ).alias("total_1997"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted aggregation under the exactness gate: identical result
+# to a plain groupBy (the salt is internal), via explicit two-phase
+# (key, salt) → key aggregation. Decimal partials make the result
+# independent of how rows spread over salts — the same property that
+# makes the plain query engine-exact makes the salted one salt-exact.
+# --------------------------------------------------------------------------
+@register(
+    "salted_quantity_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    li = load_tables(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__s"),
+            F.count("*").alias("__n"),
+        ],
+        final_aggs=[
+            F.sum("__s").cast("double").alias("sum_qty"),
+            F.sum("__n").alias("n"),
+        ],
+        buckets=8,
+    )
+    return out.select("l_returnflag", "sum_qty", "n")
