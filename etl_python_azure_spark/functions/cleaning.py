@@ -57,3 +57,28 @@ def drop_all_null_columns(df: DataFrame) -> DataFrame:
     ).first()
     keep = [c for c in df.columns if counts[c] > 0]
     return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def profile_columns(df, cols):
+    """Per-column profile — (column, n_rows, n_null, n_distinct) —
+    computed in ONE aggregate pass over the data (no per-column
+    jobs), then reshaped long with ``stack``. The standard
+    data-quality sweep you run before trusting a new 100 TB source;
+    all counters, so it's engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, __null_{c}, __dist_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args})"
+        " AS (column_name, n_rows, n_null, n_distinct)"
+    )

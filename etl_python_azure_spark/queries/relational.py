@@ -1875,3 +1875,33 @@ def salted_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=8,
     )
     return out.select("l_returnflag", "sum_qty", "n")
+
+
+# --------------------------------------------------------------------------
+# Data profiling: per-column null/distinct counters for a new source,
+# one aggregate pass, long-format output.
+# --------------------------------------------------------------------------
+@register(
+    "profile_orders_columns",
+    """
+    SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import profile_columns
+
+    o = load_tables(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
