@@ -85,6 +85,9 @@ def main() -> None:
             except Exception:
                 pass
 
+    # warmup may have persisted intermediates (minhash shingles etc.)
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in names:
         builder = reg[name].builder
@@ -94,6 +97,9 @@ def main() -> None:
         # force full execution incl. result materialization
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # drop persisted intermediates so queries don't interfere
+        # (each is timed cold-cache, like a fresh job submission)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
