@@ -31,19 +31,32 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """Backward as-of left join.
+    """As-of left join (backward or forward, optional tolerance).
+
+    ``backward``: greatest right ts ≤ left ts; ``forward``: smallest
+    right ts ≥ left ts (equal ts matches in both). *tolerance* (a SQL
+    interval string for timestamps, or a numeric span) additionally
+    requires ``|right_ts − left_ts| <= tolerance`` — stale matches
+    become NULL, like pandas ``merge_asof(tolerance=…)``.
 
     Output: all *left* columns + each non-key right column as
-    ``{right_prefix}{col}`` (NULL when no right row precedes).
+    ``{right_prefix}{col}`` (NULL when nothing matches).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
 
     r = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("__rv"),
+        F.struct(
+            F.col(right_ts).alias("__matched_ts"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("__rv"),
         F.lit(1).alias("__is_r"),
     )
     l = left.select(
@@ -54,16 +67,26 @@ def asof_join(
     )
     combined = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts → "t >= rt" ties match
+    # backward: scan ascending, carry the last preceding right row;
+    # forward: scan descending, carry the last following right row.
+    # Right rows sort before left at equal __t → equal-ts ties match.
+    order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc("__t"), F.desc("__is_r"))
+        .orderBy(order, F.desc("__is_r"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = combined.withColumn(
         "__carry", F.last("__rv", ignorenulls=True).over(w)
     )
     out = carried.filter(F.col("__is_r") == 0)
+    if tolerance is not None:
+        tol = F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        mt = F.col("__carry").getField("__matched_ts")
+        gap = (F.col("__t") - mt) if direction == "backward" else (mt - F.col("__t"))
+        out = out.withColumn(
+            "__carry", F.when(gap <= tol, F.col("__carry"))
+        )
     for c in payload_cols:
         out = out.withColumn(right_prefix + c, F.col("__carry").getField(c))
     return out.drop("__t", "__rv", "__is_r", "__carry")

@@ -62,3 +62,54 @@ def test_sliding_window_bounds(spark):
     lo, hi = sliding_window_bounds(25, 2, anchor=F.col("d"))
     row = df.select(lo.alias("lo"), hi.alias("hi")).first()
     assert str(row.lo) == "2024-01-16" and str(row.hi) == "2024-02-12"
+
+
+def test_asof_forward_direction(spark):
+    import datetime
+
+    D = datetime.datetime
+    trades = spark.createDataFrame(
+        [("A", 1, D(2024, 1, 1, 10, 0)), ("A", 2, D(2024, 1, 1, 11, 0))],
+        "sym string, tid long, tts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 100.0, D(2024, 1, 1, 10, 30)), ("A", 101.0, D(2024, 1, 1, 12, 0))],
+        "sym string, px double, qts timestamp",
+    )
+    from etl_python_azure_spark.operators.asof import asof_join
+
+    out = {
+        r.tid: r.asof_px
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            direction="forward",
+        ).collect()
+    }
+    # next quote at-or-after each trade
+    assert out == {1: 100.0, 2: 101.0}
+
+
+def test_asof_tolerance_nullifies_stale_match(spark):
+    import datetime
+
+    D = datetime.datetime
+    trades = spark.createDataFrame(
+        [("A", 1, D(2024, 1, 1, 10, 0)), ("A", 2, D(2024, 1, 1, 18, 0))],
+        "sym string, tid long, tts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 100.0, D(2024, 1, 1, 9, 50))],
+        "sym string, px double, qts timestamp",
+    )
+    from etl_python_azure_spark.operators.asof import asof_join
+
+    out = {
+        r.tid: r.asof_px
+        for r in asof_join(
+            trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+            tolerance="INTERVAL 30 MINUTES",
+        ).collect()
+    }
+    # trade 1 is 10 min after the quote (inside tolerance);
+    # trade 2 is 8h10m after (stale → NULL)
+    assert out == {1: 100.0, 2: None}
