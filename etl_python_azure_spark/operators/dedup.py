@@ -472,3 +472,43 @@ def embedding_lsh_dup_pairs(
     return verified.select("id_a", "id_b", cos).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy matching (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 3,
+) -> DataFrame:
+    """Candidate duplicate pairs by edit distance WITHIN blocks.
+
+    Classic entity-resolution shape: an equi-join on cheap blocking
+    keys replaces the quadratic all-pairs comparison; the expensive
+    O(len²) Levenshtein runs only inside each block. At 100 TB the
+    block join shuffles on the blocking key (salt a hot block if one
+    dominates); pair volume is Σ|block|², so pick keys that keep
+    blocks small. Output: (id_a, id_b, dist), dist ≤ *max_dist*.
+    """
+    a = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.lower(F.col(text_col)).alias("__ta"),
+    )
+    b = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.lower(F.col(text_col)).alias("__tb"),
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

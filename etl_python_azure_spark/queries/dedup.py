@@ -325,3 +325,28 @@ def embedding_lsh_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_dup_pairs(
         em, "vec_id", "embedding", threshold=0.46, num_planes=2, num_tables=3
     )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy matching — entity resolution over parts: block on
+# (brand, size), verify with Levenshtein ≤ 8. Edit distance is an
+# integer DP — exact in every engine.
+# --------------------------------------------------------------------------
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(lower(a.p_name), lower(b.p_name)) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(lower(a.p_name), lower(b.p_name)) <= 8
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import blocked_fuzzy_pairs
+
+    p = load_tables(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        p, "p_partkey", "p_name", ["p_brand", "p_size"], max_dist=8
+    )
