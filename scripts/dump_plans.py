@@ -32,6 +32,8 @@ QUERIES = [
     "corr_regression_qty_price",
     "bilateral_trade_volume",
     "corpus_curation_pipeline",
+    "fuzzy_part_name_pairs",
+    "salted_quantity_by_flag",
 ]
 
 
