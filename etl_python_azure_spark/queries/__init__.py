@@ -48,13 +48,19 @@ def register(name: str, oracle: str | None):
 
 
 def registry() -> dict[str, QuerySpec]:
-    # import side-effect populates _REGISTRY
-    from . import relational  # noqa: F401
+    # Import side-effect populates _REGISTRY; registration order is
+    # load-bearing: the correctness driver records the FIRST 50
+    # entries, so the LLM-pipeline modules (dedup / similarity / text
+    # / events / corpus / multimodal / streaming-derived) register
+    # before the relational suite, whose queries were all
+    # driver-verified green in round 1 (CORRECTNESS_r01.json).
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
-    from . import events  # noqa: F401
-    from . import corpus  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import corpus  # noqa: F401
+    from . import events  # noqa: F401
+    from . import streaming_equiv  # noqa: F401
+    from . import relational  # noqa: F401
 
     return dict(_REGISTRY)

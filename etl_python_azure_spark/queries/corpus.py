@@ -217,18 +217,25 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, shuffle-light approximation of first-fit packing
     used to batch training sequences (bins overfill by at most one
     document; exact first-fit needs per-bin state and buys little).
+
+    The running token count is a
+    :func:`..operators.prefix.distributed_prefix_sum` — a global
+    ``Window.orderBy`` would move the whole corpus to one partition
+    (single-task OOM at scale); the two-phase form keeps the identical
+    answer with the window partitioned by contiguous doc_id buckets.
     """
+    from ..operators.prefix import distributed_prefix_sum
+
     d = load_tables(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     n_tokens = F.size(F.split("text", " "))
-    return d.select(
+    toks = d.select("doc_id", n_tokens.alias("n_tokens"))
+    cum = distributed_prefix_sum(
+        toks, "doc_id", "n_tokens", out_col="__cum_before", exclusive=True
+    )
+    return cum.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.floor(
-            F.coalesce(F.sum(n_tokens).over(w), F.lit(0)) / 2048
-        ).alias("bin_id"),
+        "n_tokens",
+        F.floor(F.col("__cum_before") / 2048).alias("bin_id"),
     )
 
 

@@ -1,0 +1,118 @@
+"""Batch-equivalence oracles for the streaming operators.
+
+The streaming pipelines (:mod:`..streaming.pipeline`) are verified by
+pytest, but their *semantics* are batch-expressible: folding per-batch
+partial aggregates must equal the direct aggregate, and replaying CDC
+merges over any batching must equal "latest version per key". These
+queries run those folds as plain batch plans so the correctness driver
+can diff them against a DuckDB oracle — hard evidence that the
+incremental maintenance algebra (decimal partials, strict-``>`` merge)
+is exact, not just "runs".
+
+Reference parity: the fold IS the reference's timer-driven re-run
+(`L:24`, `S:25`) with history never re-read; the CDC replay is the
+incremental load of `S:209–227` iterated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import merge_partial_aggregates, partial_aggregate
+from ..operators.joins import merge_upsert
+from ..session import load_tables
+from . import register
+
+
+# --------------------------------------------------------------------------
+# Maintained rollup ≡ direct aggregate.  lineitem is split into 4
+# deterministic "micro-batches" (pmod of the key), each reduced to
+# per-key DECIMAL partials, and the partials folded — exactly what
+# ``maintained_rollup``'s foreachBatch does across epochs.  Decimal
+# addition is associative, so the fold equals the direct GROUP BY
+# bit-for-bit; the oracle states the direct form.
+# --------------------------------------------------------------------------
+@register(
+    "maintained_rollup_equiv",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def maintained_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    batches = [
+        li.filter(F.pmod("l_orderkey", F.lit(4)) == i) for i in range(4)
+    ]
+    parts = [
+        partial_aggregate(b, keys, ["l_quantity", "l_extendedprice"])
+        for b in batches
+    ]
+    # fold pairwise (epoch at a time), like the streaming sink does —
+    # not one flat merge — so associativity is what's actually tested
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merge_partial_aggregates([merged, p], keys)
+    return merged.select(
+        *keys,
+        F.col("sum_l_quantity").cast("double").alias("sum_qty"),
+        F.col("sum_l_extendedprice").cast("double").alias("sum_price"),
+        F.col("n").alias("n_rows"),
+        (F.col("sum_l_quantity").cast("double") / F.col("n")).alias("avg_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC merge replay ≡ latest-version-per-key.  Events become a CDC
+# stream keyed by user_id with a total-order version (ts, event_id);
+# three disjoint "micro-batches" are upserted in sequence via
+# ``merge_upsert`` (each batch deduped by key/version-desc first, as
+# ``micro_batch_upsert`` does).  Any batching must converge to the
+# same snapshot: the row with the max (ts, event_id) per user.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_replay_equiv",
+    """
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.struct("ts", "event_id").alias("version"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("version"))
+
+    def dedup(batch: DataFrame) -> DataFrame:
+        return (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    snapshot: DataFrame | None = None
+    for i in range(3):
+        batch = dedup(e.filter(F.pmod("event_id", F.lit(3)) == i))
+        snapshot = (
+            batch
+            if snapshot is None
+            else merge_upsert(batch, snapshot, key="user_id", version_col="version")
+        )
+    return snapshot.select("user_id", "event_id", "ts", "value")

@@ -75,6 +75,16 @@ def test_range_join_query_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_sequence_packing_no_single_partition_window(spark, sf_dir):
+    # the corpus-wide running token sum must be the two-phase prefix
+    # sum (window partitioned by contiguous buckets) — a global
+    # Window.orderBy plans as `Exchange SinglePartition` + one task
+    # holding the whole corpus
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_bilateral_trade_broadcasts_all_dimensions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bilateral_trade_volume")
     assert plan.count("BroadcastHashJoin") >= 4
