@@ -293,10 +293,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: Hamming(simhash) ≤ *max_hamming*.
 
-    Self-join here is the small-scale form; at scale, block on
-    fingerprint chunks (pigeonhole: k-bit fingerprint split into
-    max_hamming+1 chunks — any pair within distance shares a chunk)
-    and equi-join on chunks.
+    All-pairs cross join — the LABELED small-scale verifier for
+    :func:`simhash_chunk_pairs` (the pigeonhole-blocked form that
+    scales); keep this one for ground truth on samples only.
     """
     fp = simhash(df, id_col, text_col, bits)
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
@@ -312,6 +311,66 @@ def simhash_pairs(
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_chunk_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ *max_hamming*, via
+    pigeonhole chunk blocking — the 100 TB form of
+    :func:`simhash_pairs`.
+
+    Split the *bits*-bit fingerprint into ``max_hamming + 1``
+    contiguous chunks: two fingerprints within Hamming distance
+    *max_hamming* differ in at most *max_hamming* chunks, so they
+    AGREE exactly on at least one chunk (pigeonhole). Candidates are
+    therefore an EQUI-join on (chunk_idx, chunk_value) — corpus-sized
+    shuffle instead of an n² cross join — and only collisions pay the
+    exact Hamming check. Same output as the brute form (pairs sharing
+    several chunks are deduplicated).
+    """
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil
+    fp = simhash(df, id_col, text_col, bits)
+    chunks = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << min(width, bits - i * width)) - 1))
+            .alias("chunk_val"),
+        )
+        for i in range(n_chunks)
+    ]
+    exploded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*chunks)).alias("c"),
+    ).select(
+        id_col, "simhash", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv"
+    )
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -390,10 +449,17 @@ def dedup_clusters(
     the min of its own label and its neighbors' labels; converges in
     O(component diameter) rounds (near-dup components are shallow —
     a handful of rounds in practice, bounded by *max_iter*). Each
-    round is one join + aggregate; intermediate results are
-    persisted and the loop stops early when no label changes. This
-    is the standard large-graph CC recipe (GraphFrames does the
-    same under the hood) without leaving DataFrames.
+    round is one join + aggregate. This is the standard large-graph
+    CC recipe (GraphFrames does the same under the hood) without
+    leaving DataFrames.
+
+    Deep-component hardening: every round carries a per-row change
+    flag, so convergence is read off the SAME job that materializes
+    the labels (no second count() pass over the data), and each
+    round's labels are ``localCheckpoint``-ed — the plan is cut to
+    the materialized blocks, so lineage (and task-retry cost) stays
+    O(1) per round instead of growing by one join per iteration,
+    which matters when a chain-shaped component forces many rounds.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
@@ -403,7 +469,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -411,26 +477,28 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
             )
-            .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # one job: truncate lineage AND materialize this round's labels
+        stepped = stepped.localCheckpoint(eager=True)
+        # the convergence probe aggregates the tiny checkpointed frame
+        changed = stepped.agg(
+            F.sum(F.col("__changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if not changed:
             break
+    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_rep"))
 
 

@@ -229,8 +229,12 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pigeonhole-blocked form (equi-join on fingerprint chunks) — the
+    # brute crossJoin variant stays in the library as the verifier
+    from ..operators.dedup import simhash_chunk_pairs
+
     d = load_tables(spark, sf_dir, "documents")
-    out = simhash_pairs(d, "doc_id", "text", bits=32, max_hamming=1)
+    out = simhash_chunk_pairs(d, "doc_id", "text", bits=32, max_hamming=1)
     return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 

@@ -75,6 +75,15 @@ def test_range_join_query_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_near_pairs_is_equi_join(spark, sf_dir):
+    # pigeonhole chunk blocking must plan as a hash equi-join on
+    # (chunk_idx, chunk_val) — never an all-pairs cartesian/BNLJ
+    plan = _plan(spark, sf_dir, "simhash_near_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
 def test_sequence_packing_no_single_partition_window(spark, sf_dir):
     # the corpus-wide running token sum must be the two-phase prefix
     # sum (window partitioned by contiguous buckets) — a global
