@@ -18,7 +18,7 @@ def sessionize(
     ts_col: str = "ts",
     key_cols: list[str] | None = None,
     gap: str = "30 minutes",
-    aggs: list[Column] | None = None,
+    aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Group events into gap-based sessions per key.
 
@@ -27,31 +27,26 @@ def sessionize(
     ``session_end = last_ts + gap`` (end-exclusive — an event at
     exactly ``last_ts + gap`` starts a new session).
 
+    *aggs* maps OUTPUT NAME → aggregate expression (explicit names,
+    not parsed from the expression — alias introspection relies on a
+    private JVM API that breaks under Spark Connect).
+
     Batch plan: one shuffle on the keys, then window merge — Catalyst
     compiles session_window to a sort-based merge within partitions,
     so it scales linearly with events per key (no per-key collect).
     """
     keys = key_cols or []
-    aggs = aggs or [F.count("*").alias("n_events")]
+    aggs = aggs or {"n_events": F.count("*")}
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *keys)
-        .agg(*aggs)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
         .select(
             *keys,
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
-            *[F.col(c) for c in _agg_names(aggs)],
+            *[F.col(n) for n in aggs],
         )
     )
-
-
-def _agg_names(aggs: list[Column]) -> list[str]:
-    # Column alias introspection: last part of the expression name
-    names = []
-    for c in aggs:
-        s = c._jc.toString()
-        names.append(s.split(" AS ")[-1].strip("`"))
-    return names
 
 
 def tumbling_window(
@@ -59,17 +54,18 @@ def tumbling_window(
     ts_col: str = "ts",
     key_cols: list[str] | None = None,
     width: str = "1 hour",
-    aggs: list[Column] | None = None,
+    aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """Fixed (tumbling) event-time windows; same API batch or stream."""
+    """Fixed (tumbling) event-time windows; same API batch or stream.
+    *aggs* maps output name → aggregate expression."""
     keys = key_cols or []
-    aggs = aggs or [F.count("*").alias("n_events")]
+    aggs = aggs or {"n_events": F.count("*")}
     return (
         df.groupBy(F.window(F.col(ts_col), width).alias("w"), *keys)
-        .agg(*aggs)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
         .select(
             *keys,
             F.col("w.start").alias("window_start"),
-            *[F.col(c) for c in _agg_names(aggs)],
+            *[F.col(n) for n in aggs],
         )
     )

@@ -44,7 +44,19 @@ def salted_join(
     *other* is replicated *buckets*× (explode over the salt range) —
     use only when |other| ≪ |skewed| (the usual skew shape: huge
     fact, modest dim that still exceeds the broadcast threshold).
+
+    Only join types where *other* rows never surface unmatched are
+    allowed (inner/left/semi/anti): with ``right``/``full``, each
+    unmatched *other* row would be emitted once per salt replica —
+    silently wrong — so those raise.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "semi",
+                          "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicated "
+            "right-side rows would duplicate in right/full joins"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_fact = _with_salt(skewed, buckets)
     replicated = other.withColumn(

@@ -86,12 +86,12 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         ["event_type"],
         width="1 hour",
-        aggs=[
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
-        ],
+        aggs={
+            "n_events": F.count("*"),
+            "total_value": F.sum(
+                F.col("value").cast("decimal(18,6)")
+            ).cast("double"),
+        },
     )
 
 

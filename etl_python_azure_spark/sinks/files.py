@@ -81,6 +81,60 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def snapshot_write(df: DataFrame, root: str, version: int) -> str:
+    """Versioned snapshot with an atomic manifest repoint.
+
+    Writes *df* to ``{root}/v{version}`` (an immutable dir), then
+    atomically replaces ``{root}/_current.json`` pointing at it. No
+    rename-then-delete of the live path: concurrent readers that
+    resolved the previous manifest keep a complete directory, a crash
+    between steps leaves the old snapshot live, and the pattern maps
+    onto object stores (immutable data prefix + single-object
+    manifest PUT) where directory renames don't exist.
+
+    Returns the version path.
+    """
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"v{version}")
+    df.write.mode("overwrite").parquet(path)
+    tmp = os.path.join(root, "_current.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "path": path, "ts": time.time()}, f)
+    os.replace(tmp, os.path.join(root, "_current.json"))
+    return path
+
+
+def snapshot_info(root: str) -> dict | None:
+    """Manifest of the current snapshot under *root*, or None."""
+    mpath = os.path.join(root, "_current.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def read_snapshot(spark, root: str) -> DataFrame | None:
+    """The current snapshot as a DataFrame (manifest-resolved)."""
+    info = snapshot_info(root)
+    return spark.read.parquet(info["path"]) if info else None
+
+
+def prune_snapshots(root: str, keep: int = 2) -> None:
+    """Delete version dirs older than the newest *keep* (the current
+    one plus grace copies for readers mid-resolve)."""
+    info = snapshot_info(root)
+    if info is None:
+        return
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    for v in versions[:-keep] if len(versions) > keep else []:
+        if v != info["version"]:
+            shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+
+
 def multi_table_load(tables: dict[str, DataFrame], root: str) -> str:
     """K4: load several tables "together" with per-table atomicity.
 

@@ -132,3 +132,77 @@ def jdbc_upsert(
 
     target = df.repartition(num_partitions) if num_partitions else df
     target.foreachPartition(write_partition)
+
+
+def jdbc_ranged_refresh(
+    df: DataFrame,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    connection_factory: Callable[[], object],
+    batch_size: int = 5000,
+    num_partitions: int | None = None,
+) -> None:
+    """K3 on a DBAPI target: ranged delete + partition-parallel
+    batched append — the reference's sliding-window reload
+    (``DELETE … WHERE Fecha BETWEEN lo AND hi`` then append,
+    `L:217–219`), restated with executor-side inserts.
+
+    Steps:
+
+    1. one driver-side ``DELETE FROM table WHERE col BETWEEN ? AND ?``
+       (committed before any insert — the window is empty even if the
+       job then fails, so a re-run never double-loads);
+    2. *df* filtered to ``[lo, hi]`` (rows outside the refresh window
+       are dropped — inserting them would duplicate on the next
+       re-run, the exact idempotence bug the reference avoids by
+       recomputing only the window) and appended via
+       ``foreachPartition`` + ``executemany`` batches, one DBAPI
+       connection per partition.
+
+    Idempotent per window: running twice with the same *df* leaves
+    the same table state. Like the reference, delete and append are
+    separate transactions — readers between them see an empty window
+    (same weakening as `L:217–229`; a transactional target would use
+    ``jdbc_upsert``/MERGE instead).
+    """
+    from pyspark.sql import functions as F
+
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"DELETE FROM {table} WHERE {col} >= ? AND {col} <= ?", (lo, hi)
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+    windowed = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+    cols = list(windowed.columns)
+    sql = (
+        f"INSERT INTO {table} (" + ", ".join(cols) + ") VALUES ("
+        + ", ".join("?" for _ in cols) + ")"
+    )
+
+    def insert_partition(rows: Iterator) -> None:
+        c = connection_factory()
+        try:
+            cur = c.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            c.commit()
+        finally:
+            c.close()
+
+    target = (
+        windowed.repartition(num_partitions) if num_partitions else windowed
+    )
+    target.foreachPartition(insert_partition)

@@ -89,6 +89,56 @@ def sessionized_stream(
     )
 
 
+def _upsert_epoch(
+    batch: DataFrame,
+    target_path: str,
+    key: str,
+    version_col: str,
+    epoch_id: int,
+) -> None:
+    """One micro-batch of :func:`micro_batch_upsert` (module-level so
+    replay semantics are directly testable).
+
+    - EVERY batch is deduped to one row per key (max *version_col*)
+      before the merge — two CDC events for one key inside a single
+      micro-batch must collapse, or the keyed snapshot grows
+      duplicate keys.
+    - foreachBatch is at-least-once: a replayed epoch (``epoch_id <=``
+      the manifest's last-applied version) is skipped, so the merge
+      never double-applies.
+    - the snapshot is a versioned dir + atomic manifest repoint
+      (:func:`..sinks.files.snapshot_write`) — no rename window where
+      readers see a missing table. NB the checkpoint and the target
+      root are a unit: a fresh checkpoint restarts epoch numbering,
+      so it needs a fresh target root.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.joins import merge_upsert
+    from ..sinks.files import (
+        prune_snapshots,
+        snapshot_info,
+        snapshot_write,
+    )
+
+    info = snapshot_info(target_path)
+    if info is not None and epoch_id <= info["version"]:
+        return  # at-least-once replay of an already-applied epoch
+    w = Window.partitionBy(key).orderBy(F.desc(version_col))
+    deduped = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if info is None:
+        out = deduped
+    else:
+        existing = batch.sparkSession.read.parquet(info["path"])
+        out = merge_upsert(deduped, existing, key, version_col)
+    snapshot_write(out, target_path, epoch_id)
+    prune_snapshots(target_path)
+
+
 def micro_batch_upsert(
     stream: DataFrame,
     target_path: str,
@@ -96,40 +146,15 @@ def micro_batch_upsert(
     version_col: str,
     checkpoint: str,
 ) -> DataStreamWriter:
-    """T4 as a stream: each micro-batch MERGEs into a parquet
-    snapshot via ``foreachBatch`` (new snapshot dir + swap, since
-    plain parquet can't be read and overwritten in place — with a
-    Delta/Iceberg sink this becomes ``MERGE INTO`` directly).
+    """T4 as a stream: each micro-batch MERGEs into a versioned
+    parquet snapshot via ``foreachBatch`` (with a Delta/Iceberg sink
+    this becomes ``MERGE INTO`` directly). Per-epoch dedup + replay
+    guard + atomic manifest swap: see :func:`_upsert_epoch`. Read the
+    result with :func:`..sinks.files.read_snapshot`.
     """
-    from ..operators.joins import merge_upsert
-    from ..sinks.files import full_refresh
 
     def do_merge(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        import os
-
-        if os.path.exists(target_path):
-            existing = spark.read.parquet(target_path)
-            merged = merge_upsert(batch, existing, key, version_col)
-            tmp = f"{target_path}._new"
-            full_refresh(merged, tmp)
-            old = f"{target_path}._old"
-            os.rename(target_path, old)
-            os.rename(tmp, target_path)
-            import shutil
-
-            shutil.rmtree(old)
-        else:
-            # dedupe within the first batch by (key, version desc)
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(key).orderBy(F.desc(version_col))
-            first = (
-                batch.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            full_refresh(first, target_path)
+        _upsert_epoch(batch, target_path, key, version_col, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(do_merge)
@@ -213,35 +238,55 @@ def maintained_rollup(
     table (``merge_partial_aggregates``) — history is never re-read,
     and the decimal algebra keeps the maintained table EXACTLY equal
     to a from-scratch aggregate, with no float drift across
-    arbitrarily many batches. Same snapshot-swap sink as
-    :func:`micro_batch_upsert`.
-    """
-    import os
-    import shutil
+    arbitrarily many batches.
 
-    from ..operators.aggregates import (
-        merge_partial_aggregates,
-        partial_aggregate,
-    )
-    from ..sinks.files import full_refresh
+    The fold is pure ADDITION, so at-least-once foreachBatch replay
+    would double-count a batch: each epoch's result is written as a
+    versioned snapshot whose manifest records the epoch
+    (:func:`..sinks.files.snapshot_write`), and a replayed
+    ``epoch_id <=`` the manifest version is skipped
+    (:func:`_fold_epoch`) — that is what makes the "EXACTLY equal"
+    claim hold across failures, not just clean runs. Read the result
+    with :func:`..sinks.files.read_snapshot`. The checkpoint and the
+    target root are a unit: a fresh checkpoint restarts epoch
+    numbering, so it needs a fresh target root.
+    """
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        parts = [partial_aggregate(batch, keys, sum_cols)]
-        if os.path.exists(target_path):
-            parts.append(spark.read.parquet(target_path))
-            merged = merge_partial_aggregates(parts, keys)
-            tmp = f"{target_path}._new"
-            full_refresh(merged, tmp)
-            old = f"{target_path}._old"
-            os.rename(target_path, old)
-            os.rename(tmp, target_path)
-            shutil.rmtree(old)
-        else:
-            full_refresh(parts[0], target_path)
+        _fold_epoch(batch, target_path, keys, sum_cols, epoch_id)
 
     return (
         stream.writeStream.foreachBatch(fold)
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
     )
+
+
+def _fold_epoch(
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    epoch_id: int,
+) -> None:
+    """One micro-batch of :func:`maintained_rollup` (module-level so
+    replay idempotence is directly testable): skip already-applied
+    epochs, else fold the batch's partials into the stored snapshot
+    and repoint the manifest."""
+    from ..operators.aggregates import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+    from ..sinks.files import prune_snapshots, snapshot_info, snapshot_write
+
+    info = snapshot_info(target_path)
+    if info is not None and epoch_id <= info["version"]:
+        return  # replayed epoch: these partials are already folded in
+    part = partial_aggregate(batch, keys, sum_cols)
+    if info is not None:
+        stored = batch.sparkSession.read.parquet(info["path"])
+        out = merge_partial_aggregates([stored, part], keys)
+    else:
+        out = part
+    snapshot_write(out, target_path, epoch_id)
+    prune_snapshots(target_path)

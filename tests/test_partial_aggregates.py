@@ -122,8 +122,29 @@ def test_streamed_rollup_equals_direct(spark, tmp_path):
         r.user_id: (r.sum_value, r.n)
         for r in partial_aggregate(e, ["user_id"], ["value"]).collect()
     }
+    from etl_python_azure_spark.sinks.files import read_snapshot
+
     maintained = {
         r.user_id: (r.sum_value, r.n)
-        for r in spark.read.parquet(tgt).collect()
+        for r in read_snapshot(spark, tgt).collect()
     }
     assert maintained == direct  # decimal partials → exact, no drift
+
+
+def test_fold_epoch_replay_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: re-delivering an epoch must not
+    # double-fold (the fold is pure addition)
+    from etl_python_azure_spark.sinks.files import read_snapshot
+    from etl_python_azure_spark.streaming.pipeline import _fold_epoch
+
+    tgt = str(tmp_path / "rollup")
+    b0 = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, v double")
+    b1 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+
+    _fold_epoch(b0, tgt, ["k"], ["v"], epoch_id=0)
+    _fold_epoch(b1, tgt, ["k"], ["v"], epoch_id=1)
+    _fold_epoch(b1, tgt, ["k"], ["v"], epoch_id=1)  # replayed epoch
+    _fold_epoch(b0, tgt, ["k"], ["v"], epoch_id=0)  # stale replay
+
+    got = {r.k: (float(r.sum_v), r.n) for r in read_snapshot(spark, tgt).collect()}
+    assert got == {1: (11.0, 2), 2: (5.0, 1)}

@@ -25,6 +25,12 @@ def test_salted_join_equals_plain_join(spark):
     )
     plain = fact.join(dim, "k").groupBy("k", "name").count()
     salted = salted_join(fact, dim, on="k", buckets=4).groupBy("k", "name").count()
+    # right/full would emit unmatched dim rows once per salt replica
+    import pytest
+
+    for bad in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, on="k", how=bad)
     assert sorted(plain.collect()) == sorted(salted.collect())
 
 

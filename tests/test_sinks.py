@@ -93,6 +93,34 @@ def test_jdbc_upsert_sqlite(spark, tmp_path):
     assert got == {1: ("old1", 1), 2: ("new2", 2), 3: ("new3", 1)}
 
 
+def test_jdbc_ranged_refresh(spark, tmp_path):
+    from etl_python_azure_spark.sinks.jdbc import jdbc_ranged_refresh
+
+    db = str(tmp_path / "r.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE tgt (d INTEGER, v TEXT)")
+        c.executemany(
+            "INSERT INTO tgt VALUES (?, ?)",
+            [(5, "keep_lo"), (10, "stale10"), (15, "stale15"), (25, "keep_hi")],
+        )
+    # refresh window [10, 20]; df includes an out-of-window row that
+    # must NOT be inserted (idempotence guard)
+    df = spark.createDataFrame(
+        [(10, "fresh10"), (12, "fresh12"), (99, "outside")],
+        "d int, v string",
+    )
+    for _ in range(2):  # idempotent: second run leaves identical state
+        jdbc_ranged_refresh(
+            df, "tgt", "d", 10, 20,
+            connection_factory=_sqlite_factory(db), num_partitions=2,
+        )
+        with sqlite3.connect(db) as c:
+            got = sorted(c.execute("SELECT d, v FROM tgt"))
+        assert got == [
+            (5, "keep_lo"), (10, "fresh10"), (12, "fresh12"), (25, "keep_hi")
+        ]
+
+
 def test_jdbc_update_dialect(spark, tmp_path):
     db = str(tmp_path / "u.db")
     with sqlite3.connect(db) as c:

@@ -106,8 +106,40 @@ def test_micro_batch_upsert(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    got = {r.id: r.v for r in spark.read.parquet(tgt).collect()}
+    from etl_python_azure_spark.sinks.files import read_snapshot
+
+    got = {r.id: r.v for r in read_snapshot(spark, tgt).collect()}
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_upsert_epoch_dedupes_within_batch_and_replays(spark, tmp_path):
+    from etl_python_azure_spark.sinks.files import read_snapshot
+    from etl_python_azure_spark.streaming.pipeline import _upsert_epoch
+
+    d = datetime.datetime
+    tgt = str(tmp_path / "tgt2")
+    schema = "id long, updated_at timestamp, v string"
+    # epoch 0 seeds the snapshot
+    b0 = spark.createDataFrame([(1, d(2024, 1, 1), "a")], schema)
+    _upsert_epoch(b0, tgt, "id", "updated_at", epoch_id=0)
+    # epoch 1 carries TWO events for id=2 (both newer than nothing) and
+    # two for id=1 (one newer, one older) — one row per key must win
+    b1 = spark.createDataFrame(
+        [
+            (2, d(2024, 1, 5), "b_old"),
+            (2, d(2024, 1, 6), "b_new"),
+            (1, d(2023, 1, 1), "stale"),
+            (1, d(2024, 2, 1), "a2"),
+        ],
+        schema,
+    )
+    _upsert_epoch(b1, tgt, "id", "updated_at", epoch_id=1)
+    _upsert_epoch(b1, tgt, "id", "updated_at", epoch_id=1)  # replay
+
+    rows = read_snapshot(spark, tgt).collect()
+    assert len(rows) == 2  # no duplicate keys in the keyed snapshot
+    got = {r.id: r.v for r in rows}
+    assert got == {1: "a2", 2: "b_new"}
 
 
 def _media_df(spark):
