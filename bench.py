@@ -101,6 +101,31 @@ def main() -> None:
         # (each is timed cold-cache, like a fresh job submission)
         spark.catalog.clearCache()
 
+    # end-to-end pipeline benches: the full extract→reshape→sink DAGs
+    # with scale-matched synthetic transports, so the reference's
+    # 10-minute full-refresh envelope is measured, not inferred
+    import shutil
+    import tempfile
+
+    from etl_python_azure_spark.plans.synthetic import (
+        bench_latinad,
+        bench_sercom,
+    )
+
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.01
+    for name, fn in (("latinad_full_refresh", bench_latinad),
+                     ("sercom_incremental", bench_sercom)):
+        root = tempfile.mkdtemp(prefix=f"bench_{name}_")
+        try:
+            t0 = time.time()
+            fn(spark, sf_num, root)
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:
+            pass
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
