@@ -192,6 +192,70 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multitable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 3,
+    num_tables: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-*k* with OR-amplification over *num_tables*
+    independent LSH tables: a (query, neighbor) pair is a candidate if
+    ANY table buckets them together, so recall ≈
+    1 − (1 − p^planes)^tables while each table stays a pure bucket
+    equi-join. The distinct over candidates keeps each pair's cosine
+    computed once. This is the serving configuration (single-table
+    :func:`lsh_topk` is the teaching form — see the measured curve in
+    SCALING.md).
+    """
+    cand = None
+    for t in range(num_tables):
+        cb = lsh_buckets(
+            corpus, id_col, vec_col, num_planes, dim, plane_offset=t * num_planes
+        ).select(F.col(id_col).alias("neighbor_id"), "bucket")
+        qb = lsh_buckets(
+            queries, id_col, vec_col, num_planes, dim, plane_offset=t * num_planes
+        ).select(F.col(id_col).alias("query_id"), "bucket")
+        pairs = (
+            F.broadcast(qb)
+            .join(cb, "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    q = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the other classic scale path besides LSH
 # --------------------------------------------------------------------------

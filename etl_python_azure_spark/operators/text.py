@@ -136,6 +136,55 @@ def token_counts(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token fraction,
+    top-token frequency ratio, and duplicate word-bigram fraction.
+
+    Boilerplate/spam detection for corpus filtering — highly
+    repetitive documents (templated pages, keyword stuffing) score
+    high and get dropped. Pure array expressions, one pass, no
+    explode: per-row arrays stay inside the task, so the operator
+    costs a scan regardless of corpus size. The per-distinct-token
+    count is O(tokens × distinct) per ROW — document-sized, not
+    corpus-sized.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda t: F.size(F.filter(words, lambda x: x == t)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
+            f" i -> concat(element_at(split(lower({text_col}), ' '), i), ' ',"
+            f" element_at(split(lower({text_col}), ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    nd_bi = F.size(F.array_distinct(bigrams))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        n.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        (F.lit(1.0) - nd.cast("double") / n).alias("dup_token_frac"),
+        (top.cast("double") / n).alias("top_token_ratio"),
+        F.when(n_bi > 0, F.lit(1.0) - nd_bi.cast("double") / n_bi)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1905,3 +1905,208 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         o, ["o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape — EXISTS-driven priority report: orders in a date
+# window having at least one big line item, counted per priority.
+# --------------------------------------------------------------------------
+@register(
+    "priority_orders_with_big_items",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    big = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        semi_join(o, big, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape — nested correlated-aggregate IN: suppliers that
+# ship more than 30% of some part's total volume. The >30% test is
+# written multiplicatively (supp*10 > total*3) on DECIMAL sums — no
+# division, so the comparison is exact in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "dominant_part_suppliers",
+    """
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT per.l_suppkey
+      FROM per JOIN tot ON per.l_partkey = tot.l_partkey
+      WHERE per.supp_qty * 5 > tot.total_qty
+    )
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "lineitem")
+    li = t["lineitem"]
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty")
+    )
+    tot = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty")
+    )
+    dominant = (
+        per.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * 5 > F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return semi_join(
+        t["supplier"].select("s_suppkey", "s_name", "s_acctbal"),
+        dominant,
+        on="s_suppkey",
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape — EXISTS + NOT EXISTS on the same probe: suppliers
+# whose line shipped late (> o_orderdate + 80 days) in multi-supplier
+# orders where NO other supplier shipped late.
+# --------------------------------------------------------------------------
+@register(
+    "sole_late_suppliers",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    late AS (
+      SELECT * FROM li WHERE l_shipdate > o_orderdate + INTERVAL 80 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM li l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "supplier", "lineitem", "orders")
+    li = t["lineitem"].join(
+        t["orders"].select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+        ),
+        "l_orderkey",
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    late = li.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", F.col("l_suppkey").alias("s2")).alias("l2")
+    l3 = late.select("l_orderkey", F.col("l_suppkey").alias("s3")).alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.s2")),
+        "left_semi",
+    )
+    sole = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.s3")),
+        "left_anti",
+    )
+    return (
+        sole.join(
+            t["supplier"].select(
+                F.col("s_suppkey").alias("l_suppkey"), "s_name"
+            ),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 shape — correlated scalar-subquery minimum: for each small
+# part, the supplier with the lowest unit price (unit price =
+# extendedprice/quantity, same fp op order both engines; ties break
+# on s_suppkey via row_number in both dialects).
+# --------------------------------------------------------------------------
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS min_unit
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, u.l_suppkey, u.min_unit,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY u.min_unit, u.l_suppkey
+             ) AS rn
+      FROM part p JOIN unit u ON u.l_partkey = p.p_partkey
+      WHERE p.p_size < 10
+    )
+    SELECT p_partkey, p_name,
+           l_suppkey AS s_suppkey, s.s_name, ranked.min_unit
+    FROM ranked JOIN supplier s ON s.s_suppkey = ranked.l_suppkey
+    WHERE rn = 1
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "part", "supplier", "lineitem")
+    unit = t["lineitem"].groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    small = t["part"].filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    joined = small.join(
+        unit, small.p_partkey == unit.l_partkey
+    )
+    w = W.partitionBy("p_partkey").orderBy(F.asc("min_unit"), F.asc("l_suppkey"))
+    best = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.join(
+        t["supplier"].select(
+            F.col("s_suppkey"), "s_name"
+        ),
+        best.l_suppkey == F.col("s_suppkey"),
+    ).select("p_partkey", "p_name", "s_suppkey", "s_name", "min_unit")

@@ -194,6 +194,73 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_sql(e: str, planes: int, offset: int) -> str:
+    """DuckDB sign-LSH bucket expression for a table at *offset*
+    (mirrors ``operators.similarity._plane_weights_expr``)."""
+    cases = "\n   + ".join(
+        f"""CASE WHEN list_reduce(list_transform(range(1, 65),
+        d -> CAST({e}[d] AS DOUBLE)
+             * ((ascii(substr(md5('p{offset + p}_' || CAST(d AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+        (acc, v) -> acc + v) > 0 THEN {1 << p} ELSE 0 END"""
+        for p in range(planes)
+    )
+    return "(" + cases + ")"
+
+
+# --------------------------------------------------------------------------
+# multi-table (OR-amplified) LSH — the serving configuration: union of
+# same-bucket candidates over 2 independent 3-plane tables, distinct,
+# exact rank once per surviving pair.
+# --------------------------------------------------------------------------
+@register(
+    "ann_lsh_multitable_topk",
+    f"""
+    WITH {_NORM_CTE},
+    b0 AS (
+      SELECT vec_id,
+             CAST({_bucket_sql('embedding', 3, 0)} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    b1 AS (
+      SELECT vec_id,
+             CAST({_bucket_sql('embedding', 3, 3)} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b0 q JOIN b0 c ON q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+        UNION ALL
+        SELECT q.vec_id, c.vec_id
+        FROM b1 q JOIN b1 c ON q.bucket = c.bucket
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+      )
+    ),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS} AS cosine
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk_multitable
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return lsh_topk_multitable(
+        em, em.filter(F.col("vec_id") < 10), k=5, num_planes=3, num_tables=2
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF ANN — inverted-file variant: corpus assigned to nearest-centroid
 # cells (deterministic lowest-id centroids), queries probe their 4

@@ -173,3 +173,39 @@ def top_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")
     return doc_fingerprints(d, n=5)
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(words) AS n_tokens,
+             len(list_distinct(words)) AS n_distinct_tokens,
+             list_max(list_transform(list_distinct(words),
+               t -> len(list_filter(words, x -> x = t)))) AS top_freq,
+             CASE WHEN len(words) >= 2
+                  THEN len(list_distinct(list_transform(range(1, len(words)),
+                         i -> words[i] || ' ' || words[i + 1])))
+                  ELSE 0 END AS nd_bi,
+             greatest(len(words) - 1, 0) AS n_bi
+      FROM w
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           1.0 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens
+             AS dup_token_frac,
+           CAST(top_freq AS DOUBLE) / n_tokens AS top_token_ratio,
+           CASE WHEN n_bi > 0
+                THEN 1.0 - CAST(nd_bi AS DOUBLE) / n_bi
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM m
+    """,
+)
+def doc_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import repetition_stats
+
+    d = load_tables(spark, sf_dir, "documents")
+    return repetition_stats(d)
