@@ -54,6 +54,9 @@ OPTIONAL = [
     "corpus_curation_pipeline",
     "media_decode_dimensions",
     "asof_last_view_before_purchase",
+    "ann_lsh_multitable_topk",
+    "doc_repetition_stats",
+    "sole_late_suppliers",
 ]
 
 

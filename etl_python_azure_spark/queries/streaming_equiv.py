@@ -115,4 +115,8 @@ def cdc_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             if snapshot is None
             else merge_upsert(batch, snapshot, key="user_id", version_col="version")
         )
+        # the real sink MATERIALIZES each epoch's snapshot (parquet
+        # write) — mirror that, or the unrolled lineage compounds into
+        # one enormous plan re-scanning events once per epoch
+        snapshot = snapshot.localCheckpoint(eager=True)
     return snapshot.select("user_id", "event_id", "ts", "value")

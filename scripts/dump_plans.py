@@ -34,6 +34,13 @@ QUERIES = [
     "corpus_curation_pipeline",
     "fuzzy_part_name_pairs",
     "salted_quantity_by_flag",
+    "sequence_packing",
+    "simhash_near_pairs",
+    "ann_lsh_multitable_topk",
+    "doc_repetition_stats",
+    "sole_late_suppliers",
+    "maintained_rollup_equiv",
+    "cdc_replay_equiv",
 ]
 
 
@@ -74,7 +81,9 @@ def main() -> None:
             )
             or "—"
         )
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        # struct<> may be truncated mid-line ("...") — never cross a
+        # newline, or a multi-scan plan bleeds other operators in
+        schemas = re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
         cols_read = sorted({c.split(":")[0] for s in schemas for c in s.split(",") if c})
         lines += [
             f"## {name}",
