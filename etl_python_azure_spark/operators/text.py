@@ -8,7 +8,7 @@ JVM-side under whole-stage codegen and are oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword sets for the n-gram/stopword-hit
@@ -147,39 +147,71 @@ def repetition_stats(
 
     Boilerplate/spam detection for corpus filtering — highly
     repetitive documents (templated pages, keyword stuffing) score
-    high and get dropped. Pure array expressions, one pass, no
-    explode: per-row arrays stay inside the task, so the operator
-    costs a scan regardless of corpus size. The per-distinct-token
-    count is O(tokens × distinct) per ROW — document-sized, not
-    corpus-sized.
+    high and get dropped. Pure array expressions, no explode: per-row
+    arrays stay inside the task, so the operator costs a scan
+    regardless of corpus size. Distinct count AND top-frequency come
+    from ONE run-length pass over the sorted token array —
+    O(T log T) per row, vs the naive per-distinct-token re-filter
+    which is O(T × distinct) and ~4× slower in the interpreted HOF
+    evaluator.
     """
+
+    def run_stats(arr: Column) -> Column:
+        # One aggregate() over a SORTED array: equal values are
+        # adjacent, so (max run length, number of run starts) =
+        # (top frequency, distinct count).
+        init = F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("nd"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = x == acc.prev  # null prev → false branch (first run)
+            run = F.when(same, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+                (acc.nd + F.when(same, F.lit(0)).otherwise(F.lit(1))).alias("nd"),
+                x.alias("prev"),
+            )
+
+        return F.aggregate(arr, init, step)
+
     words = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(words)
-    nd = F.size(F.array_distinct(words))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda t: F.size(F.filter(words, lambda x: x == t)),
-        )
-    )
     bigrams = F.when(
         n >= 2,
-        F.expr(
-            f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
-            f" i -> concat(element_at(split(lower({text_col}), ' '), i), ' ',"
-            f" element_at(split(lower({text_col}), ' '), i + 1)))"
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
-    nd_bi = F.size(F.array_distinct(bigrams))
-    return df.select(
+    # Two-step select: materialize each run-stats struct once per row
+    # so the three stats derived from it don't re-run the aggregate.
+    staged = df.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],
         n.alias("n_tokens"),
-        nd.alias("n_distinct_tokens"),
-        (F.lit(1.0) - nd.cast("double") / n).alias("dup_token_frac"),
-        (top.cast("double") / n).alias("top_token_ratio"),
-        F.when(n_bi > 0, F.lit(1.0) - nd_bi.cast("double") / n_bi)
+        run_stats(F.array_sort(words)).alias("__w"),
+        run_stats(F.array_sort(bigrams)).alias("__b"),
+    )
+    n_tok = F.col("n_tokens")
+    n_bi = F.greatest(n_tok - 1, F.lit(0))
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        n_tok,
+        F.col("__w.nd").alias("n_distinct_tokens"),
+        (F.lit(1.0) - F.col("__w.nd").cast("double") / n_tok).alias(
+            "dup_token_frac"
+        ),
+        (F.col("__w.best").cast("double") / n_tok).alias("top_token_ratio"),
+        F.when(
+            n_bi > 0, F.lit(1.0) - F.col("__b.nd").cast("double") / n_bi
+        )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
     )
