@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime as _dt
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -133,7 +134,15 @@ def run_latinad(
         spark, contents.select("id"), display_csv, base_url,
         window_start, window_end,
     )
-    fetched = distributed_fetch(requests, transport, headers=headers)
+    # Pin the raw responses: downstream there are SEVERAL actions over
+    # this DAG (the P8 all-null scan + the sink write + any caller
+    # action) and HTTP fan-out is neither free nor guaranteed
+    # idempotent — each GET must happen once per run, not once per
+    # action. MEMORY_AND_DISK is the in-memory analog of landing raw
+    # responses in a staging area at cluster scale.
+    fetched = distributed_fetch(requests, transport, headers=headers).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     failed = fetched.filter(F.col("status") != 200).select("content_id", "status", "body")
     reports_raw = parse_fetched_json(
         fetched.filter(F.col("status") == 200),

@@ -106,11 +106,25 @@ def records_to_df(
 ) -> DataFrame:
     """JSON records → DataFrame (`pandas.json_normalize` analog, N1).
 
-    Distributed JSON parse (``spark.read.json`` over a parallelized
-    payload) with optional explicit schema (the 100 TB-safe mode —
-    inference is a second pass); nested structs are flattened to
-    ``a_b`` columns like the reference's ``.``→``_`` rename.
+    The records already sit parsed in the driver (they came through
+    one HTTP response, so they're bounded by definition) — the cheap
+    path is local Arrow inference (``pa.Table.from_pylist`` →
+    ``createDataFrame``): zero Spark jobs at plan time, and downstream
+    actions replay a LocalRelation instead of re-parsing JSON on
+    executors. Payloads Arrow can't type uniformly (mixed-type
+    fields, all-null columns) fall back to ``spark.read.json``
+    inference over a parallelized payload, which promotes to string
+    the way the reference's pandas path does. An explicit *schema*
+    also takes the read.json route (the 100 TB-safe mode for big
+    payloads — but genuinely big fan-outs belong in
+    :func:`distributed_fetch`, not here). Nested structs are
+    flattened to ``a_b`` columns like the reference's ``.``→``_``
+    rename.
     """
+    if schema is None and records:
+        df = _arrow_local_df(spark, records)
+        if df is not None:
+            return flatten_struct_columns(df) if flatten else df
     sc = spark.sparkContext
     rdd = sc.parallelize([json.dumps(r) for r in records] or [""])
     reader = spark.read
@@ -118,6 +132,40 @@ def records_to_df(
         reader = reader.schema(schema)
     df = reader.json(rdd)
     return flatten_struct_columns(df) if flatten else df
+
+
+def _arrow_local_df(spark: SparkSession, records: list[dict]) -> DataFrame | None:
+    """Local no-job inference: list of dicts → Arrow table → DF.
+
+    Returns None when Arrow inference would diverge from JSON
+    inference (mixed types raise; all-null fields infer as Arrow
+    ``null`` where read.json says string) — caller falls back.
+    Columns are sorted alphabetically to match read.json's field
+    ordering.
+    """
+    import pyarrow as pa
+
+    def has_null_type(t: pa.DataType) -> bool:
+        if pa.types.is_null(t):
+            return True
+        if pa.types.is_struct(t):
+            return any(has_null_type(f.type) for f in t)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return has_null_type(t.value_type)
+        if pa.types.is_map(t):
+            return has_null_type(t.key_type) or has_null_type(t.item_type)
+        return False
+
+    try:
+        tbl = pa.Table.from_pylist(records)
+    except pa.ArrowInvalid:
+        return None
+    except pa.ArrowTypeError:
+        return None
+    if any(has_null_type(f.type) for f in tbl.schema):
+        return None
+    df = spark.createDataFrame(tbl)
+    return df.select(*sorted(df.columns))
 
 
 def distributed_fetch(

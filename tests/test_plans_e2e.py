@@ -142,6 +142,32 @@ ELEMENTS = [
 ]
 
 
+def test_latinad_fetches_each_report_once(spark, tmp_path):
+    """The fan-out result is pinned: one GET per content per run.
+
+    Without the persist boundary every downstream action (the P8
+    all-null scan, the sink write) re-executed the HTTP fan-out —
+    measured 2× GETs per content. HTTP is not free and not guaranteed
+    idempotent, so the count is a contract, not an optimization.
+    """
+    log = tmp_path / "calls.log"
+
+    def counting_transport(url: str, headers: dict):
+        if "/report" in url:
+            with open(log, "a") as f:
+                f.write(url.split("content=")[1].split("&")[0] + "\n")
+        return latinad_transport(url, headers)
+
+    run_latinad(
+        spark, counting_transport, "http://api",
+        sink_root=str(tmp_path / "wh"),
+        window_start=datetime.date(2024, 1, 1),
+        window_end=datetime.date(2024, 1, 28),
+    )
+    calls = log.read_text().split()
+    assert sorted(calls) == ["10", "11", "12"]  # one GET per content
+
+
 def sercom_transport(url: str, headers: dict):
     for frag, payload in (
         ("/tasks", TASKS), ("/turns", TURNS),
