@@ -19,7 +19,13 @@ from .joins import anti_join, cdc_split, left_join, merge_upsert, semi_join  # n
 from .layout import normalize_to_bits, write_zordered, zorder_key  # noqa: F401
 from .range_join import band_join, bucketed_range_join  # noqa: F401
 from .sessionize import sessionize, tumbling_window  # noqa: F401
-from .similarity import cosine_topk, ivf_topk, lsh_buckets, lsh_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_buckets,
+    lsh_topk,
+)
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprints,

@@ -310,6 +310,75 @@ def _nearest_cells(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    max_iter: int = 8,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Spherical k-means coarse quantizer, trained with DataFrame ops.
+
+    Lloyd iterations built for the cluster, not the driver: each round
+    is ONE broadcast assign pass (:func:`_nearest_cells` — no corpus
+    shuffle) plus ONE ``groupBy(cell)`` aggregate of the per-dimension
+    means (``dim`` AVG columns, map-side combined, so the shuffle is
+    C×dim partials per partition, not the vectors). Only the centroid
+    table — C×dim floats, tiny by definition, exactly what MLlib's
+    KMeans also driver-collects — round-trips through the driver,
+    which truncates lineage between rounds for free.
+
+    Deterministic: seeded from :func:`ivf_centroids` (lowest-id
+    vectors), ties broken by cell id, so repeated runs — and the
+    recall numbers derived from them — are stable. Empty cells keep
+    their previous centroid. Stops early when the max squared
+    centroid shift drops below *tol*.
+
+    Returns a (centroid_id, __cvec, __cnorm) DataFrame, directly
+    usable as the *centroids* argument of :func:`ivf_topk`.
+    """
+    import math
+
+    spark = corpus.sparkSession
+    cn = with_norm(corpus.select(id_col, vec_col), vec_col)
+    seed = (
+        ivf_centroids(corpus, id_col, vec_col, num_centroids)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["__cvec"]] for r in seed]
+    dim = len(cents[0])
+
+    def _cent_df(vecs: list[list[float]]) -> DataFrame:
+        rows = [
+            (cid, v, math.sqrt(sum(x * x for x in v)) or 1.0)
+            for cid, v in enumerate(vecs)
+        ]
+        return spark.createDataFrame(
+            rows, "centroid_id int, __cvec array<double>, __cnorm double"
+        )
+
+    for _ in range(max_iter):
+        assigned = _nearest_cells(cn, _cent_df(cents), id_col, vec_col, 1)
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in means:
+            new_cents[r["cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    return _cent_df(cents)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,6 +387,7 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-*k* via an inverted file: each corpus vector is
     assigned to its nearest centroid's cell (one equi-key), each query
@@ -334,8 +404,16 @@ def ivf_topk(
     ``ann_lsh_recall`` does for LSH.
 
     Output: (query_id, neighbor_id, cosine, rank), self excluded.
+
+    *centroids* swaps in a trained quantizer (e.g.
+    :func:`kmeans_centroids`) for the deterministic default — the
+    assignment / probe / in-cell machinery is identical either way.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    )
     cn = with_norm(corpus.select(id_col, vec_col), vec_col)
     inv = _nearest_cells(cn, cents, id_col, vec_col, 1).select(
         F.col(id_col).alias("neighbor_id"),

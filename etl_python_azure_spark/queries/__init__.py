@@ -62,5 +62,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import events  # noqa: F401
     from . import streaming_equiv  # noqa: F401
     from . import relational  # noqa: F401
+    from . import relational_extra  # noqa: F401
 
     return dict(_REGISTRY)

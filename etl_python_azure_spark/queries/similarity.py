@@ -409,3 +409,38 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
     )
+
+
+@register("ann_ivf_kmeans_recall", None)  # iterative trainer -> rows-only check
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF probing with a TRAINED (spherical k-means)
+    coarse quantizer instead of the deterministic lowest-id pick.
+
+    The k-means fit is iterative (Lloyd rounds), so there is no
+    single-statement SQL oracle; the trainer is deterministic
+    (seeded, tie-broken), making the rows-only check stable. The
+    untrained twin ``ann_ivf_recall`` carries the hash-checked
+    oracle for the shared assignment/probe/rank machinery.
+    """
+    from ..operators.similarity import ivf_topk, kmeans_centroids
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(em, num_centroids=16, max_iter=6)
+    q = em.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_topk(em, q, k=5, nprobe=4, centroids=cents).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (bf.query_id == ivf.query_id)
+            & (bf.neighbor_id == ivf.ivf_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("ivf_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
+    )

@@ -81,3 +81,41 @@ def test_each_corpus_vector_in_one_cell(clustered):
     )
     assert asg.count() == clustered.count()
     assert asg.select("vec_id").distinct().count() == clustered.count()
+
+
+def test_kmeans_centroids_recover_clusters(clustered):
+    from etl_python_azure_spark.operators.similarity import kmeans_centroids
+
+    # seed = vectors 0..3 (one per cluster); Lloyd rounds must keep one
+    # centroid per cluster and pull each toward its cluster mean, so
+    # IVF with the trained quantizer still equals brute force at nprobe=1
+    cents = kmeans_centroids(clustered, num_centroids=4, max_iter=5)
+    rows = cents.orderBy("centroid_id").collect()
+    assert [r.centroid_id for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert len(r["__cvec"]) == 8
+        assert r["__cnorm"] > 0
+    # each trained centroid's dominant axis is its cluster's base axis
+    dominant = [max(range(8), key=lambda d: abs(r["__cvec"][d])) for r in rows]
+    assert dominant == [0, 1, 2, 3]
+
+    q = clustered.filter(F.col("vec_id") < 4)
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(clustered, q, k=5, nprobe=1, centroids=cents).collect()
+    }
+    assert ivf == bf
+
+
+def test_kmeans_centroids_deterministic(clustered):
+    from etl_python_azure_spark.operators.similarity import kmeans_centroids
+
+    a = kmeans_centroids(clustered, num_centroids=4, max_iter=3)
+    b = kmeans_centroids(clustered, num_centroids=4, max_iter=3)
+    assert [tuple(r["__cvec"]) for r in a.orderBy("centroid_id").collect()] == [
+        tuple(r["__cvec"]) for r in b.orderBy("centroid_id").collect()
+    ]
