@@ -6,3 +6,4 @@ from .pipeline import (  # noqa: F401
     stream_parquet_dir,
     windowed_stream_agg,
 )
+from .stateful import running_totals, stateful_sessions  # noqa: F401

@@ -62,3 +62,83 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_sessions(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Event-time session windows with an inactivity gap, built on the
+    state store (the ``applyInPandasWithState`` counterpart of
+    ``session_window`` for when per-session logic must be custom).
+
+    Semantics: events for a key belong to one session while the gap
+    between consecutive event times is < *gap_seconds*. Sessions that
+    close INSIDE a batch (a later event arrives past the gap) are
+    emitted immediately; the trailing open session parks in state and
+    is emitted by an ``EventTimeTimeout`` once the watermark passes
+    ``last_event + gap`` — so output is append-mode and final (no
+    retractions), and state volume is one tuple per open session.
+
+    Output: (key, session_start, session_end, n_events, total_value),
+    session_end = last event time (not +gap).
+
+    Caller must set a watermark on *ts_col* upstream; replays inside
+    the watermark horizon are handled by the checkpointed store.
+    """
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    # epoch micros: timestamps cross the Arrow boundary as tz-naive
+    # pandas Timestamps; integers keep the state encoding exact
+    state_schema = "start long, last long, n long, s double"
+    gap_us = gap_seconds * 1_000_000
+
+    def _row(key: tuple, start_us: int, last_us: int, n: int, s: float):
+        return pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "total_value": [s],
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield _row(key, start, last, n, s)
+            return
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = n = 0
+            s = 0.0
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        for ts, val in zip(events[ts_col], events[value_col]):
+            ts_us = int(ts.value // 1_000)  # pandas ns → us
+            if n == 0:
+                start, last, n, s = ts_us, ts_us, 1, float(val)
+            elif ts_us - last < gap_us:
+                last, n, s = ts_us, n + 1, s + float(val)
+            else:  # in-batch gap: close the old session, open a new one
+                yield _row(key, start, last, n, s)
+                start, last, n, s = ts_us, ts_us, 1, float(val)
+        state.update((start, last, n, s))
+        state.setTimeoutTimestamp((last + gap_us) // 1_000)  # ms
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

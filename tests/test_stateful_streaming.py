@@ -58,3 +58,62 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert (1, 3, 17.0) in rows  # 2+1 events, 15+2 value — state kept
     assert (3, 1, 7.0) in rows
     assert not any(u == 2 and n > 1 for (u, n, _) in rows)
+
+
+SESS_SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _run_sessions(spark, src, ckpt, out):
+    from etl_python_azure_spark.streaming.stateful import stateful_sessions
+
+    stream = stream_parquet_dir(spark, src, SESS_SCHEMA).withWatermark(
+        "ts", "10 seconds"
+    )
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        stateful_sessions(stream, "user_id", "ts", "value", gap_seconds=30)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stateful_sessions_inbatch_and_timeout_close(spark, tmp_path):
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = lambda s: datetime(2024, 1, 1, 0, 0, 0).replace(second=s % 60, minute=s // 60)
+
+    # user 1: two events 10s apart, then one 90s later (> gap=30s) —
+    # the first session must close in-batch
+    spark.createDataFrame(
+        [(1, t(0), 1.0), (1, t(10), 2.0), (1, t(100), 4.0)], SESS_SCHEMA
+    ).write.parquet(src)
+    _run_sessions(spark, src, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    assert [(r.user_id, r.n_events, r.total_value, r.session_start, r.session_end)
+            for r in rows] == [(1, 2, 3.0, t(0), t(10))]
+
+    # a much later event advances the watermark past 100s+gap → the
+    # parked session for user 1 times out and is emitted final
+    spark.createDataFrame(
+        [(2, datetime(2024, 1, 1, 1, 0, 0), 9.0)], SESS_SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_sessions(spark, src, ckpt, out)
+    got = {
+        (r.user_id, r.n_events, r.total_value, r.session_start, r.session_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 1, 4.0, t(100), t(100)) in got  # timeout-closed session
+    assert (1, 2, 3.0, t(0), t(10)) in got
+    assert not any(u == 2 for (u, *_ ) in got)  # user 2 still open
