@@ -236,3 +236,69 @@ def doc_fingerprints(
         F.min(F.md5("shingle")).alias("fingerprint"),
         F.count("*").alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL/domain analysis — standard pre-training hygiene
+# passes. Pure column expressions (regexp_count / regexp_replace /
+# regexp_extract_all), so they run JVM-side inside whole-stage codegen
+# and cost one scan regardless of corpus size. Patterns stay in the
+# RE2 ∩ Java-regex dialect so any SQL engine can replay them.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # category -> (pattern, replacement token); applied in this order —
+    # emails first, so IP-looking hosts (user@10.0.0.1) are consumed
+    # before the ipv4 pass sees them
+    "email": (r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+}
+
+_URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document PII match counts (one column per category)."""
+    return df.select(
+        id_col,
+        *[F.col(c) for c in (carry_cols or [])],
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{cat}")
+            for cat, (pat, _) in PII_PATTERNS.items()
+        ],
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Replace every PII match with its category token, in the fixed
+    :data:`PII_PATTERNS` order. One chained regexp_replace expression
+    — a single projection, no extra pass per category."""
+    expr = F.col(text_col)
+    for pat, token in PII_PATTERNS.values():
+        expr = F.regexp_replace(expr, pat, token)
+    return df.withColumn(out_col, expr)
+
+
+def url_domains(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode every http(s) URL's host out of the text: one
+    (id, domain) row per occurrence. Downstream: per-domain corpus
+    stats, blocklist anti-joins, source mixture weighting."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_DOMAIN), 1)
+        ).alias("domain"),
+    )

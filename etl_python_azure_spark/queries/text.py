@@ -209,3 +209,150 @@ def doc_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return repetition_stats(d)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — the synthetic corpus is clean, so the query injects
+# deterministic doc_id-derived PII (emails on ≡0 mod 3, phones mod 5,
+# IPv4s mod 7) and then counts + redacts it: the match/replace
+# machinery is exercised on real hits, with the whole round trip
+# hash-checked against DuckDB's RE2 engine (patterns live in the
+# RE2 ∩ Java dialect).
+# --------------------------------------------------------------------------
+_PII_E = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_I = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 555-000-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_E}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII_P}')) AS n_phone,
+           len(regexp_extract_all(t, '{_PII_I}')) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_E}', '<EMAIL>', 'g'),
+               '{_PII_P}', '<PHONE>', 'g'),
+             '{_PII_I}', '<IP>', 'g') AS redacted
+    FROM inj
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.text import pii_stats, redact_pii
+
+    d = load_tables(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-000-"),
+                    F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    stats = pii_stats(inj, "doc_id", "t").select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+    red = redact_pii(inj, "t", "redacted").select("doc_id", "redacted")
+    return stats.join(red, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# URL/domain analysis — same injection trick: every doc gets one
+# https URL on a doc_id-derived domain (20 domains), docs ≡0 mod 4 a
+# second http mirror link; extraction explodes (doc, domain) pairs
+# and rolls them up per domain.
+# --------------------------------------------------------------------------
+@register(
+    "domain_extraction_stats",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' see https://w' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                  || CASE WHEN doc_id % 4 = 0
+                       THEN ' and http://mirror.example.org/x'
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1))
+               AS domain
+      FROM inj
+    )
+    SELECT domain, COUNT(*) AS n_mentions,
+           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+    FROM d GROUP BY domain
+    """,
+)
+def domain_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.text import url_domains
+
+    d = load_tables(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://w"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" and http://mirror.example.org/x"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return (
+        url_domains(inj, "doc_id", "t")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
