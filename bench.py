@@ -91,6 +91,18 @@ def main() -> None:
     # warmup may have persisted intermediates (minhash shingles etc.)
     spark.catalog.clearCache()
 
+    # warm the OS page cache for the TARGET-SF parquet (the sf0.001
+    # warmup never touches these files, so without this the first
+    # heavy query absorbs all of sf0.1's cold-read cost and timings
+    # jitter by 2x run-to-run). A production cluster reads hot
+    # storage/cache tiers; throughput is what we're measuring.
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
     timings: dict[str, float] = {}
     for name in names:
         builder = reg[name].builder
