@@ -57,6 +57,10 @@ OPTIONAL = [
     "ann_lsh_multitable_topk",
     "doc_repetition_stats",
     "sole_late_suppliers",
+    "returned_item_customers",
+    "nation_market_share",
+    "pii_redaction_stats",
+    "domain_extraction_stats",
 ]
 
 

@@ -288,14 +288,17 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("t"),
     )
-    stats = pii_stats(inj, "doc_id", "t").select(
+    # counts + redaction in ONE projection over one scan (pii_stats
+    # and redact_pii compose as column transforms, not a self-join)
+    return redact_pii(
+        pii_stats(inj, "doc_id", "t", carry_cols=["t"]), "t", "redacted"
+    ).select(
         "doc_id",
         F.col("n_email").cast("long").alias("n_email"),
         F.col("n_phone").cast("long").alias("n_phone"),
         F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        "redacted",
     )
-    red = redact_pii(inj, "t", "redacted").select("doc_id", "redacted")
-    return stats.join(red, "doc_id")
 
 
 # --------------------------------------------------------------------------

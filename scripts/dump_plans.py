@@ -41,6 +41,14 @@ QUERIES = [
     "sole_late_suppliers",
     "maintained_rollup_equiv",
     "cdc_replay_equiv",
+    "returned_item_customers",
+    "nation_market_share",
+    "top_revenue_supplier",
+    "small_quantity_revenue_loss",
+    "disjunctive_band_revenue",
+    "profit_by_nation_year",
+    "pii_redaction_stats",
+    "domain_extraction_stats",
 ]
 
 
