@@ -27,7 +27,7 @@ Everything is pure DataFrame/Column expression — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -149,6 +149,66 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, n)
     return _jaccard_on_pairs(sh, id_col, None).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard ≥ *threshold*, via AllPairs/
+    PPJoin-style prefix filtering — the EXACT (lossless) scale path,
+    complementing the probabilistic MinHash route.
+
+    Why it scales: order each document's shingle set by ascending
+    global frequency (rarest first; ties on the shingle string).
+    If J(a,b) ≥ t, the overlap bound forces a and b to share at
+    least one shingle among each one's first ``sz - ceil(t·sz) + 1``
+    tokens (prefix principle), so candidates come from an equi-join
+    of PREFIXES only — at t=0.8 that's ~20% of each posting list,
+    and the rarest-first ordering makes prefix postings short. A
+    size-ratio filter (min ≥ t·max) prunes further before the exact
+    verify on the candidate set.
+
+    No global rank table: the frequency itself is the sort key, so
+    ordering is a per-document window, never a vocabulary-wide
+    single-partition window. Output ≡ :func:`ngram_jaccard_pairs`
+    (same verifier), which is the oracle for losslessness.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__freq"))
+    w_doc = Window.partitionBy(id_col).orderBy("__freq", "shingle")
+    w_sz = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__sz", F.count("*").over(w_sz))
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("__sz").alias("__sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("__sz").alias("__sz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("__sz_a", "__sz_b")
+            >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(sh, id_col, cand).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -354,3 +354,28 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_fuzzy_pairs(
         p, "p_partkey", "p_name", ["p_brand", "p_size"], max_dist=8
     )
+
+
+# --------------------------------------------------------------------------
+# AllPairs/PPJoin prefix filtering — the EXACT scale path for the
+# same ≥0.8 Jaccard join. The oracle is deliberately the brute-force
+# SQL: prefix filtering must be lossless, and the hash match IS the
+# proof (identical pairs, identical jaccard values).
+# --------------------------------------------------------------------------
+@register(
+    "prefix_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    {_JACCARD_TAIL}
+    """,
+)
+def prefix_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_tables(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
