@@ -21,7 +21,9 @@ from .range_join import band_join, bucketed_range_join  # noqa: F401
 from .sessionize import sessionize, tumbling_window  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
+    ivf_assign,
     ivf_topk,
+    ivf_topk_from_index,
     kmeans_centroids,
     lsh_buckets,
     lsh_topk,

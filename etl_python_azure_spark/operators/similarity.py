@@ -379,6 +379,70 @@ def kmeans_centroids(
     return _cent_df(cents)
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign vectors to their nearest centroid's cell — the
+    INCREMENTAL index-maintenance path: a new ingest batch is
+    assigned against the FROZEN quantizer and appended to the
+    inverted file (partitioned by ``cell``), with the existing
+    corpus never re-read or re-shuffled. Retrain centroids only on
+    drift, not per batch.
+
+    Output: (neighbor_id, __vc, __nc, cell) — union-able with any
+    previous :func:`ivf_assign` output and directly searchable by
+    :func:`ivf_topk_from_index`.
+    """
+    cn = with_norm(df.select(id_col, vec_col), vec_col)
+    return _nearest_cells(cn, centroids, id_col, vec_col, 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+        "cell",
+    )
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-*k* search over a prebuilt inverted file (see
+    :func:`ivf_assign`): probe nprobe cells per query, rank exactly
+    inside the probed cells. No corpus-side work beyond the cell
+    equi-join."""
+    qn = with_norm(queries.select(id_col, vec_col), vec_col)
+    probes = _nearest_cells(qn, centroids, id_col, vec_col, nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+        "cell",
+    )
+    sims = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -414,33 +478,7 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(corpus, id_col, vec_col, num_centroids)
     )
-    cn = with_norm(corpus.select(id_col, vec_col), vec_col)
-    inv = _nearest_cells(cn, cents, id_col, vec_col, 1).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vc"),
-        F.col("__norm").alias("__nc"),
-        "cell",
-    )
-    qn = with_norm(queries.select(id_col, vec_col), vec_col)
-    probes = _nearest_cells(qn, cents, id_col, vec_col, nprobe).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__vq"),
-        F.col("__norm").alias("__nq"),
-        "cell",
-    )
-    sims = (
-        F.broadcast(probes)
-        .join(inv, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    index = ivf_assign(corpus, cents, id_col, vec_col)
+    return ivf_topk_from_index(
+        index, queries, cents, id_col, vec_col, k, nprobe
     )

@@ -119,3 +119,29 @@ def test_kmeans_centroids_deterministic(clustered):
     assert [tuple(r["__cvec"]) for r in a.orderBy("centroid_id").collect()] == [
         tuple(r["__cvec"]) for r in b.orderBy("centroid_id").collect()
     ]
+
+
+def test_incremental_index_append_equals_rebuild(clustered):
+    from etl_python_azure_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_from_index,
+    )
+
+    # freeze the quantizer on the first 28 vectors, assign the rest
+    # as an "ingest batch"; searching old∪appended must equal a
+    # from-scratch assignment of the full corpus (same centroids)
+    old = clustered.filter(F.col("vec_id") < 28)
+    batch = clustered.filter(F.col("vec_id") >= 28)
+    cents = ivf_centroids(clustered, num_centroids=4)
+    idx = ivf_assign(old, cents).unionByName(ivf_assign(batch, cents))
+    full = ivf_assign(clustered, cents)
+    q = clustered.filter(F.col("vec_id") < 4)
+    inc = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_from_index(idx, q, cents, k=5, nprobe=2).collect()
+    }
+    reb = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk_from_index(full, q, cents, k=5, nprobe=2).collect()
+    }
+    assert inc == reb and len(inc) == 20

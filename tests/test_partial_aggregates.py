@@ -148,3 +148,43 @@ def test_fold_epoch_replay_is_idempotent(spark, tmp_path):
 
     got = {r.k: (float(r.sum_v), r.n) for r in read_snapshot(spark, tgt).collect()}
     assert got == {1: (11.0, 2), 2: (5.0, 1)}
+
+
+def test_sketch_fold_equals_direct_and_bounds_error(spark):
+    from pyspark.sql import functions as F
+
+    from etl_python_azure_spark.operators.aggregates import (
+        distinct_sketch,
+        finalize_distinct,
+        merge_distinct_sketches,
+    )
+
+    li = load_tables(spark, SF, "lineitem")
+    keys, dcol = ["l_returnflag"], "l_orderkey"
+
+    direct = finalize_distinct(
+        distinct_sketch(li, keys, dcol), dcol, "est"
+    )
+    batches = [li.filter(F.pmod("l_orderkey", F.lit(4)) == i) for i in range(4)]
+    parts = [distinct_sketch(b, keys, dcol) for b in batches]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merge_distinct_sketches([merged, p], keys, dcol)
+    folded = finalize_distinct(merged, dcol, "est")
+
+    d = {r["l_returnflag"]: (r["est"], r["n"]) for r in direct.collect()}
+    f = {r["l_returnflag"]: (r["est"], r["n"]) for r in folded.collect()}
+    # counts are exact partials — identical; estimates may differ by
+    # the union's HLL_4→HLL_8 target-type wobble, bounded below
+    assert {k: n for k, (_, n) in d.items()} == {k: n for k, (_, n) in f.items()}
+
+    exact = {
+        r["l_returnflag"]: r["x"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct(dcol).alias("x"))
+        .collect()
+    }
+    for k in exact:
+        for est, _ in (d[k], f[k]):
+            assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+        assert abs(d[k][0] - f[k][0]) / exact[k] < 0.01  # fold ≈ direct
