@@ -369,3 +369,80 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report (deequ-lite): row predicates in
+# one scan + key uniqueness + FK containment, one unioned report.
+# The quality gate the reference leaves implicit (throwing casts,
+# dropna), stated declaratively and oracle-checked.
+# --------------------------------------------------------------------------
+@register(
+    "data_quality_report",
+    """
+    SELECT 'o_totalprice_positive' AS check_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+               THEN 0 ELSE 1 END) AS n_violations,
+           SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+               THEN 0 ELSE 1 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_in_range', COUNT(*),
+           SUM(CASE WHEN COALESCE(
+                 o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00', FALSE)
+               THEN 0 ELSE 1 END),
+           SUM(CASE WHEN COALESCE(
+                 o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00', FALSE)
+               THEN 0 ELSE 1 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)', COUNT(*),
+           COUNT(*) - (SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) = 1)),
+           COUNT(*) - (SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+              HAVING COUNT(*) = 1)) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'fk(l_orderkey->o_orderkey)', COUNT(*),
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import (
+        combine_reports,
+        referential_check,
+        row_checks,
+        unique_check,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"]
+    return combine_reports(
+        [
+            row_checks(
+                o,
+                {
+                    "o_totalprice_positive": F.col("o_totalprice") > 0,
+                    "o_orderdate_in_range": (
+                        F.col("o_orderdate")
+                        >= F.lit("1990-01-01").cast("timestamp")
+                    )
+                    & (
+                        F.col("o_orderdate")
+                        < F.lit("2005-01-01").cast("timestamp")
+                    ),
+                },
+            ),
+            unique_check(o, ["o_orderkey"]),
+            referential_check(
+                t["lineitem"], o, "l_orderkey", "o_orderkey"
+            ),
+        ]
+    )

@@ -120,3 +120,52 @@ def cdc_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one enormous plan re-scanning events once per epoch
         snapshot = snapshot.localCheckpoint(eager=True)
     return snapshot.select("user_id", "event_id", "ts", "value")
+
+
+# --------------------------------------------------------------------------
+# Sketch-partial maintenance: COUNT(DISTINCT) kept fresh by folding
+# per-batch HLL sketches. The estimate itself is engine-specific
+# (datasketches), so the oracle checks what is portable: the exact
+# row-count partials and the ERROR-BOUND claim — the folded estimate
+# must land within 2% of the true distinct count, stated as a
+# hash-checked boolean against DuckDB's exact count.
+# --------------------------------------------------------------------------
+@register(
+    "sketch_distinct_maintenance",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS exact_distinct,
+           TRUE AS est_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import (
+        distinct_sketch,
+        finalize_distinct,
+        merge_distinct_sketches,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem")
+    keys, dcol = ["l_returnflag"], "l_orderkey"
+    batches = [
+        li.filter(F.pmod("l_orderkey", F.lit(4)) == i) for i in range(4)
+    ]
+    parts = [distinct_sketch(b, keys, dcol) for b in batches]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merge_distinct_sketches([merged, p], keys, dcol)
+    est = finalize_distinct(merged, dcol, "est")
+    exact = li.groupBy(*keys).agg(
+        F.countDistinct(dcol).alias("exact_distinct")
+    )
+    return est.join(exact, keys).select(
+        *keys,
+        "n",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= 0.02 * F.col("exact_distinct")
+        ).alias("est_within_2pct"),
+    )
