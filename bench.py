@@ -61,6 +61,8 @@ OPTIONAL = [
     "nation_market_share",
     "pii_redaction_stats",
     "domain_extraction_stats",
+    "prefix_jaccard_pairs",
+    "data_quality_report",
 ]
 
 

@@ -49,6 +49,9 @@ QUERIES = [
     "profit_by_nation_year",
     "pii_redaction_stats",
     "domain_extraction_stats",
+    "prefix_jaccard_pairs",
+    "data_quality_report",
+    "sketch_distinct_maintenance",
 ]
 
 
