@@ -302,3 +302,83 @@ def url_domains(
             F.regexp_extract_all(F.col(text_col), F.lit(_URL_DOMAIN), 1)
         ).alias("domain"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token chunks
+    (window *chunk_tokens*, step *stride*) — the standard prep for
+    bounded-context training/embedding: long documents become
+    several overlapping examples instead of being truncated.
+
+    One projection per document (split → sequence of starts → slice
+    per start → explode); no shuffle at all — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen.
+    Output: (id, chunk_idx, chunk_text, n_tokens); the last chunk of
+    a doc may be shorter than *chunk_tokens*.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.expr(f"sequence(1, greatest(size(__toks), 1), {stride})")
+    chunk = F.expr(
+        f"transform(sequence(1, greatest(size(__toks), 1), {stride}), "
+        f"s -> struct(cast((s - 1) / {stride} as int) as chunk_idx, "
+        f"concat_ws(' ', slice(__toks, s, {chunk_tokens})) as chunk_text, "
+        f"size(slice(__toks, s, {chunk_tokens})) as n_tokens))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(chunk).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Out-of-vocabulary token rate against the corpus's own top-*k*
+    vocabulary — the coverage check run before committing to a
+    tokenizer/vocab budget.
+
+    Two aggregates over one token explode: global frequency picks
+    the vocabulary (freq desc, token tiebreak), a broadcast join
+    marks each token occurrence in/out, and rates roll up per
+    *group_col* (or corpus-wide). The vocabulary is k rows —
+    broadcast, never shuffled with the corpus.
+    """
+    toks = _tokens(df, id_col, text_col)
+    if group_col:
+        toks = toks.join(df.select(id_col, group_col), id_col)
+    freq = toks.groupBy("token").agg(F.count("*").alias("__freq"))
+    # top-k via sort+limit (TakeOrderedAndProject: per-partition heaps
+    # merged on the driver), never a global row_number window
+    vocab = (
+        freq.orderBy(F.desc("__freq"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "token", "left")
+    keys = [group_col] if group_col else []
+    return marked.groupBy(*keys).agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+        (
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            / F.count("*")
+        ).alias("oov_rate"),
+    )

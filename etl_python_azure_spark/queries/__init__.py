@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import corpus  # noqa: F401
     from . import streaming_equiv  # noqa: F401
     from . import events  # noqa: F401
+    from . import corpus_extra  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
 

@@ -54,6 +54,10 @@ def test_no_cartesian_in_join_queries(spark, sf_dir):
         "shipping_priority",
         "cdc_split_updated",
         "dropna_after_left_join",
+        "prefix_jaccard_pairs",
+        "returned_item_customers",
+        "nation_market_share",
+        "profit_by_nation_year",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
