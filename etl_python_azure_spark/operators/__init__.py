@@ -27,6 +27,7 @@ from .similarity import (  # noqa: F401
     kmeans_centroids,
     lsh_buckets,
     lsh_topk,
+    standardize_embeddings,
 )
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .text import (  # noqa: F401

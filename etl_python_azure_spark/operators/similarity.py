@@ -482,3 +482,55 @@ def ivf_topk(
     return ivf_topk_from_index(
         index, queries, cents, id_col, vec_col, k, nprobe
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Z-score each embedding dimension (x−mean)/std over the corpus
+    — the transform half of feature standardization (fit = one
+    posexplode hash-aggregate; see the ``embedding_dim_stats``
+    query for the deterministic-moments variant).
+
+    The per-dimension stats collapse to ONE row of two dim-length
+    arrays, broadcast to every partition; the transform is a single
+    ``zip_with`` projection. Zero-variance dimensions pass through
+    unscaled (std treated as 1) instead of dividing by zero.
+    """
+    stats = (
+        df.select(F.posexplode(vec_col).alias("pos", "__v"))
+        .groupBy("pos")
+        .agg(
+            F.avg("__v").alias("__mean"),
+            F.stddev_samp("__v").alias("__std"),
+        )
+        .select(
+            F.struct("pos", "__mean", "__std").alias("__s"),
+        )
+        .agg(F.sort_array(F.collect_list("__s")).alias("__ss"))
+        .select(
+            F.expr("transform(__ss, s -> s.__mean)").alias("__means"),
+            F.expr(
+                "transform(__ss, s -> CASE WHEN s.__std IS NULL"
+                " OR s.__std = 0.0 THEN 1.0 ELSE s.__std END)"
+            ).alias("__stds"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            vec_col,
+            F.zip_with(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    "__means",
+                    lambda x, m: x - m,
+                ),
+                "__stds",
+                lambda c, s: c / s,
+            ),
+        )
+        .drop("__means", "__stds")
+    )

@@ -73,3 +73,98 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents")
     return oov_rate(d, "doc_id", "text", group_col="lang", vocab_size=200)
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts — users grouped by first-activity day, counted
+# per day-offset. Two aggregates and one user-keyed join; the cohort
+# matrix itself is tiny (days × offsets).
+# --------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+      GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, datediff('day', f.cohort_day, a.day)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding statistics — the fit half of feature
+# standardization. Arbitrary-float moments are NOT cross-engine
+# deterministic (decimal quantization of a float rounds differently
+# per engine, double sums are order-dependent), so the elements are
+# quantized IDENTICALLY in both dialects first — floor(v·1e6), exact
+# double math everywhere — and the integer moments then sum
+# associatively (DECIMAL(38,0)). Stats are therefore "at 1e-6
+# element precision": deterministic on any engine, any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "embedding_dim_stats",
+    """
+    WITH vals AS (
+      SELECT u.i AS pos,
+             CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1000000.0)
+                  AS DECIMAL(38,0)) AS q
+      FROM embeddings e, UNNEST(range(1, 65)) AS u(i)
+    ),
+    m AS (
+      SELECT pos - 1 AS pos, COUNT(*) AS n,
+             CAST(SUM(q) AS DOUBLE) AS sq,
+             CAST(SUM(q * q) AS DOUBLE) AS sqq
+      FROM vals GROUP BY pos
+    )
+    SELECT pos, n,
+           (sq / n) / 1000000.0 AS mean,
+           ((sqq - sq * sq / n) / (n - 1)) / 1000000000000.0 AS var
+    FROM m
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = F.floor(F.col("__v").cast("double") * 1000000.0).cast("decimal(38,0)")
+    m = (
+        em.select(F.posexplode("embedding").alias("pos", "__v"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").cast("double").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        )
+    )
+    return m.select(
+        "pos",
+        "n",
+        ((F.col("sq") / F.col("n")) / 1000000.0).alias("mean"),
+        (
+            ((F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")) / (F.col("n") - 1))
+            / 1000000000000.0
+        ).alias("var"),
+    )

@@ -145,3 +145,22 @@ def test_incremental_index_append_equals_rebuild(clustered):
         for r in ivf_topk_from_index(full, q, cents, k=5, nprobe=2).collect()
     }
     assert inc == reb and len(inc) == 20
+
+
+def test_standardize_embeddings_zero_mean_unit_std(clustered):
+    from etl_python_azure_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    out = standardize_embeddings(clustered, "vec_id", "embedding")
+    assert out.columns == clustered.columns
+    stats = (
+        out.select(F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"), F.stddev_samp("v").alias("s"))
+        .collect()
+    )
+    assert len(stats) == 8
+    for r in stats:
+        assert abs(r.m) < 1e-9
+        assert abs(r.s - 1.0) < 1e-9
