@@ -88,6 +88,10 @@ def stateful_sessions(
 
     Caller must set a watermark on *ts_col* upstream; replays inside
     the watermark horizon are handled by the checkpointed store.
+    Batching-invariant for in-order delivery (same closed sessions
+    whatever the micro-batch boundaries — tested); events arriving
+    behind the watermark are dropped as late, per the standard
+    watermark contract.
     """
 
     out_schema = (

@@ -117,3 +117,40 @@ def test_stateful_sessions_inbatch_and_timeout_close(spark, tmp_path):
     assert (1, 1, 4.0, t(100), t(100)) in got  # timeout-closed session
     assert (1, 2, 3.0, t(0), t(10)) in got
     assert not any(u == 2 for (u, *_ ) in got)  # user 2 still open
+
+
+def test_stateful_sessions_batching_invariant(spark, tmp_path):
+    """Closed sessions must not depend on how events split into
+    micro-batches (1 batch vs 3 restarts over the same data)."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    # in global ts order: batch splits must respect the watermark
+    # contract (events older than wm are dropped as late by design)
+    rows = [
+        (1, ts(0), 1.0), (2, ts(5), 1.0), (1, ts(10), 2.0),
+        (2, ts(50), 1.0), (1, ts(100), 4.0), (2, ts(200), 8.0),
+    ]
+    late = (9, datetime(2024, 1, 1, 2, 0, 0), 0.0)  # advances watermark
+
+    def run(groups, tag):
+        src = str(tmp_path / f"src_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        for g in groups:
+            spark.createDataFrame(g, SESS_SCHEMA).write.mode("append").parquet(src)
+            _run_sessions(spark, src, ckpt, out)
+        return {
+            (r.user_id, r.n_events, r.total_value, r.session_start, r.session_end)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    one = run([rows + [late]], "one")
+    three = run([rows[:3], rows[3:5], rows[5:] + [late]], "three")
+    assert one == three
+    # all six real events land in closed sessions (user 9 still open)
+    assert sum(n for (_, n, *_rest) in one) == 6
