@@ -142,7 +142,11 @@ def main() -> None:
             fn(spark, sf_num, root)
             timings[name] = round(time.time() - t0, 3)
         except Exception:
-            pass
+            # a missing row must be LOUD, not a silently smaller total
+            import traceback
+
+            print(f"pipeline bench {name} FAILED:", file=sys.stderr)
+            traceback.print_exc()
         finally:
             shutil.rmtree(root, ignore_errors=True)
         spark.catalog.clearCache()

@@ -28,11 +28,15 @@ _REPORT_COLS = ("check_name", "n_rows", "n_violations", "passed")
 
 
 def _finish(df: DataFrame) -> DataFrame:
+    # empty inputs make SUM() NULL; a NULL report row would vanish
+    # from either side of a passed-based gate — coalesce to (0, 0)
+    n_rows = F.coalesce(F.col("n_rows").cast("long"), F.lit(0))
+    n_viol = F.coalesce(F.col("n_violations").cast("long"), F.lit(0))
     return df.select(
         "check_name",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_violations").cast("long").alias("n_violations"),
-        (F.col("n_violations") == 0).alias("passed"),
+        n_rows.alias("n_rows"),
+        n_viol.alias("n_violations"),
+        (n_viol == 0).alias("passed"),
     )
 
 
@@ -43,6 +47,8 @@ def row_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     every row (NULL counts as a violation — an unknown is not a
     pass).
     """
+    if not checks:
+        raise ValueError("row_checks requires at least one check")
     aggs = [
         F.sum(
             F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
@@ -51,7 +57,8 @@ def row_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     ]
     wide = df.agg(F.count("*").alias("__n"), *aggs)
     stack = ", ".join(
-        f"'{name}', __v_{i}" for i, name in enumerate(checks)
+        "'{}', __v_{}".format(name.replace("'", "\\'"), i)
+        for i, name in enumerate(checks)
     )
     long = wide.select(
         F.col("__n").alias("n_rows"),

@@ -323,7 +323,6 @@ def chunk_documents(
     a doc may be shorter than *chunk_tokens*.
     """
     toks = F.split(F.col(text_col), " ")
-    starts = F.expr(f"sequence(1, greatest(size(__toks), 1), {stride})")
     chunk = F.expr(
         f"transform(sequence(1, greatest(size(__toks), 1), {stride}), "
         f"s -> struct(cast((s - 1) / {stride} as int) as chunk_idx, "

@@ -156,11 +156,17 @@ def _arrow_local_df(spark: SparkSession, records: list[dict]) -> DataFrame | Non
             return has_null_type(t.key_type) or has_null_type(t.item_type)
         return False
 
+    # from_pylist takes the column set from the FIRST row; ragged
+    # payloads (drift) must contribute the UNION of keys, missing →
+    # NULL, to match read.json's semantics
+    keys: set[str] = set()
+    for r in records:
+        keys.update(r)
+    normalized = [{k: r.get(k) for k in keys} for r in records]
     try:
-        tbl = pa.Table.from_pylist(records)
-    except pa.ArrowInvalid:
-        return None
-    except pa.ArrowTypeError:
+        tbl = pa.Table.from_pylist(normalized)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        # includes ints beyond int64 — read.json widens, Arrow can't
         return None
     if any(has_null_type(f.type) for f in tbl.schema):
         return None

@@ -132,8 +132,19 @@ def stateful_sessions(
             ts_us = int(ts.value // 1_000)  # pandas ns → us
             if n == 0:
                 start, last, n, s = ts_us, ts_us, 1, float(val)
-            elif ts_us - last < gap_us:
+            elif ts_us >= last and ts_us - last < gap_us:
                 last, n, s = ts_us, n + 1, s + float(val)
+            elif ts_us < last:
+                # cross-batch out-of-order arrival inside the
+                # watermark horizon: merge when within gap of the
+                # session's span — extending start backward, never
+                # regressing `last` (a regressed `last` would corrupt
+                # later gap decisions); an event > gap older than the
+                # span is its own already-closed session
+                if ts_us >= start - gap_us:
+                    start, n, s = min(start, ts_us), n + 1, s + float(val)
+                else:
+                    yield _row(key, ts_us, ts_us, 1, float(val))
             else:  # in-batch gap: close the old session, open a new one
                 yield _row(key, start, last, n, s)
                 start, last, n, s = ts_us, ts_us, 1, float(val)

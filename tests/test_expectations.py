@@ -41,3 +41,35 @@ def test_quality_report_counts_violations(spark):
         "unique(k)": (4, 2, False),
         "fk(k->pk)": (4, 1, False),
     }
+
+
+def test_quality_report_on_empty_input(spark):
+    empty = spark.createDataFrame([], "k long, v double")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    rep = combine_reports(
+        [
+            row_checks(empty, {"v_positive": F.col("v") > 0}),
+            unique_check(empty, ["k"]),
+            referential_check(empty, parent, "k", "pk"),
+        ]
+    )
+    got = {
+        r.check_name: (r.n_rows, r.n_violations, r.passed)
+        for r in rep.collect()
+    }
+    # zero rows, zero violations, every check passes — no NULLs
+    assert got == {
+        "v_positive": (0, 0, True),
+        "unique(k)": (0, 0, True),
+        "fk(k->pk)": (0, 0, True),
+    }
+
+
+def test_row_checks_quoted_name_and_empty_dict(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    got = row_checks(df, {"o'brien rule": F.col("k") > 0}).collect()
+    assert got[0].check_name == "o'brien rule" and got[0].passed
+    with pytest.raises(ValueError):
+        row_checks(df, {})

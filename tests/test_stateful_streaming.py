@@ -154,3 +154,35 @@ def test_stateful_sessions_batching_invariant(spark, tmp_path):
     assert one == three
     # all six real events land in closed sessions (user 9 still open)
     assert sum(n for (_, n, *_rest) in one) == 6
+
+
+def test_stateful_sessions_out_of_order_within_watermark(spark, tmp_path):
+    """A cross-batch out-of-order event inside the watermark horizon
+    must not regress the session's end: the reviewer scenario — t=5
+    arriving after (0, 10) — then t=38 (38-10=28 < gap) extends the
+    SAME session instead of splitting."""
+    from datetime import datetime
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (1, ts(10), 1.0)], SESS_SCHEMA
+    ).write.parquet(src)
+    _run_sessions(spark, src, ckpt, out)  # state: last=10, wm ~ 0
+    spark.createDataFrame(
+        [(1, ts(5), 1.0), (1, ts(38), 1.0)], SESS_SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_sessions(spark, src, ckpt, out)
+    spark.createDataFrame(
+        [(9, datetime(2024, 1, 1, 2, 0, 0), 0.0)], SESS_SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_sessions(spark, src, ckpt, out)  # timeout-close user 1
+    got = {
+        (r.user_id, r.n_events, r.total_value, r.session_start, r.session_end)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 4, 4.0, ts(0), ts(38))}
