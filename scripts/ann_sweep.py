@@ -39,7 +39,9 @@ def recall_and_cost(spark, emb, queries, truth, method, **knobs):
     if method == "ivf":
         approx = ivf_topk(emb, queries, k=K, **knobs)
         # cost: probed-cell membership joined per query
-        cents = ivf_centroids(emb, num_centroids=knobs["num_centroids"])
+        cents = knobs.get("centroids")
+        if cents is None:
+            cents = ivf_centroids(emb, num_centroids=knobs["num_centroids"])
         cn = with_norm(emb.select("vec_id", "embedding"))
         inv = _nearest_cells(cn, cents, "vec_id", "embedding", 1)
         cell_sizes = inv.groupBy("cell").count()
@@ -91,6 +93,17 @@ def main():
             num_centroids=16, nprobe=nprobe,
         )
         print(f"| IVF | C=16, nprobe={nprobe} | {r:.3f} | {c} |"
+              f" {c / brute_cost:.2%} |")
+    from etl_python_azure_spark.operators.similarity import kmeans_centroids
+
+    trained = kmeans_centroids(emb, num_centroids=16, max_iter=6)
+    trained.persist().count()
+    for nprobe in (1, 2, 4, 8):
+        r, c = recall_and_cost(
+            spark, emb, queries, truth, "ivf",
+            nprobe=nprobe, centroids=trained,
+        )
+        print(f"| IVF-kmeans | C=16, nprobe={nprobe} | {r:.3f} | {c} |"
               f" {c / brute_cost:.2%} |")
     for planes, tables_note in ((2, 1), (3, 1), (4, 1), (5, 1)):
         r, c = recall_and_cost(
