@@ -381,3 +381,60 @@ def oov_rate(
             / F.count("*")
         ).alias("oov_rate"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip boilerplate lines — lines appearing in ≥ *min_docs*
+    distinct documents (nav bars, cookie banners, signatures) — and
+    reassemble each document with its remaining lines in original
+    order. The standard web-corpus cleaning pass (CCNet-style),
+    line-frequency-driven so it needs no patterns.
+
+    Shape: one explode → one (line → doc-count) aggregate → one
+    equi-join back → one per-doc reassembly aggregate
+    (``array_sort`` of (line_no, line) structs, so order survives
+    the shuffle). The boilerplate table is |distinct lines| rows —
+    joined, not broadcast, since at corpus scale it is corpus-sized.
+
+    Output: (id, cleaned_text, n_lines_kept, n_lines_removed);
+    documents that were ALL boilerplate come back with an empty
+    string, not a dropped row.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    )
+    boiler = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line", F.lit(True).alias("__is_boiler"))
+    )
+    marked = lines.join(boiler, "__line", "left")
+    rebuilt = marked.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN __is_boiler IS NULL"
+                " THEN struct(__ln, __line) END)), s -> s.__line)"
+            ),
+        ).alias("cleaned_text"),
+        F.sum(F.when(F.col("__is_boiler").isNull(), 1).otherwise(0)).alias(
+            "n_lines_kept"
+        ),
+        F.sum(F.when(F.col("__is_boiler").isNotNull(), 1).otherwise(0)).alias(
+            "n_lines_removed"
+        ),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
+    )

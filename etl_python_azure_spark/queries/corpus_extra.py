@@ -168,3 +168,76 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000000.0
         ).alias("var"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate-line removal — injected nav/banner lines (every even
+# doc gets one, every third doc another; each doc keeps its unique
+# body line) are detected purely by document-frequency and stripped;
+# reassembly preserves line order. CCNet-style cleaning, no patterns.
+# --------------------------------------------------------------------------
+@register(
+    "boilerplate_removal",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                  THEN chr(10) || 'Subscribe to our newsletter!'
+                ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'This site uses cookies.'
+                ELSE '' END AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(t, chr(10)), 1) AS ln,
+             UNNEST(string_split(t, chr(10))) AS line
+      FROM inj
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+      SELECT l.* FROM lines l LEFT JOIN boiler b ON b.line = l.line
+      WHERE b.line IS NULL
+    )
+    SELECT i.doc_id,
+           COALESCE(k.cleaned_text, '') AS cleaned_text,
+           COALESCE(k.n_lines_kept, 0) AS n_lines_kept,
+           (SELECT COUNT(*) FROM lines l2 WHERE l2.doc_id = i.doc_id)
+             - COALESCE(k.n_lines_kept, 0) AS n_lines_removed
+    FROM inj i LEFT JOIN (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY ln) AS cleaned_text,
+             COUNT(*) AS n_lines_kept
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import remove_boilerplate_lines
+
+    d = load_tables(spark, sf_dir, "documents")
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nSubscribe to our newsletter!"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nThis site uses cookies."),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return remove_boilerplate_lines(inj, "doc_id", "t", min_docs=10).select(
+        "doc_id",
+        "cleaned_text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+    )
