@@ -241,3 +241,51 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-balanced language mixture (T=2): sampling weights
+# ∝ n^(1/T) upweight tail languages vs proportional sampling.
+# T=2 on purpose — n^(1/2) is sqrt, correctly rounded in every IEEE
+# engine, while general pow() may differ by 1 ulp between libms.
+# The denominator folds over the per-lang sqrts in lang order
+# (sorted fold ≡ DuckDB list ORDER BY), so the sum is deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "temperature_mixture",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    d AS (
+      SELECT list_reduce(
+               list_transform(list(n_docs ORDER BY lang),
+                              x -> sqrt(CAST(x AS DOUBLE))),
+               (a, b) -> a + b) AS denom
+      FROM c
+    )
+    SELECT c.lang, c.n_docs,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom AS weight,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom * 100000.0
+             AS expected_docs_100k
+    FROM c, d
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    denom = counts.agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n_docs"))).alias("__arr")
+    ).select(
+        F.expr(
+            "aggregate(__arr, 0D, (acc, x) -> acc"
+            " + sqrt(CAST(x.n_docs AS DOUBLE)))"
+        ).alias("__denom")
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("__denom")
+    return counts.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        w.alias("weight"),
+        (w * 100000.0).alias("expected_docs_100k"),
+    )
