@@ -63,6 +63,8 @@ OPTIONAL = [
     "domain_extraction_stats",
     "prefix_jaccard_pairs",
     "data_quality_report",
+    "boilerplate_removal",
+    "document_chunks",
 ]
 
 

@@ -52,6 +52,11 @@ QUERIES = [
     "prefix_jaccard_pairs",
     "data_quality_report",
     "sketch_distinct_maintenance",
+    "boilerplate_removal",
+    "document_chunks",
+    "oov_rate_by_lang",
+    "retention_cohorts",
+    "embedding_dim_stats",
 ]
 
 
