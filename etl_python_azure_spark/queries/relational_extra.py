@@ -446,3 +446,147 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: pure filter + sum, the
+# canonical predicate-pushdown probe (no join, no group).
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * F.col("l_discount"),
+                "revenue",
+                "decimal(24,6)",
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized order statistics — robust mean with tails clipped at
+# p05/p95. Percentile cuts are interpolated BY HAND (floor/ceil rank
+# + identical lerp order in both dialects): engine-native
+# quantile_cont/percentile internals are free to round differently,
+# hand-rolled interpolation is bit-reproducible anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "winsorized_order_stats",
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    ),
+    cuts AS (
+      SELECT o_orderstatus,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT) + 1
+                 THEN o_totalprice END) AS lo_a,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT) + 2
+                 THEN o_totalprice END) AS lo_b,
+             MAX((n - 1) * CAST(0.05 AS DOUBLE) - floor((n - 1) * CAST(0.05 AS DOUBLE))) AS lo_f,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) + 1
+                 THEN o_totalprice END) AS hi_a,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) + 2
+                 THEN o_totalprice END) AS hi_b,
+             MAX((n - 1) * CAST(0.95 AS DOUBLE) - floor((n - 1) * CAST(0.95 AS DOUBLE))) AS hi_f
+      FROM ranked GROUP BY o_orderstatus
+    ),
+    c2 AS (
+      SELECT o_orderstatus,
+             lo_a + (COALESCE(lo_b, lo_a) - lo_a) * lo_f AS lo_cut,
+             hi_a + (COALESCE(hi_b, hi_a) - hi_a) * hi_f AS hi_cut
+      FROM cuts
+    )
+    SELECT r.o_orderstatus,
+           COUNT(*) AS n,
+           c2.lo_cut, c2.hi_cut,
+           CAST(SUM(CAST(
+             CASE WHEN r.o_totalprice < c2.lo_cut THEN c2.lo_cut
+                  WHEN r.o_totalprice > c2.hi_cut THEN c2.hi_cut
+                  ELSE r.o_totalprice END AS DECIMAL(24,6))) AS DOUBLE)
+             / COUNT(*) AS winsorized_mean
+    FROM ranked r JOIN c2 USING (o_orderstatus)
+    GROUP BY r.o_orderstatus, c2.lo_cut, c2.hi_cut
+    """,
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def cut(p, a, b, f):
+        idx = F.floor((F.col("n") - 1) * p).cast("bigint")
+        frac = (F.col("n") - 1) * p - F.floor((F.col("n") - 1) * p)
+        return [
+            F.max(
+                F.when(F.col("rn") == idx + 1, F.col("o_totalprice"))
+            ).alias(a),
+            F.max(
+                F.when(F.col("rn") == idx + 2, F.col("o_totalprice"))
+            ).alias(b),
+            F.max(frac).alias(f),
+        ]
+
+    cuts = ranked.groupBy("o_orderstatus").agg(
+        *cut(0.05, "lo_a", "lo_b", "lo_f"), *cut(0.95, "hi_a", "hi_b", "hi_f")
+    )
+    c2 = cuts.select(
+        "o_orderstatus",
+        (
+            F.col("lo_a")
+            + (F.coalesce("lo_b", "lo_a") - F.col("lo_a")) * F.col("lo_f")
+        ).alias("lo_cut"),
+        (
+            F.col("hi_a")
+            + (F.coalesce("hi_b", "hi_a") - F.col("hi_a")) * F.col("hi_f")
+        ).alias("hi_cut"),
+    )
+    clipped = (
+        ranked.join(F.broadcast(c2), "o_orderstatus")
+        .withColumn(
+            "__w",
+            F.when(F.col("o_totalprice") < F.col("lo_cut"), F.col("lo_cut"))
+            .when(F.col("o_totalprice") > F.col("hi_cut"), F.col("hi_cut"))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    return clipped.groupBy("o_orderstatus", "lo_cut", "hi_cut").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("__w").cast("decimal(24,6)")).cast("double")
+            / F.count("*")
+        ).alias("winsorized_mean"),
+    ).select(
+        "o_orderstatus", "n", "lo_cut", "hi_cut", "winsorized_mean"
+    )
