@@ -8,7 +8,7 @@ local DuckDB oracle and the judge's re-run carry the signal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import chunk_documents, oov_rate
@@ -288,4 +288,82 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         w.alias("weight"),
         (w * 100000.0).alias("expected_docs_100k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrent sessions per day — sweep-line over session
+# intervals: explode (start,+1)/(end,−1) deltas, running-sum within
+# the day partition (ends sort before starts at the same instant:
+# end-exclusive sessions don't overlap their successor), max per
+# day. Day-partitioned windows only — no global ordering anywhere.
+# Sessions are attributed to their start day (documented bound).
+# --------------------------------------------------------------------------
+@register(
+    "daily_peak_concurrency",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    deltas AS (
+      SELECT CAST(s AS DATE) AS day, s AS at, 1 AS d FROM intervals
+      UNION ALL
+      SELECT CAST(s AS DATE) AS day, e AS at, -1 AS d FROM intervals
+    ),
+    running AS (
+      SELECT day,
+             SUM(d) OVER (
+               PARTITION BY day ORDER BY at, d
+               ROWS UNBOUNDED PRECEDING
+             ) AS live
+      FROM deltas
+    )
+    SELECT day, MAX(live) AS peak_concurrency,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_session_bounds
+    FROM running GROUP BY day
+    """,
+)
+def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+
+    e = load_tables(spark, sf_dir, "events")
+    iv = sessionize(e, "ts", ["user_id"], gap="30 minutes").select(
+        F.col("session_start").alias("s"), F.col("session_end").alias("e")
+    )
+    deltas = iv.select(
+        F.col("s").cast("date").alias("day"),
+        F.col("s").alias("at"),
+        F.lit(1).alias("d"),
+    ).unionByName(
+        iv.select(
+            F.col("s").cast("date").alias("day"),
+            F.col("e").alias("at"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("at", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("live", F.sum("d").over(w))
+    return running.groupBy("day").agg(
+        F.max("live").alias("peak_concurrency"),
+        (F.count("*") / 2).cast("long").alias("n_session_bounds"),
     )
