@@ -1,7 +1,10 @@
 """Relational + extension operators (SURVEY §2.3–2.8 and north-star ops)."""
 
 from .aggregates import (  # noqa: F401
+    distinct_sketch,
     finalize_avg,
+    finalize_distinct,
+    merge_distinct_sketches,
     merge_partial_aggregates,
     partial_aggregate,
 )
@@ -10,6 +13,7 @@ from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
     embedding_cosine_pairs,
     exact_dedup,
+    prefix_filter_jaccard_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -30,9 +34,21 @@ from .similarity import (  # noqa: F401
     standardize_embeddings,
 )
 from .skew import salted_aggregate, salted_join  # noqa: F401
+from .expectations import (  # noqa: F401
+    combine_reports,
+    referential_check,
+    row_checks,
+    unique_check,
+)
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprints,
     language_id,
+    oov_rate,
+    pii_stats,
+    redact_pii,
+    remove_boilerplate_lines,
     text_quality,
     token_counts,
+    url_domains,
 )
