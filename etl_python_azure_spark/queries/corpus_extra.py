@@ -357,12 +357,31 @@ def daily_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
-    w = (
+    # two-phase running sum (same shape as distributed_prefix_sum):
+    # within-(day,hour) windows run parallel; cross-hour carry comes
+    # from a per-day cumulative over the per-hour totals — a window
+    # over ≤24 rows per day, safe at any scale. A single per-day
+    # window would drag every delta of a day into one task at 100 TB.
+    deltas = deltas.withColumn("hr", F.date_trunc("hour", "at"))  # keeps the DATE: a session ending past midnight must sort after its day's starts
+    per_hour = deltas.groupBy("day", "hr").agg(F.sum("d").alias("__hsum"))
+    w_off = (
         Window.partitionBy("day")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_hour.select(
+        "day",
+        "hr",
+        F.coalesce(F.sum("__hsum").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("day", "hr")
         .orderBy("at", "d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = deltas.withColumn("live", F.sum("d").over(w))
+    running = deltas.join(F.broadcast(offsets), ["day", "hr"]).withColumn(
+        "live", F.sum("d").over(w_in) + F.col("__off")
+    )
     return running.groupBy("day").agg(
         F.max("live").alias("peak_concurrency"),
         (F.count("*") / 2).cast("long").alias("n_session_bounds"),

@@ -489,6 +489,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + identical lerp order in both dialects): engine-native
 # quantile_cont/percentile internals are free to round differently,
 # hand-rolled interpolation is bit-reproducible anywhere.
+# Scale note: the per-status rank is the exactness gate's cost (3
+# sort groups); at 100 TB compute the cuts with approx_percentile
+# instead and keep the clip + decimal mean — see SCALING.md.
 # --------------------------------------------------------------------------
 @register(
     "winsorized_order_stats",
