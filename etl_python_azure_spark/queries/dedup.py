@@ -379,3 +379,61 @@ def prefix_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware representative selection: within each exact-dup
+# cluster keep the BEST copy by an explicit priority, not the
+# arbitrary min-id — the policy real corpus dedup wants (keep the
+# longest / cleanest / most recent copy). Priority here is
+# doc_id-derived so injected copies genuinely differ and ties still
+# break deterministically (priority desc, doc_id asc).
+# --------------------------------------------------------------------------
+@register(
+    "dedup_keep_best",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    scored AS (
+      SELECT doc_id, text, md5(text) AS fingerprint,
+             CAST(doc_id % 7 AS DOUBLE) AS priority
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, fingerprint, priority,
+             ROW_NUMBER() OVER (
+               PARTITION BY fingerprint ORDER BY priority DESC, doc_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+      FROM scored
+    )
+    SELECT doc_id, fingerprint, priority, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dupes)
+    scored = corpus.select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        (F.col("doc_id") % 7).cast("double").alias("priority"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("fingerprint")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "priority", "n_copies")
+    )

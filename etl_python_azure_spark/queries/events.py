@@ -303,6 +303,41 @@ def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of join — last view value before each purchase, per user
+# (right side deduped on (user, ts) for determinism)
+# --------------------------------------------------------------------------
+@register(
+    "asof_last_view_before_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.value AS asof_value, v.ts AS asof_vts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select("user_id", F.col("ts").alias("vts"), "value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="vts"
+    )
+
+
+# --------------------------------------------------------------------------
 # gap-filled daily activity — date spine × user, zero-filled counts
 # (bounded to user_id < 20 to keep the spine product intentional)
 # --------------------------------------------------------------------------
@@ -354,41 +389,6 @@ def daily_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
         )
-    )
-
-
-# --------------------------------------------------------------------------
-# As-of join — last view value before each purchase, per user
-# (right side deduped on (user, ts) for determinism)
-# --------------------------------------------------------------------------
-@register(
-    "asof_last_view_before_purchase",
-    """
-    WITH v AS (
-      SELECT user_id, ts, max(value) AS value
-      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
-    ),
-    p AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
-    )
-    SELECT p.event_id, p.user_id, p.ts,
-           v.value AS asof_value, v.ts AS asof_vts
-    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-    """,
-)
-def asof_last_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_tables(spark, sf_dir, "events")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-        .select("user_id", F.col("ts").alias("vts"), "value")
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    return asof_join(
-        purchases, views, on="user_id", left_ts="ts", right_ts="vts"
     )
 
 
