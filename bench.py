@@ -65,6 +65,9 @@ OPTIONAL = [
     "data_quality_report",
     "boilerplate_removal",
     "document_chunks",
+    "daily_peak_concurrency",
+    "winsorized_order_stats",
+    "dedup_keep_best",
 ]
 
 

@@ -57,6 +57,11 @@ QUERIES = [
     "oov_rate_by_lang",
     "retention_cohorts",
     "embedding_dim_stats",
+    "daily_peak_concurrency",
+    "winsorized_order_stats",
+    "dedup_keep_best",
+    "temperature_mixture",
+    "forecast_revenue_change",
 ]
 
 
