@@ -207,7 +207,7 @@ def vocabulary_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           COALESCE(cum_before, 0) // 2048 AS bin_id
+           CAST(COALESCE(cum_before, 0) // 2048 AS BIGINT) AS bin_id
     FROM t
     """,
 )
@@ -272,9 +272,11 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
-           SUM(len(regexp_extract_all(lower(text),
-                 '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS total_bpe_ish_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+             AS total_bpe_ish_tokens
     FROM sampled GROUP BY source
     """,
 )

@@ -63,9 +63,10 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS total_tokens,
-           SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
-           SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) * 1.0
-             / COUNT(*) AS oov_rate
+           CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS oov_rate
     FROM tl LEFT JOIN vocab v USING (token)
     GROUP BY lang
     """,
@@ -334,7 +335,7 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS live
       FROM deltas
     )
-    SELECT day, MAX(live) AS peak_concurrency,
+    SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrency,
            CAST(COUNT(*) // 2 AS BIGINT) AS n_session_bounds
     FROM running GROUP BY day
     """,

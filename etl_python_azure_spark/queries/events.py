@@ -142,8 +142,9 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(gap_us) AS n_gaps,
-           SUM(gap_us) AS total_gap_us,
-           SUM(gap_us) / (COUNT(gap_us) * 1000000.0) AS avg_gap_sec
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE)
+             / (COUNT(gap_us) * CAST(1000000 AS DOUBLE)) AS avg_gap_sec
     FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
     """,
 )

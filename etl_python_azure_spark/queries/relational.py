@@ -1718,7 +1718,8 @@ def bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_rollup",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,

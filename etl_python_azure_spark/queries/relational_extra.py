@@ -381,17 +381,17 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_report",
     """
     SELECT 'o_totalprice_positive' AS check_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
-               THEN 0 ELSE 1 END) AS n_violations,
+           CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
            SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
                THEN 0 ELSE 1 END) = 0 AS passed
     FROM orders
     UNION ALL
     SELECT 'o_orderdate_in_range', COUNT(*),
-           SUM(CASE WHEN COALESCE(
+           CAST(SUM(CASE WHEN COALESCE(
                  o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
                  AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00', FALSE)
-               THEN 0 ELSE 1 END),
+               THEN 0 ELSE 1 END) AS BIGINT),
            SUM(CASE WHEN COALESCE(
                  o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'
                  AND o_orderdate < TIMESTAMP '2005-01-01 00:00:00', FALSE)
@@ -408,7 +408,8 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     UNION ALL
     SELECT 'fk(l_orderkey->o_orderkey)', COUNT(*),
-           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
            SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
     FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
       ON o.o_orderkey = l.l_orderkey

@@ -90,6 +90,19 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # parquet naive timestamps may surface as TIMESTAMP_NTZ
+        # (depends on spark.sql.parquet.inferTimestampNTZ / version
+        # defaults, which differ between our session and the round
+        # driver's). Normalize to session-tz TIMESTAMP: with the UTC
+        # pin above the wall-clock values are preserved exactly, and
+        # every epoch/cast expression downstream stays valid.
+        ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        if ntz_cols:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns(
+                {c: F.col(c).cast("timestamp") for c in ntz_cols}
+            )
         dfs[n] = df
     if len(names) == 1:
         return dfs[names[0]]
