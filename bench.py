@@ -68,6 +68,13 @@ OPTIONAL = [
     "daily_peak_concurrency",
     "winsorized_order_stats",
     "dedup_keep_best",
+    # round-3 surface: the plan-interesting newcomers
+    "passage_dup_stats",
+    "cluster_safe_splits",
+    "rolling_7d_active_users",
+    "session_funnel",
+    "decile_spend_profile",
+    "event_transition_matrix",
 ]
 
 

@@ -47,16 +47,68 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The correctness driver records the FIRST 50 registry entries each
+# round, so ordering is load-bearing. r01 covered the relational
+# suite; r02 covered dedup/similarity/text/multimodal/corpus/
+# streaming-equiv plus the events head. The r03 window pins, in
+# order: the three r02 hash-mismatch queries (fixed this round —
+# HUGEINT casts), every query never yet driver-checked, and the new
+# round-3 surface. Everything else (double-green in r01/r02) follows.
+_R03_WINDOW = [
+    # fixed in round 3 (r02 hash_match=false → re-prove)
+    "sequence_packing",
+    "corpus_curation_pipeline",
+    "avg_inter_event_gap",
+    # never driver-checked (r01 ∪ r02 miss), prior registration order
+    "daily_activity_gapfill",
+    "positional_unnest_embeddings",
+    "views_before_purchase_ranged",
+    "similar_user_activity",
+    "document_chunks",
+    "oov_rate_by_lang",
+    "retention_cohorts",
+    "embedding_dim_stats",
+    "boilerplate_removal",
+    "temperature_mixture",
+    "daily_peak_concurrency",
+    "window_function_toolbox",
+    "moving_avg_order_price",
+    "supplier_variety_by_part",
+    "bilateral_trade_volume",
+    "variant_props_rollup",
+    "unpivot_order_metrics",
+    "array_toolbox_embeddings",
+    "filtered_aggregates",
+    "salted_quantity_by_flag",
+    "profile_orders_columns",
+    "priority_orders_with_big_items",
+    "dominant_part_suppliers",
+    "sole_late_suppliers",
+    "min_cost_supplier_per_part",
+    "returned_item_customers",
+    "top_revenue_supplier",
+    "small_quantity_revenue_loss",
+    "disjunctive_band_revenue",
+    "nation_market_share",
+    "profit_by_nation_year",
+    "data_quality_report",
+    "forecast_revenue_change",
+    "winsorized_order_stats",
+    # new in round 3
+    "passage_dup_stats",
+    "cluster_safe_splits",
+    "tokenizer_fertility_by_lang",
+    "late_ship_priority_orders",
+    "event_transition_matrix",
+    "rolling_7d_active_users",
+    "decile_spend_profile",
+    "session_funnel",
+    "source_lang_affinity",
+    "media_frame_sample",
+]
+
+
 def registry() -> dict[str, QuerySpec]:
-    # Import side-effect populates _REGISTRY; registration order is
-    # load-bearing: the correctness driver records the FIRST 50
-    # entries, so the LLM-pipeline modules register before the
-    # relational suite (all driver-green in round 1). With >50
-    # registered, rotate per round: r02's window covers every
-    # dedup/similarity/text/multimodal/corpus/streaming-equiv query
-    # plus the events head; the events tail (positional_unnest,
-    # views_ranged, similar_user — r01 local-green) and the newer
-    # relational_extra/data-quality queries rotate into r03's window.
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
@@ -67,5 +119,8 @@ def registry() -> dict[str, QuerySpec]:
     from . import corpus_extra  # noqa: F401
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
+    from . import round3  # noqa: F401
 
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in _R03_WINDOW if n in _REGISTRY}
+    ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
+    return ordered

@@ -62,6 +62,16 @@ QUERIES = [
     "dedup_keep_best",
     "temperature_mixture",
     "forecast_revenue_change",
+    "passage_dup_stats",
+    "cluster_safe_splits",
+    "tokenizer_fertility_by_lang",
+    "late_ship_priority_orders",
+    "event_transition_matrix",
+    "rolling_7d_active_users",
+    "decile_spend_profile",
+    "session_funnel",
+    "source_lang_affinity",
+    "media_frame_sample",
 ]
 
 
