@@ -52,6 +52,46 @@ def _rowset(rows, colnames):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _dtype_problems(sdf, pdf, srows):
+    """Pandas-dtype-class drift between the engines.
+
+    The round driver compares results after pandas conversion, where
+    DuckDB HUGEINT (any un-cast integer SUM) silently becomes
+    float64 and DECIMAL becomes object — so an exact value match on
+    ``fetchall`` rows (above) can still hash-mismatch in the driver.
+    Compare dtype classes the same way scripts/dtype_audit.py does;
+    date-vs-datetime is benign (driver-normalized, r01 evidence).
+    """
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dtype_audit import pandas_class, spark_class
+
+    s_classes = {
+        f.name: spark_class(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    d_classes = {c: pandas_class(pdf[c]) for c in pdf.columns}
+    benign = {("date", "datetime"), ("datetime", "date")}
+    # a Spark int column CONTAINING nulls also lands as float64 in
+    # pandas, so int-vs-float is benign iff the data has a null
+    # (schema nullability is too permissive to trust)
+    has_null = {
+        c: any(r[c] is None for r in srows) for c in sdf.columns
+    }
+    out = []
+    for c in s_classes:
+        if c not in d_classes:
+            continue
+        pair = (s_classes[c], d_classes[c])
+        if pair[0] == pair[1] or pair in benign:
+            continue
+        if pair == ("int", "float") and has_null.get(c):
+            continue
+        if "unknown-empty" in pair:
+            continue
+        out.append(f"dtype[{c}] spark={pair[0]} duckdb-pandas={pair[1]}")
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as e
     from etl_python_azure_spark.session import get_spark
@@ -85,6 +125,7 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
+            pdf = con.execute(oracles[name]).df()
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -92,7 +133,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {ex}")
             continue
-        problems = []
+        problems = _dtype_problems(sdf, pdf, srows)
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
