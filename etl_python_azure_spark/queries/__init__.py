@@ -105,6 +105,7 @@ _R03_WINDOW = [
     "session_funnel",
     "source_lang_affinity",
     "media_frame_sample",
+    "stateful_session_equiv",
 ]
 
 

@@ -169,3 +169,62 @@ def sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.col("exact_distinct")
         ).alias("est_within_2pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful sessionization ≡ SQL sessions.  The
+# applyInPandasWithState operator's per-event transition automaton
+# (streaming.stateful._session_step) runs here over a batch frame
+# via applyInPandas (pandas_sessions — identical code path, no state
+# store), and must reproduce the lag/running-sum session construction
+# exactly: same session boundaries, counts, and value totals (value
+# folds as integer cents, so the sum is order-exact; the final
+# /100.0 is the same IEEE division DuckDB's DECIMAL→DOUBLE cast
+# performs).  This is the driver-visible evidence for the one
+# operator whose logic lives in Python rather than Catalyst.
+# --------------------------------------------------------------------------
+@register(
+    "stateful_session_equiv",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stateful_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import pandas_sessions
+
+    e = load_tables(spark, sf_dir, "events")
+    cents = e.select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = pandas_sessions(
+        cents, "user_id", "ts", value_col="cents", gap_seconds=1800
+    )
+    return s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.col("total_value") / F.lit(100.0)).alias("total_value"),
+    )

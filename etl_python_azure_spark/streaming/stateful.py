@@ -64,6 +64,35 @@ def running_totals(
     )
 
 
+def _session_step(state, ts_us: int, val: float, gap_us: int):
+    """One event through the session automaton.
+
+    *state* is (start, last, n, value_sum) with n == 0 meaning "no
+    open session". Returns (closed_sessions, new_state) where each
+    closed session is a (start, last, n, value_sum) tuple. Shared by
+    the streaming update function and the batch ``pandas_sessions``
+    operator, so the driver's batch-equivalence oracle checks the
+    exact transition logic the state store runs.
+    """
+    start, last, n, s = state
+    if n == 0:
+        return [], (ts_us, ts_us, 1, val)
+    if ts_us >= last and ts_us - last < gap_us:
+        return [], (start, ts_us, n + 1, s + val)
+    if ts_us < last:
+        # cross-batch out-of-order arrival inside the watermark
+        # horizon: merge when within gap of the session's span —
+        # extending start backward, never regressing `last` (a
+        # regressed `last` would corrupt later gap decisions); an
+        # event > gap older than the span is its own already-closed
+        # session
+        if ts_us >= start - gap_us:
+            return [], (min(start, ts_us), last, n + 1, s + val)
+        return [(ts_us, ts_us, 1, val)], (start, last, n, s)
+    # gap reached: close the open session, start a new one
+    return [(start, last, n, s)], (ts_us, ts_us, 1, val)
+
+
 def stateful_sessions(
     stream: DataFrame,
     key_col: str = "user_id",
@@ -130,24 +159,11 @@ def stateful_sessions(
         events = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         for ts, val in zip(events[ts_col], events[value_col]):
             ts_us = int(ts.value // 1_000)  # pandas ns → us
-            if n == 0:
-                start, last, n, s = ts_us, ts_us, 1, float(val)
-            elif ts_us >= last and ts_us - last < gap_us:
-                last, n, s = ts_us, n + 1, s + float(val)
-            elif ts_us < last:
-                # cross-batch out-of-order arrival inside the
-                # watermark horizon: merge when within gap of the
-                # session's span — extending start backward, never
-                # regressing `last` (a regressed `last` would corrupt
-                # later gap decisions); an event > gap older than the
-                # span is its own already-closed session
-                if ts_us >= start - gap_us:
-                    start, n, s = min(start, ts_us), n + 1, s + float(val)
-                else:
-                    yield _row(key, ts_us, ts_us, 1, float(val))
-            else:  # in-batch gap: close the old session, open a new one
-                yield _row(key, start, last, n, s)
-                start, last, n, s = ts_us, ts_us, 1, float(val)
+            closed, (start, last, n, s) = _session_step(
+                (start, last, n, s), ts_us, float(val), gap_us
+            )
+            for c in closed:
+                yield _row(key, *c)
         state.update((start, last, n, s))
         state.setTimeoutTimestamp((last + gap_us) // 1_000)  # ms
     return stream.groupBy(key_col).applyInPandasWithState(
@@ -157,3 +173,53 @@ def stateful_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def pandas_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch twin of :func:`stateful_sessions`: the same per-event
+    session automaton (``_session_step``), run over a batch DataFrame
+    with ``applyInPandas``.
+
+    Exists so the custom stateful operator's transition logic is
+    batch-checkable against a SQL oracle (query
+    ``stateful_session_equiv``): identical code path, minus the
+    state store. Output matches the streaming op:
+    (key, session_start, session_end, n_events, total_value) with
+    session_end = last event time.
+    """
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        key = pdf[key_col].iloc[0]
+        state = (0, 0, 0, 0.0)
+        out = []
+        for ts, val in zip(pdf[ts_col], pdf[value_col]):
+            ts_us = int(ts.value // 1_000)
+            closed, state = _session_step(state, ts_us, float(val), gap_us)
+            out.extend(closed)
+        if state[2] > 0:
+            out.append(state)
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(out),
+                "session_start": [
+                    pd.Timestamp(c[0], unit="us") for c in out
+                ],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in out],
+                "n_events": [c[2] for c in out],
+                "total_value": [c[3] for c in out],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
