@@ -75,6 +75,8 @@ OPTIONAL = [
     "session_funnel",
     "decile_spend_profile",
     "event_transition_matrix",
+    "stateful_session_equiv",
+    "join_key_skew_profile",
 ]
 
 

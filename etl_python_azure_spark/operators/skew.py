@@ -83,3 +83,37 @@ def salted_aggregate(
     salted = _with_salt(df, buckets)
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Key-distribution diagnostics for a prospective join/aggregate.
+
+    One row: key cardinality, row count, the hottest key's row count
+    and share, exact p50/p99 per-key counts, and skew factor
+    (max / median). This is the pre-flight check that decides the
+    shuffle strategy at 100 TB: max_share ≈ 1/partitions means a
+    plain hash join serializes on one reducer → reach for
+    ``salted_join``/``salted_aggregate`` or AQE skew splitting.
+
+    Cost: one shuffle to count keys, then a single aggregate over
+    the (already small) per-key count table.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_key_rows"),
+        # Spark's percentile_disc returns DOUBLE; the picked value is
+        # an actual per-key count, so the bigint cast is exact
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __n)")
+        .cast("bigint")
+        .alias("p50_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY __n)")
+        .cast("bigint")
+        .alias("p99_key_rows"),
+        (F.max("__n").cast("double") / F.sum("__n")).alias("max_share"),
+        (
+            F.max("__n").cast("double")
+            / F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __n)")
+        ).alias("skew_factor"),
+    )

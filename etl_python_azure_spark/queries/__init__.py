@@ -106,6 +106,7 @@ _R03_WINDOW = [
     "source_lang_affinity",
     "media_frame_sample",
     "stateful_session_equiv",
+    "join_key_skew_profile",
 ]
 
 

@@ -505,3 +505,31 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("decoded_width") - 1, F.lit(8))
         ).alias("frame_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew pre-flight: the diagnostic run before committing a
+# 100 TB join strategy (plain hash vs salted vs AQE skew split).
+# Exact order statistics over the per-key count table.
+# --------------------------------------------------------------------------
+@register(
+    "join_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_key_rows,
+           quantile_disc(n, 0.5) AS p50_key_rows,
+           quantile_disc(n, 0.99) AS p99_key_rows,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS max_share,
+           CAST(MAX(n) AS DOUBLE) / quantile_disc(n, 0.5) AS skew_factor
+    FROM c
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    li = load_tables(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ["l_orderkey"])

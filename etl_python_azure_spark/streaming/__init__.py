@@ -6,4 +6,8 @@ from .pipeline import (  # noqa: F401
     stream_parquet_dir,
     windowed_stream_agg,
 )
-from .stateful import running_totals, stateful_sessions  # noqa: F401
+from .stateful import (  # noqa: F401
+    pandas_sessions,
+    running_totals,
+    stateful_sessions,
+)
