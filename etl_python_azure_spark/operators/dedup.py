@@ -241,6 +241,35 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def band_assignments(
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH band buckets (id, band, band_sig) from a shingle table —
+    the persistable dedup index.
+
+    Band fingerprint = md5(min ‖ max of the band's signature slots),
+    computed column-wise from the wide MinHash signature (no extra
+    shuffle beyond the signature aggregate). Write this table out
+    partitioned by band and appending a day's delta costs only the
+    delta's shingles — see :func:`incremental_lsh_pairs`.
+    """
+    sig = minhash_signatures(shingles, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    band_exprs = []
+    for b in range(n_bands):
+        slots = [f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        lo = f"least({', '.join(slots)})" if len(slots) > 1 else slots[0]
+        hi = f"greatest({', '.join(slots)})" if len(slots) > 1 else slots[0]
+        band_exprs.append(f"{b}L, md5(concat({lo}, {hi}))")
+    return sig.selectExpr(
+        id_col,
+        f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, band_sig)",
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -264,20 +293,7 @@ def minhash_lsh_pairs(
     # only over docs that appear in some candidate pair — the big
     # corpus-wide distinct shuffle shrinks to the collision set.
     sh = word_shingles(df, id_col, text_col, n, distinct=False).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    # band fingerprint = md5(min ‖ max of the band's signature slots),
-    # computed column-wise from the wide signature (no extra shuffle)
-    n_bands = num_hashes // band_size
-    band_exprs = []
-    for b in range(n_bands):
-        slots = [f"sig_{i}" for i in range(b * band_size, (b + 1) * band_size)]
-        lo = f"least({', '.join(slots)})" if len(slots) > 1 else slots[0]
-        hi = f"greatest({', '.join(slots)})" if len(slots) > 1 else slots[0]
-        band_exprs.append(f"{b}L, md5(concat({lo}, {hi}))")
-    bands = sig.selectExpr(
-        id_col,
-        f"stack({n_bands}, {', '.join(band_exprs)}) AS (band, band_sig)",
-    )
+    bands = band_assignments(sh, id_col, num_hashes, band_size)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_sig"])
@@ -294,6 +310,59 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_cand = sh.join(cand_ids, id_col, "left_semi").distinct()
+    return _jaccard_on_pairs(sh_cand, id_col, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING a delta of new documents, against an
+    existing corpus — without re-pairing base×base.
+
+    The daily-operation form of corpus dedup: the base's band
+    buckets (:func:`band_assignments`) are the persisted index; only
+    the delta computes shingles/signatures, and the candidate join
+    probes delta bands against (base ∪ delta) bands. Work scales
+    with |delta| and the touched buckets, not |corpus|² or even
+    |corpus| — yesterday's pairs are never recomputed.
+
+    Identical collision guarantees to :func:`minhash_lsh_pairs`
+    restricted to delta-involving pairs: a delta doc collides with
+    any base doc it would have collided with in the full run.
+    """
+    sh_b = word_shingles(base, id_col, text_col, n, distinct=False).persist()
+    sh_d = word_shingles(delta, id_col, text_col, n, distinct=False).persist()
+    bands_b = band_assignments(sh_b, id_col, num_hashes, band_size)
+    bands_d = band_assignments(sh_d, id_col, num_hashes, band_size)
+    all_bands = bands_b.unionByName(bands_d)
+    cand = (
+        bands_d.alias("a")
+        .join(all_bands.alias("b"), ["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_all = sh_b.unionByName(sh_d)
+    sh_cand = sh_all.join(cand_ids, id_col, "left_semi").distinct()
     return _jaccard_on_pairs(sh_cand, id_col, cand).filter(
         F.col("jaccard") >= threshold
     )

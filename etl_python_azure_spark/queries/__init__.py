@@ -107,6 +107,7 @@ _R03_WINDOW = [
     "media_frame_sample",
     "stateful_session_equiv",
     "join_key_skew_profile",
+    "incremental_dedup_pairs",
 ]
 
 

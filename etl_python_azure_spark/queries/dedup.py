@@ -437,3 +437,58 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "fingerprint", "priority", "n_copies")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a delta of new documents (exact copies of every
+# 7th doc, re-keyed +20000) lands on an existing corpus; only
+# delta-involving near-dup pairs are produced — base×base is never
+# re-paired (operators.dedup.incremental_lsh_pairs). The oracle
+# states the ground truth directly: all pairs with Jaccard ≥ 0.8
+# over the augmented corpus where one side is a delta doc. A copy
+# shares its original's MinHash signature, so every delta-involving
+# truth pair collides in the same bands the full run's (oracle-
+# verified) pairs do.
+# --------------------------------------------------------------------------
+@register(
+    "incremental_dedup_pairs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 20000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      WHERE a.doc_id >= 20000 OR b.doc_id >= 20000
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+    """,
+)
+def incremental_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_lsh_pairs
+
+    d = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    return incremental_lsh_pairs(
+        d, delta, "doc_id", "text", n=3, num_hashes=8, band_size=2,
+        threshold=0.8,
+    )
