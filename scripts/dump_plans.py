@@ -72,6 +72,9 @@ QUERIES = [
     "session_funnel",
     "source_lang_affinity",
     "media_frame_sample",
+    "stateful_session_equiv",
+    "join_key_skew_profile",
+    "incremental_dedup_pairs",
 ]
 
 
