@@ -99,7 +99,19 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
     only = set(sys.argv[1:])
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-environment mimic: a bare session with none of our
+        # factory's confs — load_tables must pin everything the query
+        # semantics rely on (ns timestamps, UTC, NTZ normalization)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-check-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

@@ -100,3 +100,23 @@ def test_decile_profile_covers_all_users(spark, sf_dir):
     prof = REG["decile_spend_profile"].builder(spark, sf_dir).collect()
     assert sum(r.n_users for r in prof) == n_users
     assert all(1 <= r.decile <= 10 for r in prof)
+
+
+def test_incremental_dedup_only_delta_pairs(spark, sf_dir):
+    """Incremental LSH must return ONLY delta-involving pairs (no
+    base×base re-pairing), and an unrelated delta yields nothing."""
+    from etl_python_azure_spark.operators.dedup import incremental_lsh_pairs
+
+    d = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    pairs = incremental_lsh_pairs(d, delta, "doc_id", "text").collect()
+    assert pairs  # exact copies guarantee hits
+    assert all(r.id_a >= 20000 or r.id_b >= 20000 for r in pairs)
+
+    unrelated = spark.createDataFrame(
+        [(99999, "entirely novel vocabulary zyx wvu tsr qpo nml kji")],
+        "doc_id long, text string",
+    )
+    assert incremental_lsh_pairs(d, unrelated, "doc_id", "text").count() == 0
