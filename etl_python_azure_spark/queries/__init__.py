@@ -16,6 +16,14 @@ exactly — see ``scripts/oracle_check.py``):
 - Every top-k has a unique tiebreaker column in the ordering.
 - Aliases match exactly between Spark and SQL (driver sorts columns
   by name before hashing).
+- PROJECTED integer aggregates in the oracle are wrapped in
+  ``CAST(... AS BIGINT)``: DuckDB ``SUM``/window-``SUM`` over
+  integers returns HUGEINT, which pandas renders as float64 —
+  an exact value match that still hash-mismatches in the driver's
+  pandas-based compare. Same for DECIMAL-typed float literals
+  (``1000000.0``) reaching an output column: force DOUBLE.
+  ``scripts/dtype_audit.py`` (also folded into oracle_check)
+  catches violations.
 """
 
 from __future__ import annotations
