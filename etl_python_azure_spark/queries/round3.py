@@ -533,3 +533,51 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_tables(spark, sf_dir, "lineitem")
     return key_skew_profile(li, ["l_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key, oracle-checked bit-for-bit: Morton-interleave
+# (l_partkey, l_suppkey) with operators.layout.zorder_key (pure JVM
+# bit arithmetic) and prove DuckDB reproduces every key exactly
+# (order-independent integer aggregates per return flag). Gives the
+# physical-layout operator — otherwise pytest-only — a driver row.
+# --------------------------------------------------------------------------
+@register(
+    "zorder_key_stats",
+    """
+    WITH z AS (
+      SELECT l_returnflag,
+             CAST(list_sum(list_transform(range(0, 16), i ->
+               ((((l_partkey % 65536) >> i) & 1) << (2 * i))
+               + ((((l_suppkey % 65536) >> i) & 1) << (2 * i + 1))
+             )) AS BIGINT) AS zkey
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           MIN(zkey) AS min_zkey,
+           MAX(zkey) AS max_zkey,
+           CAST(SUM(zkey) AS BIGINT) AS sum_zkey
+    FROM z GROUP BY l_returnflag
+    """,
+)
+def zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_key
+
+    li = load_tables(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_returnflag",
+        zorder_key(
+            [
+                F.pmod(F.col("l_partkey"), F.lit(65536)),
+                F.pmod(F.col("l_suppkey"), F.lit(65536)),
+            ],
+            bits=16,
+        ).alias("zkey"),
+    )
+    return z.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+        F.sum("zkey").alias("sum_zkey"),
+    )
