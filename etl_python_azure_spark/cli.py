@@ -47,8 +47,56 @@ def main(argv: list[str] | None = None) -> int:
         "for the CDC split; omit for a first full load",
     )
 
+    q = sub.add_parser(
+        "query",
+        help="run a registered query against a directory of the "
+        "standard parquet tables",
+    )
+    q.add_argument("name", nargs="?", help="query name (see --list)")
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--data", default="/root/testdata/sf0.01")
+    q.add_argument("--out", help="write full result parquet here")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument(
+        "--explain", action="store_true", help="print the physical plan"
+    )
+
     args = ap.parse_args(argv)
     from .session import get_spark
+
+    if args.pipeline == "query":
+        from .queries import registry
+
+        reg = registry()
+        if args.list or not args.name:
+            for n in reg:
+                print(n)
+            return 0
+        if args.name not in reg:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        spark = get_spark(f"query-{args.name}")
+        t0 = time.time()
+        df = reg[args.name].builder(spark, args.data)
+        if args.explain:
+            df.explain("formatted")
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            df.show(args.limit, truncate=False)
+            n = df.count()
+        print(
+            json.dumps(
+                {
+                    "query": args.name,
+                    "rows": n,
+                    "elapsed_sec": round(time.time() - t0, 1),
+                }
+            )
+        )
+        return 0
+
     from .sources.rest import urllib_transport
 
     spark = get_spark(f"pipeline-{args.pipeline}")

@@ -50,3 +50,26 @@ def test_latinad_cli_against_local_http(spark, tmp_path, capsys):
         assert disp.count() == 2
     finally:
         srv.shutdown()
+
+
+def test_query_subcommand_runs_and_lists(spark, tmp_path, capsys):
+    assert cli_main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "pricing_summary" in names and len(names) > 100
+
+    out = tmp_path / "ps"
+    rc = cli_main(
+        [
+            "query",
+            "pricing_summary",
+            "--data",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["query"] == "pricing_summary" and payload["rows"] > 0
+
+    assert cli_main(["query", "no_such_query"]) == 2
