@@ -11,8 +11,10 @@ from .aggregates import (  # noqa: F401
 from .arrays import array_head, positional_unnest  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
+    band_assignments,
     embedding_cosine_pairs,
     exact_dedup,
+    incremental_lsh_pairs,
     prefix_filter_jaccard_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -33,7 +35,7 @@ from .similarity import (  # noqa: F401
     lsh_topk,
     standardize_embeddings,
 )
-from .skew import salted_aggregate, salted_join  # noqa: F401
+from .skew import key_skew_profile, salted_aggregate, salted_join  # noqa: F401
 from .expectations import (  # noqa: F401
     combine_reports,
     referential_check,
