@@ -103,3 +103,42 @@ def test_bilateral_trade_broadcasts_all_dimensions(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
     # the nation-pair predicate reaches both nation scans
     assert "EqualTo(n_name,NATION_1)" in plan
+
+
+def test_round3_plan_shapes(spark, sf_dir):
+    """Lock the audited round-3 plans: no quadratic joins, no
+    unplanned single-partition stages, broadcasts where expected."""
+    # per-row explodes: no join at all, ≤2 exchanges (agg + distinct)
+    for name in ("passage_dup_stats", "media_frame_sample"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+    # semi-join probe for TPC-H Q4 shape stays broadcast at test SF
+    plan = _plan(spark, sf_dir, "late_ship_priority_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # contingency marginals broadcast back onto cells
+    plan = _plan(spark, sf_dir, "source_lang_affinity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # threshold lookup is a broadcast of a 1-row aggregate — the only
+    # nested-loop join allowed; corpus side must not CartesianProduct
+    plan = _plan(spark, sf_dir, "decile_spend_profile")
+    assert "CartesianProduct" not in plan
+    # rolling fanout is explode + hash agg — no range join fallback
+    plan = _plan(spark, sf_dir, "rolling_7d_active_users")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # incremental dedup: candidate generation is an equi-join
+    plan = _plan(spark, sf_dir, "incremental_dedup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_matrix_windows_are_partitioned(spark, sf_dir):
+    # both windows must carry a partition spec (user_id / prev_type) —
+    # never a global single-partition window
+    plan = _plan(spark, sf_dir, "event_transition_matrix")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "#" in spec.split(",")[0], spec  # first arg is a column
