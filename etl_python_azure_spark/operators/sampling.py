@@ -47,3 +47,36 @@ def hash_split(
         out[name] = df.filter((b >= lo) & (b < lo + width))
         lo += width
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sample of *k* rows WITHOUT replacement
+    (Efraimidis–Spirakis A-Res), deterministic and engine-exact.
+
+    Each row draws u ∈ (0,1] from a hash of its key (not a seeded
+    RNG — stable under re-partitioning, re-runs, and engine changes,
+    like every sampler here) and scores ln(u)/weight; the top-k
+    scores ARE a weighted sample without replacement. One projection
+    plus a top-k (per-partition heaps, driver merge) — no shuffle of
+    the corpus, no sequential pass, at any scale.
+
+    Weights must be > 0; inclusion probability rises with weight
+    exactly as in sequential weighted draws.
+    """
+    c = F.col(key_col)
+    v = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (v + F.lit(1)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__es_score", score)
+        .orderBy(F.desc("__es_score"), c.asc())
+        .limit(k)
+        .drop("__es_score")
+    )

@@ -18,13 +18,18 @@ from pyspark.sql import functions as F
 from ..session import load_tables
 from . import register
 
-# stable md5-derived bucket in [0,100) over an arbitrary SQL
-# expression — DuckDB twin of operators.sampling.hash_bucket
-def _bucket_sql(expr: str) -> str:
+# stable 32-bit md5-derived integer / bucket over an arbitrary SQL
+# expression — DuckDB twins of operators.sampling.hash_bucket and
+# the hash-uniform draw in operators.sampling.weighted_sample
+def _hash32_sql(expr: str) -> str:
     return (
         f"CAST(from_hex(substr(md5(CAST({expr} AS VARCHAR)), 1, 8))"
-        "::BIT::UBIGINT AS BIGINT) % 100"
+        "::BIT::UBIGINT AS BIGINT)"
     )
+
+
+def _bucket_sql(expr: str) -> str:
+    return f"{_hash32_sql(expr)} % 100"
 
 
 # --------------------------------------------------------------------------
@@ -580,4 +585,36 @@ def zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("min_zkey"),
         F.max("zkey").alias("max_zkey"),
         F.sum("zkey").alias("sum_zkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted corpus sampling (Efraimidis–Spirakis, hash-derived
+# uniforms): longer documents are proportionally likelier to be
+# drawn, the draw is without replacement, and the whole sample is a
+# pure function of doc ids — reproducible across engines, runs, and
+# partitionings. Plan: projection + TakeOrdered, no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "weighted_sample_docs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, n_chars,
+             ln(({_hash32_sql('doc_id')} + 1)
+                / 4294967296.0) / n_chars AS score
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM s ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    d = load_tables(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "lang", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        k=100,
     )
