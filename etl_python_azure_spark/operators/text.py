@@ -438,3 +438,48 @@ def remove_boilerplate_lines(
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document average token log-probability under the corpus's
+    own unigram model — the perplexity-style quality signal (CCNet
+    lineage) used to rank web documents before training.
+
+    Two aggregates over one token explode: global frequencies form
+    the unigram model (a vocabulary-sized dimension, broadcast back
+    onto the token stream), then per-document log-probs reduce.  The
+    per-doc sum folds over the SORTED log-prob list (canonical
+    order), so the double accumulation is bit-identical on any
+    partitioning and any engine — the same discipline as the cosine
+    folds. Output: (id, carry..., n_tokens, avg_logprob, ppl_ish =
+    exp(-avg_logprob)).
+    """
+    toks = _tokens(df, id_col, text_col)
+    freq = toks.groupBy("token").agg(F.count("*").alias("__c"))
+    total = toks.agg(F.count("*").alias("__n"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.log(F.col("__c") / F.col("__n").cast("double")).alias("__lp"),
+    )
+    scored = toks.join(F.broadcast(model), "token")
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.expr(
+            "aggregate(sort_array(collect_list(__lp)), 0D,"
+            " (acc, v) -> acc + v)"
+        ).alias("__sum_lp"),
+    )
+    out = per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("__sum_lp") / F.col("n_tokens")).alias("avg_logprob"),
+        F.exp(-(F.col("__sum_lp") / F.col("n_tokens"))).alias("ppl_ish"),
+    )
+    if carry_cols:
+        out = out.join(df.select(id_col, *carry_cols), id_col)
+    return out

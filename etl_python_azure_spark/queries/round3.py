@@ -618,3 +618,42 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         k=100,
     )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-style quality scoring: every document's average token
+# log-probability under the corpus's own unigram model (the CCNet
+# filtering signal). Double sums fold over SORTED log-prob lists in
+# both engines, so the scores are bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "unigram_logprob_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    f AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    lp AS (
+      SELECT t.doc_id, ln(f.c / CAST(tot.n AS DOUBLE)) AS lp
+      FROM toks t JOIN f USING (token), tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           list_reduce(list(lp ORDER BY lp), (acc, v) -> acc + v)
+             / COUNT(*) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ppl_ish (= exp(-avg_logprob)) stays out of the oracle
+    # projection: JVM Math.exp and libm exp disagree by 1 ulp on
+    # some inputs, and the oracle is zero-tolerance. avg_logprob is
+    # the same ranking signal.
+    from ..operators.text import unigram_logprob_scores
+
+    d = load_tables(spark, sf_dir, "documents")
+    return unigram_logprob_scores(d, "doc_id", "text").select(
+        "doc_id", "n_tokens", "avg_logprob"
+    )
