@@ -77,6 +77,9 @@ OPTIONAL = [
     "event_transition_matrix",
     "stateful_session_equiv",
     "join_key_skew_profile",
+    "zorder_key_stats",
+    "weighted_sample_docs",
+    "unigram_logprob_scores",
 ]
 
 

@@ -75,6 +75,9 @@ QUERIES = [
     "stateful_session_equiv",
     "join_key_skew_profile",
     "incremental_dedup_pairs",
+    "zorder_key_stats",
+    "weighted_sample_docs",
+    "unigram_logprob_scores",
 ]
 
 
