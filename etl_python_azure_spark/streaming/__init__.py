@@ -8,6 +8,7 @@ from .pipeline import (  # noqa: F401
 )
 from .stateful import (  # noqa: F401
     pandas_sessions,
+    pandas_sessions_vectorized,
     running_totals,
     stateful_sessions,
 )

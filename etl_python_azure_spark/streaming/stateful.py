@@ -223,3 +223,62 @@ def pandas_sessions(
         )
 
     return df.groupBy(key_col).applyInPandas(fold, schema=out_schema)
+
+
+def pandas_sessions_vectorized(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Vectorized batch sessionization: same output as
+    :func:`pandas_sessions`, without per-event Python or per-key
+    dispatch.
+
+    One Spark shuffle lays events out per-partition sorted by
+    (key, ts); each partition then sessionizes in a single numpy
+    pass over its whole Arrow stream — boundaries are "key changed
+    OR gap ≥ threshold" (flatnonzero), per-session sums are
+    ``np.add.reduceat`` slices. Compared to the per-key
+    ``applyInPandas`` automaton this removes the per-group function
+    dispatch entirely; Python cost is O(partition) vectorized.
+    Partition memory is bounded by the shuffle partition sizing
+    (AQE/`spark.sql.shuffle.partitions`) — same contract as any
+    sort-based operator. Equality with the automaton is tested.
+    """
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    gap_ns = gap_seconds * 1_000_000_000
+
+    def fold(batches):
+        import numpy as np
+        from collections.abc import Iterator  # noqa: F401
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        keys = pdf[key_col].to_numpy("int64")
+        ts = pdf[ts_col].to_numpy("datetime64[ns]").astype("int64")
+        val = pdf[value_col].to_numpy("float64")
+        starts = np.flatnonzero(
+            np.r_[
+                True,
+                (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) >= gap_ns),
+            ]
+        )
+        ends = np.r_[starts[1:], len(ts)] - 1
+        yield pd.DataFrame(
+            {
+                key_col: keys[starts],
+                "session_start": ts[starts].astype("datetime64[ns]"),
+                "session_end": ts[ends].astype("datetime64[ns]"),
+                "n_events": ends - starts + 1,
+                "total_value": np.add.reduceat(val, starts),
+            }
+        )
+
+    laid_out = df.repartition(key_col).sortWithinPartitions(key_col, ts_col)
+    return laid_out.mapInPandas(fold, schema=out_schema)

@@ -120,3 +120,20 @@ def test_incremental_dedup_only_delta_pairs(spark, sf_dir):
         "doc_id long, text string",
     )
     assert incremental_lsh_pairs(d, unrelated, "doc_id", "text").count() == 0
+
+
+def test_vectorized_sessions_match_automaton(spark, sf_dir):
+    from etl_python_azure_spark.streaming.stateful import (
+        pandas_sessions,
+        pandas_sessions_vectorized,
+    )
+
+    e = load_tables(spark, sf_dir, "events").select("user_id", "ts", "value")
+    a = pandas_sessions(e).collect()
+    b = pandas_sessions_vectorized(e).collect()
+    key = lambda r: (r.user_id, r.session_start, r.session_end)  # noqa: E731
+    assert {key(r) for r in a} == {key(r) for r in b}
+    assert len(a) == len(b)
+    ca = {key(r): r.n_events for r in a}
+    cb = {key(r): r.n_events for r in b}
+    assert ca == cb
