@@ -24,6 +24,10 @@ exactly — see ``scripts/oracle_check.py``):
   (``1000000.0``) reaching an output column: force DOUBLE.
   ``scripts/dtype_audit.py`` (also folded into oracle_check)
   catches violations.
+- Transcendentals: JVM ``Math.exp`` and libm ``exp`` disagree by
+  1 ulp on some inputs — never project ``exp()`` of a computed
+  double (``ln`` has matched empirically; keep it monitored by the
+  sf0.001/sf0.01 sweeps).
 """
 
 from __future__ import annotations
