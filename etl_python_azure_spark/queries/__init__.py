@@ -28,6 +28,12 @@ exactly — see ``scripts/oracle_check.py``):
   1 ulp on some inputs — never project ``exp()`` of a computed
   double (``ln`` has matched empirically; keep it monitored by the
   sf0.001/sf0.01 sweeps).
+- NO array/map/struct columns in query output: the driver's pandas
+  canonicalizer sorts rows before hashing and raises ``unhashable
+  type: 'list'`` on nested cells (r03 red rows). Prove array ops
+  with scalar probes (fold sums, element copies, sizes) and keep
+  raw-array forms under pytest. ``scripts/dtype_audit.py`` and
+  ``scripts/oracle_check.py`` both enforce this.
 """
 
 from __future__ import annotations

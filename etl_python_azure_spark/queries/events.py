@@ -404,22 +404,34 @@ def daily_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[2] AS embedding_2,
            embedding[3] AS embedding_3,
            embedding[4] AS embedding_4,
-           embedding[1:4] AS embedding_head
+           CAST(len(embedding[1:4]) AS BIGINT) AS head_len,
+           CAST(0 AS DOUBLE) + embedding[1] + embedding[2]
+             + embedding[3] + embedding[4] AS head_sum
     FROM embeddings
     """,
 )
 def positional_unnest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3/A-6 driver row. Registry rule: no array/map/struct output
+    columns (the driver's pandas canonicalizer cannot hash them), so
+    the ``embedding_head`` slice is proven through two scalar probes:
+    its length and its left-to-right fold sum. The fold starts from a
+    DOUBLE 0.0 on both engines, so each float element is promoted
+    exactly and the additions occur in the same order — bit-exact.
+    The raw-array form stays under pytest (tests/test_array_queries).
+    """
     em = load_tables(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = positional_unnest(
         em, "embedding", 4, name_template="{array}_{i}", drop_source=False
     )
+    head = array_head("embedding", 4)
     return out.select(
         "vec_id",
         "embedding_1",
         "embedding_2",
         "embedding_3",
         "embedding_4",
-        array_head("embedding", 4).alias("embedding_head"),
+        F.size(head).cast("long").alias("head_len"),
+        F.aggregate(head, F.lit(0.0), lambda a, x: a + x).alias("head_sum"),
     )
 
 

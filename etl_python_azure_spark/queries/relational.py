@@ -1784,23 +1784,37 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_toolbox_embeddings",
     """
     SELECT vec_id,
-           embedding[1:3] AS head3,
-           list_sort(embedding[1:5]) AS sorted_head5,
-           list_reverse(embedding[1:3]) AS rev_head3,
-           len(list_distinct(embedding)) AS n_distinct_vals,
+           CAST(0 AS DOUBLE) + embedding[1] + embedding[2] + embedding[3]
+             AS head3_sum,
+           list_sort(embedding[1:5])[1] AS sorted_head5_min,
+           list_sort(embedding[1:5])[5] AS sorted_head5_max,
+           list_reverse(embedding[1:3])[1] AS rev_head3_first,
+           CAST(len(list_distinct(embedding)) AS BIGINT) AS n_distinct_vals,
            list_contains(embedding, embedding[1]) AS has_first
     FROM embeddings
     """,
 )
 def array_toolbox_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-6 driver row. Registry rule: no array/map/struct output
+    columns — slice/sort/reverse are proven through scalar probes
+    (fold sum of the slice; first/last of the sorted head; first of
+    the reversed head). Probe values are element COPIES or a fixed-
+    order double fold, never recomputed floats → exact cross-engine.
+    The raw-array form stays under pytest (tests/test_array_queries).
+    """
     em = load_tables(spark, sf_dir, "embeddings")
     head = lambda k: F.slice("embedding", 1, k)  # noqa: E731
     return em.select(
         "vec_id",
-        head(3).alias("head3"),
-        F.sort_array(head(5)).alias("sorted_head5"),
-        F.reverse(head(3)).alias("rev_head3"),
-        F.size(F.array_distinct("embedding")).alias("n_distinct_vals"),
+        F.aggregate(head(3), F.lit(0.0), lambda a, x: a + x).alias(
+            "head3_sum"
+        ),
+        F.element_at(F.sort_array(head(5)), 1).alias("sorted_head5_min"),
+        F.element_at(F.sort_array(head(5)), 5).alias("sorted_head5_max"),
+        F.element_at(F.reverse(head(3)), 1).alias("rev_head3_first"),
+        F.size(F.array_distinct("embedding")).cast("long").alias(
+            "n_distinct_vals"
+        ),
         F.array_contains("embedding", F.element_at("embedding", 1)).alias(
             "has_first"
         ),

@@ -418,11 +418,17 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     saw_view = F.col("t_view").isNotNull()
     view_click = saw_view & (F.col("t_click") > F.col("t_view"))
     full = view_click & (F.col("t_buy") > F.col("t_click"))
+    # F.when(cond, 1).otherwise(0), NOT cond.cast("int"): a session
+    # with a view but no click makes view_click NULL (true AND NULL),
+    # and SUM over all-NULL would return NULL where the oracle's
+    # CASE ... ELSE 0 returns 0 — when/otherwise maps false and NULL
+    # alike to 0, matching CASE exactly (r03 ADVICE).
+    as01 = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
     return per.groupBy("day").agg(
         F.count("*").alias("n_sessions"),
-        F.sum(saw_view.cast("int")).alias("n_view"),
-        F.sum(view_click.cast("int")).alias("n_view_click"),
-        F.sum(full.cast("int")).alias("n_full_funnel"),
+        as01(saw_view).alias("n_view"),
+        as01(view_click).alias("n_view_click"),
+        as01(full).alias("n_full_funnel"),
     )
 
 

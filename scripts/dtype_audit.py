@@ -122,6 +122,21 @@ def main(argv: list[str]) -> int:
             print(f"FAIL {name}: spark error: {e}")
             bad += 1
             continue
+        # Registry rule (r03 verdict): no array/map/struct columns in
+        # query output — the driver's pandas canonicalizer sorts rows
+        # before hashing and raises `unhashable type: 'list'` on any
+        # nested cell. Project scalar probes instead; keep raw-array
+        # forms under pytest.
+        nested = sorted(
+            c for c, k in s_classes.items() if k in ("list", "dict")
+        )
+        if nested:
+            print(
+                f"FAIL {name}: unhashable output columns {nested} "
+                "(driver cannot sort/hash list/map/struct cells)"
+            )
+            bad += 1
+            continue
         try:
             pdf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001

@@ -78,6 +78,12 @@ def _dtype_problems(sdf, pdf, srows):
         c: any(r[c] is None for r in srows) for c in sdf.columns
     }
     out = []
+    # registry rule: no nested (array/map/struct) output columns —
+    # the driver's pandas sort-then-hash canonicalizer raises
+    # `unhashable type: 'list'` on any such cell (r03 red rows)
+    for c, k in s_classes.items():
+        if k == "list" or k.startswith(("map", "struct")):
+            out.append(f"nested[{c}] spark={k} — driver cannot hash")
     for c in s_classes:
         if c not in d_classes:
             continue
