@@ -18,7 +18,7 @@ cosines bit-identical across engines — see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import dot_expr, with_norm
@@ -359,11 +359,27 @@ def kmeans_centroids(
             rows, "centroid_id int, __cvec array<double>, __cnorm double"
         )
 
+    # Exact, order-independent centroid update: each element is
+    # quantized to fixed-point (floor(x·1e10) — floor of a double is
+    # tie-free and bit-identical across engines, unlike float AVG
+    # whose partial-sum order varies and unlike decimal casts whose
+    # rounding mode can differ at exact ties), summed as DECIMAL
+    # (exact integers, map-side combined), then one double division.
+    # Quantization at 1e-10 is far below float32 input precision
+    # (eps ≈ 1.2e-7), so the quantizer is unaffected; it buys a
+    # bit-reproducible trainer that a SQL oracle can replay.
+    def _mean_expr(i: int) -> Column:
+        q = F.floor(F.col(vec_col)[i].cast("double") * F.lit(1e10))
+        return (
+            F.sum(q.cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
+        ).alias(f"c{i}")
+
     for _ in range(max_iter):
         assigned = _nearest_cells(cn, _cent_df(cents), id_col, vec_col, 1)
         means = (
             assigned.groupBy("cell")
-            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"c{i}") for i in range(dim)])
+            .agg(*[_mean_expr(i) for i in range(dim)])
             .collect()
         )
         new_cents = list(cents)

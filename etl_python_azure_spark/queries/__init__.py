@@ -67,65 +67,69 @@ def register(name: str, oracle: str | None):
 
 # The correctness driver records the FIRST 50 registry entries each
 # round, so ordering is load-bearing. r01 covered the relational
-# suite; r02 covered dedup/similarity/text/multimodal/corpus/
-# streaming-equiv plus the events head. The r03 window pins, in
-# order: the three r02 hash-mismatch queries (fixed this round —
-# HUGEINT casts), every query never yet driver-checked, and the new
-# round-3 surface. Everything else (double-green in r01/r02) follows.
-_R03_WINDOW = [
-    # fixed in round 3 (r02 hash_match=false → re-prove)
-    "sequence_packing",
-    "corpus_curation_pipeline",
-    "avg_inter_event_gap",
-    # never driver-checked (r01 ∪ r02 miss), prior registration order
-    "daily_activity_gapfill",
+# suite; r02 dedup/similarity/text/multimodal/corpus/streaming-equiv;
+# r03 the never-checked backlog plus the round-3 surface. The r04
+# window pins, in order: the six queries with no hash-green row in
+# r01∪r02∪r03 (the two former array-output rows now scalarized; the
+# k-means recall query now oracle-backed), the two queries whose
+# implementation changed this round (re-prove), the new round-4
+# queries, then re-proof fill from the r01-only greens (oldest
+# evidence first). Everything else keeps its existing green row.
+_R04_WINDOW = [
+    # never hash-green in r01∪r02∪r03 (r03 verdict item 2)
     "positional_unnest_embeddings",
-    "views_before_purchase_ranged",
-    "similar_user_activity",
-    "document_chunks",
-    "oov_rate_by_lang",
-    "retention_cohorts",
-    "embedding_dim_stats",
-    "boilerplate_removal",
-    "temperature_mixture",
-    "daily_peak_concurrency",
-    "window_function_toolbox",
-    "moving_avg_order_price",
-    "supplier_variety_by_part",
-    "bilateral_trade_volume",
-    "variant_props_rollup",
-    "unpivot_order_metrics",
     "array_toolbox_embeddings",
-    "filtered_aggregates",
-    "salted_quantity_by_flag",
-    "profile_orders_columns",
-    "priority_orders_with_big_items",
-    "dominant_part_suppliers",
-    "sole_late_suppliers",
-    "min_cost_supplier_per_part",
-    "returned_item_customers",
-    "top_revenue_supplier",
-    "small_quantity_revenue_loss",
-    "disjunctive_band_revenue",
-    "nation_market_share",
-    "profit_by_nation_year",
-    "data_quality_report",
-    "forecast_revenue_change",
-    "winsorized_order_stats",
-    # new in round 3
-    "passage_dup_stats",
-    "cluster_safe_splits",
-    "tokenizer_fertility_by_lang",
-    "late_ship_priority_orders",
-    "event_transition_matrix",
-    "rolling_7d_active_users",
-    "decile_spend_profile",
+    "zorder_key_stats",
+    "weighted_sample_docs",
+    "unigram_logprob_scores",
+    "ann_ivf_kmeans_recall",
+    # changed in round 4 — re-prove under the driver
     "session_funnel",
-    "source_lang_affinity",
-    "media_frame_sample",
     "stateful_session_equiv",
-    "join_key_skew_profile",
-    "incremental_dedup_pairs",
+    # new in round 4 (append here as queries are added)
+    # fill to 50: r01-only greens, registration order (oldest evidence)
+    "pricing_summary",
+    "filter_project_scale",
+    "drift_tolerant_select",
+    "left_join_enrich",
+    "customers_without_orders",
+    "customers_with_big_order",
+    "cdc_split_new",
+    "cdc_split_updated",
+    "union_with_drift",
+    "customer_set_ops",
+    "top100_orders",
+    "derived_surrogate_key",
+    "dropna_after_left_join",
+    "null_fill_cast",
+    "drop_all_null_columns_q",
+    "string_length_gate",
+    "string_toolbox",
+    "iso_split_and_parse",
+    "json_flatten_props",
+    "revenue_by_nation",
+    "top3_orders_per_segment",
+    "rollup_quantity",
+    "pivot_qty_by_status",
+    "distinct_cardinalities",
+    "running_customer_spend",
+    "cube_order_stats",
+    "outlier_orders_p95",
+    "filter_variety",
+    "acctbal_dominance",
+    "null_safe_join",
+    "scalar_null_toolbox",
+    "orders_with_large_items",
+    "first_last_order_price",
+    "monthly_order_volume",
+    "argmax_order_per_status",
+    "brand_price_stats",
+    "trailing_week_revenue",
+    "order_rank_stats",
+    "order_value_quantiles",
+    "shipping_priority",
+    "promo_revenue_by_supp_nation",
+    "sliding_window_refresh",
 ]
 
 
@@ -142,6 +146,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import relational_extra  # noqa: F401
     from . import round3  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R03_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

@@ -411,21 +411,162 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans_recall", None)  # iterative trainer -> rows-only check
+def _lloyd_oracle_sql(rounds: int, num_centroids: int = 16, dim: int = 64) -> str:
+    """Unrolled spherical k-means Lloyd rounds as DuckDB CTEs.
+
+    Mirrors :func:`..operators.similarity.kmeans_centroids` with
+    ``tol=0`` (fixed round count) bit-for-bit: seed = lowest-id
+    vectors; assignment = cosine argmax with cell-id tiebreak
+    (same fold order as the green ``_COS``); centroid update =
+    exact fixed-point mean (``floor(x·1e10)`` integer sums, one
+    double division — identical IEEE ops in both engines); empty
+    cells keep their previous centroid; centroid norm = the same
+    left fold + sqrt the Spark trainer computes (``or 1.0`` on a
+    zero norm). The trainer being iterative no longer exempts it
+    from the hash gate — the oracle replays every round.
+    """
+    d1 = dim + 1
+
+    def norm(expr: str) -> str:
+        s = (
+            f"sqrt(list_reduce(list_transform({expr}, x -> x * x), "
+            "(acc, v) -> acc + v))"
+        )
+        return f"(CASE WHEN {s} = 0 THEN 1.0 ELSE {s} END)"
+
+    ctes = [
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {num_centroids})
+    )""",
+        f"cn0 AS (SELECT cid, cvec, {norm('cvec')} AS cnorm FROM c0)",
+    ]
+    cell_cos = (
+        f"list_reduce(list_transform(range(1, {d1}), i -> "
+        "CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]), "
+        "(acc, x) -> acc + x) / (v.nrm * c.cnorm)"
+    )
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes += [
+            f"""a{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cell_cos} DESC, c.cid ASC) AS rnk
+        FROM n v CROSS JOIN cn{p} c
+      ) WHERE rnk = 1
+    )""",
+            f"""m{r} AS (
+      SELECT a.cell AS cid, d.i AS i,
+             CAST(SUM(CAST(floor(CAST(v.embedding[d.i] AS DOUBLE) * 1e10)
+                           AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mu
+      FROM a{r} a JOIN n v USING (vec_id)
+           CROSS JOIN (SELECT UNNEST(range(1, {d1})) AS i) d
+      GROUP BY a.cell, d.i
+    )""",
+            f"""g{r} AS (
+      SELECT cid, list(mu ORDER BY i) AS cvec FROM m{r} GROUP BY cid
+    )""",
+            f"""c{r} AS (
+      SELECT p.cid, COALESCE(g.cvec, p.cvec) AS cvec
+      FROM cn{p} p LEFT JOIN g{r} g USING (cid)
+    )""",
+            f"cn{r} AS (SELECT cid, cvec, {norm('cvec')} AS cnorm FROM c{r})",
+        ]
+    return ",\n    ".join(ctes)
+
+
+_KM_ROUNDS = 6
+_KM_FINAL = f"cn{_KM_ROUNDS}"
+
+_KMEANS_RECALL_ORACLE = f"""
+    WITH {_NORM_CTE},
+    {_lloyd_oracle_sql(_KM_ROUNDS)},
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= 5
+    ),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT v.vec_id AS id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, 65), i ->
+                     CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]),
+                     (acc, x) -> acc + x) / (v.nrm * c.cnorm) DESC,
+                   c.cid ASC) AS rnk
+        FROM n v CROSS JOIN {_KM_FINAL} c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT v.vec_id AS qid, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, 65), i ->
+                     CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]),
+                     (acc, x) -> acc + x) / (v.nrm * c.cnorm) DESC,
+                   c.cid ASC) AS rnk
+        FROM n v CROSS JOIN {_KM_FINAL} c
+        WHERE v.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    isims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM isims
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT bf.query_id, COUNT(ivf.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN ivf
+        ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, n_hits, n_hits / 5.0 AS recall_at_5 FROM hits
+    """
+
+
+@register("ann_ivf_kmeans_recall", _KMEANS_RECALL_ORACLE)
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF probing with a TRAINED (spherical k-means)
     coarse quantizer instead of the deterministic lowest-id pick.
 
-    The k-means fit is iterative (Lloyd rounds), so there is no
-    single-statement SQL oracle; the trainer is deterministic
-    (seeded, tie-broken), making the rows-only check stable. The
-    untrained twin ``ann_ivf_recall`` carries the hash-checked
-    oracle for the shared assignment/probe/rank machinery.
+    The Lloyd loop is pinned to ``tol=0`` (exactly ``_KM_ROUNDS``
+    rounds) and the trainer's centroid update is exact fixed-point
+    arithmetic, so the oracle can replay the full training as
+    unrolled SQL CTEs (:func:`_lloyd_oracle_sql`) — the one former
+    ``oracle: None`` registry entry is now hash-checked end to end.
     """
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     em = load_tables(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(em, num_centroids=16, max_iter=6)
+    cents = kmeans_centroids(
+        em, num_centroids=16, max_iter=_KM_ROUNDS, tol=0.0
+    )
     q = em.filter(F.col("vec_id") < 10)
     bf = cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
     ivf = ivf_topk(em, q, k=5, nprobe=4, centroids=cents).select(

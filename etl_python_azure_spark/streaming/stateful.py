@@ -255,8 +255,10 @@ def pandas_sessions_vectorized(
 
     def fold(batches):
         import numpy as np
-        from collections.abc import Iterator  # noqa: F401
 
+        # the concat is required: a session may span Arrow batch
+        # boundaries, so the numpy pass needs the whole partition
+        # (bounded by shuffle partition sizing) in one frame
         pdf = pd.concat(list(batches), ignore_index=True)
         if pdf.empty:
             return
