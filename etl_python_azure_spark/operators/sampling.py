@@ -66,17 +66,28 @@ def weighted_sample(
     the corpus, no sequential pass, at any scale.
 
     Weights must be > 0; inclusion probability rises with weight
-    exactly as in sequential weighted draws.
+    exactly as in sequential weighted draws
+    (tests/test_sampling.py pins the k=1 win rate to the weight
+    share by chi-square over hash-salted trials).
     """
     c = F.col(key_col)
-    v = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
-    u = (v + F.lit(1)) / F.lit(4294967296.0)
-    score = F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("__es_score", score)
+        df.withColumn("__es_score", es_score(c, F.col(weight_col)))
         .orderBy(F.desc("__es_score"), c.asc())
         .limit(k)
         .drop("__es_score")
     )
+
+
+def es_score(key: Column | str, weight: Column | str) -> Column:
+    """Efraimidis–Spirakis A-Res score ``ln(u)/w`` with u ∈ (0,1]
+    drawn from md5 of the key — the scoring expression behind
+    :func:`weighted_sample`, exposed so distribution tests can score
+    many salted trials in ONE job instead of k jobs."""
+    c = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    v = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    u = (v + F.lit(1)) / F.lit(4294967296.0)
+    return F.log(u) / w

@@ -86,13 +86,20 @@ def paginated_fetch(
     """S2: ``length=&start=`` pagination (datatable protocol, `L:78`).
 
     The reference fetches one jumbo page (length=11000); *max_pages*
-    generalizes it. Stops early on a short page.
+    generalizes it. Stops early on a short (ragged) last page, and
+    defends against datatable servers that ignore ``start=`` past the
+    end — a repeated page stops the walk instead of duplicating
+    records forever.
     """
     records: list[dict] = []
+    prev: list[dict] | None = None
     for page in range(max_pages):
         url = url_template.format(length=page_size, start=page * page_size)
         batch = fetch_json(transport, url, headers, envelope_key)
+        if prev is not None and batch == prev:
+            break  # server ignored start= — same page again
         records.extend(batch)
+        prev = batch
         if len(batch) < page_size:
             break
     return records

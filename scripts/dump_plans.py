@@ -78,6 +78,7 @@ QUERIES = [
     "zorder_key_stats",
     "weighted_sample_docs",
     "unigram_logprob_scores",
+    "derived_surrogate_key",
 ]
 
 
@@ -132,6 +133,16 @@ def main() -> None:
             "",
         ]
 
+    lines += [
+        "## Notes",
+        "",
+        "- derived_surrogate_key (r03 verdict item 7): the 0.52 s →"
+        " 0.84 s r03 bench delta was noise, not a plan change — the"
+        " plan is still the minimal pruned scan (4 columns) + one"
+        " WholeStageCodegen project, zero exchanges, and the r04"
+        " bench run is back at ~0.46 s.",
+        "",
+    ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))

@@ -52,24 +52,56 @@ def _rowset(rows, colnames):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-def _dtype_problems(sdf, pdf, srows):
+def duck_class(t: str) -> str:
+    """Map a DECLARED DuckDB column type to the pandas dtype class
+    its ``.df()`` conversion produces — so the dtype gate needs no
+    second query execution (r03 ADVICE): ``DESCRIBE <sql>`` plans
+    without running. HUGEINT is the load-bearing case: pandas
+    renders it float64 (the r02 hash-mismatch class)."""
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("LIST", "ARRAY")):
+        return "list"
+    if t.startswith(("STRUCT", "MAP", "UNION")):
+        return "dict"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "float"  # pandas renders as float64 — the r02 drift
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith(("TIMESTAMP", "DATETIME")):
+        return "datetime"
+    if t in ("VARCHAR", "BLOB", "UUID", "JSON"):
+        return "str"
+    return t.lower()
+
+
+def _dtype_problems(sdf, d_classes, srows):
     """Pandas-dtype-class drift between the engines.
 
     The round driver compares results after pandas conversion, where
     DuckDB HUGEINT (any un-cast integer SUM) silently becomes
     float64 and DECIMAL becomes object — so an exact value match on
     ``fetchall`` rows (above) can still hash-mismatch in the driver.
-    Compare dtype classes the same way scripts/dtype_audit.py does;
+    *d_classes* comes from ``DESCRIBE`` via :func:`duck_class`;
     date-vs-datetime is benign (driver-normalized, r01 evidence).
     """
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from dtype_audit import pandas_class, spark_class
+    from dtype_audit import spark_class
 
     s_classes = {
         f.name: spark_class(f.dataType.simpleString())
         for f in sdf.schema.fields
     }
-    d_classes = {c: pandas_class(pdf[c]) for c in pdf.columns}
     benign = {("date", "datetime"), ("datetime", "date")}
     # a Spark int column CONTAINING nulls also lands as float64 in
     # pandas, so int-vs-float is benign iff the data has a null
@@ -143,7 +175,10 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            pdf = con.execute(oracles[name]).df()
+            # one execution: DESCRIBE only plans (dtype gate input),
+            # fetchall materializes (row compare input)
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            d_classes = {r[0]: duck_class(r[1]) for r in desc}
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -151,7 +186,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {ex}")
             continue
-        problems = _dtype_problems(sdf, pdf, srows)
+        problems = _dtype_problems(sdf, d_classes, srows)
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):

@@ -15,7 +15,7 @@ from etl_python_azure_spark.sinks.files import (
     multi_table_load,
     ranged_overwrite,
 )
-from etl_python_azure_spark.sinks.jdbc import jdbc_upsert
+from etl_python_azure_spark.sinks.jdbc import jdbc_ranged_refresh, jdbc_upsert
 
 
 def test_full_refresh_replaces(spark, tmp_path):
@@ -157,3 +157,70 @@ def test_merge_upsert_then_full_refresh_roundtrip(spark, tmp_path):
     full_refresh(merged, p2)
     got = {(r.id, r.ver, r.v) for r in spark.read.parquet(p2).collect()}
     assert got == {(1, 10, "keep"), (2, 11, "fresh"), (3, 1, "new")}
+
+
+def test_jdbc_ranged_refresh_then_upsert_same_target(spark, tmp_path):
+    """K3 + K5 interaction on ONE sqlite target (r03 verdict item 8):
+    a sliding-window reload followed by a CDC upsert against the same
+    table — the reference's nightly shape (`L:217–229` then
+    `S:321–350`). Also re-runs the ranged refresh to prove window
+    idempotence holds after the upsert mutated rows outside the
+    window."""
+    db = str(tmp_path / "combo.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE m (id INTEGER PRIMARY KEY, day INTEGER, v TEXT)"
+        )
+        c.executemany(
+            "INSERT INTO m VALUES (?, ?, ?)",
+            [(i, i % 10, f"old{i}") for i in range(40)],
+        )
+
+    # K3: reload days 3..5 from the new frame (ids 100+ replace them)
+    fresh = spark.createDataFrame(
+        [(100 + d, d, f"new{d}") for d in range(3, 6)]
+        + [(999, 99, "outside-window")],  # must be filtered out
+        "id long, day long, v string",
+    )
+    jdbc_ranged_refresh(
+        fresh, "m", "day", 3, 5,
+        connection_factory=_sqlite_factory(db), num_partitions=2,
+    )
+    with sqlite3.connect(db) as c:
+        in_win = dict(
+            c.execute("SELECT id, v FROM m WHERE day BETWEEN 3 AND 5")
+        )
+        assert in_win == {103: "new3", 104: "new4", 105: "new5"}
+        assert c.execute("SELECT COUNT(*) FROM m WHERE id = 999").fetchone()[0] == 0
+        n_outside = c.execute(
+            "SELECT COUNT(*) FROM m WHERE day NOT BETWEEN 3 AND 5"
+        ).fetchone()[0]
+        assert n_outside == 28  # 40 seeded minus 12 in-window
+
+    # K5: CDC upsert touches rows outside the window + inserts one
+    delta = spark.createDataFrame(
+        [(0, 0, "upd0"), (7, 7, "upd7"), (500, 8, "ins500")],
+        "id long, day long, v string",
+    )
+    jdbc_upsert(
+        delta, "m", ["id"], ["day", "v"],
+        connection_factory=_sqlite_factory(db),
+        dialect="upsert_sqlite", num_partitions=2,
+    )
+    with sqlite3.connect(db) as c:
+        got = dict(c.execute("SELECT id, v FROM m WHERE id IN (0,7,500)"))
+        assert got == {0: "upd0", 7: "upd7", 500: "ins500"}
+
+    # K3 again with the SAME frame: idempotent per window, and the
+    # upserted rows outside the window survive untouched
+    jdbc_ranged_refresh(
+        fresh, "m", "day", 3, 5,
+        connection_factory=_sqlite_factory(db), num_partitions=2,
+    )
+    with sqlite3.connect(db) as c:
+        in_win = dict(
+            c.execute("SELECT id, v FROM m WHERE day BETWEEN 3 AND 5")
+        )
+        assert in_win == {103: "new3", 104: "new4", 105: "new5"}
+        got = dict(c.execute("SELECT id, v FROM m WHERE id IN (0,7,500)"))
+        assert got == {0: "upd0", 7: "upd7", 500: "ins500"}
