@@ -94,6 +94,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     reg = registry()
     names = [q for q in HEADLINE if q in reg] + [q for q in OPTIONAL if q in reg]
+    # SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the run (scale
+    # rehearsals at sf1 time only the expensive queries); pipeline
+    # benches run only when listed (or when no subset is given)
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    subset_names = [s.strip() for s in subset.split(",")] if subset else None
+    if subset_names:
+        names = [q for q in names if q in subset_names]
 
     # steady-state warmup: run every query once at the smallest SF so
     # whole-stage-codegen compilation and JIT happen before the clock
@@ -121,7 +128,16 @@ def main() -> None:
     # storage/cache tiers; throughput is what we're measuring.
     import glob as _glob
 
+    # *.parquet may be a single file (testdata) or a Spark-written
+    # directory of part files (scale-rehearsal data) — warm both
+    paths = []
     for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                paths += [os.path.join(root, f) for f in sorted(files)]
+        else:
+            paths.append(p)
+    for p in paths:
         with open(p, "rb") as fh:
             while fh.read(1 << 24):
                 pass
@@ -153,6 +169,8 @@ def main() -> None:
     sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.01
     for name, fn in (("latinad_full_refresh", bench_latinad),
                      ("sercom_incremental", bench_sercom)):
+        if subset_names is not None and name not in subset_names:
+            continue
         root = tempfile.mkdtemp(prefix=f"bench_{name}_")
         try:
             t0 = time.time()
