@@ -80,6 +80,12 @@ OPTIONAL = [
     "zorder_key_stats",
     "weighted_sample_docs",
     "unigram_logprob_scores",
+    # round-4 surface
+    "bpe_pair_counts",
+    "bm25_search_topk",
+    "dup_cluster_histogram",
+    "quota_sample_sources",
+    "label_centroid_quality",
 ]
 
 

@@ -709,3 +709,29 @@ def blocked_fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def cluster_size_histogram(
+    df: DataFrame, key: Column | str = "text"
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the dataset-health
+    metric behind "what fraction of the corpus is copies".
+
+    Groups rows by a content key (default: md5 of the text payload,
+    i.e. exact-duplicate clusters) and histograms the cluster sizes:
+    (cluster_size, n_clusters, n_docs). Two hash aggregates; the
+    second runs over one row per cluster, the third over one row per
+    distinct size — nothing bigger than the corpus shuffles once.
+    """
+    c = F.md5(F.col(key).cast("string")) if isinstance(key, str) else key
+    sizes = df.groupBy(c.alias("__h")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

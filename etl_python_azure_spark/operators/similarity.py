@@ -550,3 +550,75 @@ def standardize_embeddings(
         )
         .drop("__means", "__stds")
     )
+
+
+def label_centroid_stats(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label embedding QA: exact class centroids and the
+    cohesion of each class around them — the health check run before
+    trusting an embedding column for clustering/ANN/curation.
+
+    Centroid means reuse the trainer's exact fixed-point
+    accumulation (floor(x·1e10) integer sums → one double division,
+    see :func:`kmeans_centroids`), so centroids — and every cosine
+    derived from them — are bit-reproducible on any partitioning and
+    replayable by a SQL oracle. Per-label mean cosine accumulates
+    the same way (floor(cos·1e12)); min/max are order-free.
+
+    Scale: one groupBy(label) over the corpus for the means (C×dim
+    partials per partition via map-side combine), one broadcast join
+    of the C-row centroid table back onto the corpus, one final
+    groupBy(label). No driver-side loops, no collect.
+
+    Output: (label, n_vecs, centroid_norm, mean_cos, min_cos,
+    max_cos).
+    """
+
+    def _mean(i: int) -> Column:
+        q = F.floor(F.col(vec_col)[i].cast("double") * F.lit(1e10))
+        return (
+            F.sum(q.cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
+        ).alias(f"__c{i}")
+
+    cent = df.groupBy(label_col).agg(*[_mean(i) for i in range(dim)])
+    cent = cent.select(
+        label_col,
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__cvec"),
+    ).withColumn(
+        "__cnorm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(__cvec, x -> x * x), 0D,"
+                " (acc, v) -> acc + v)"
+            )
+        ),
+    )
+    e = with_norm(df.select(label_col, id_col, vec_col), vec_col)
+    cos = (
+        e.join(F.broadcast(cent), label_col)
+        .select(
+            label_col,
+            "__cnorm",
+            (
+                dot_expr(vec_col, "__cvec")
+                / (F.col("__norm") * F.col("__cnorm"))
+            ).alias("__cos"),
+        )
+    )
+    return cos.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("__cnorm").alias("centroid_norm"),
+        (
+            F.sum(F.floor(F.col("__cos") * F.lit(1e12)).cast("decimal(38,0)"))
+            .cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
+        ).alias("mean_cos"),
+        F.min("__cos").alias("min_cos"),
+        F.max("__cos").alias("max_cos"),
+    )

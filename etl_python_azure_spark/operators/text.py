@@ -483,3 +483,55 @@ def unigram_logprob_scores(
     if carry_cols:
         out = out.join(df.select(id_col, *carry_cols), id_col)
     return out
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies — the inner loop of BPE
+    tokenizer training, run corpus-wide as two hash aggregates.
+
+    The classic trainer counts pairs over the WORD-FREQUENCY table,
+    not the raw token stream: dedup words first (vocabulary-sized,
+    tiny vs corpus), then explode each distinct word's adjacent
+    character pairs weighted by the word's corpus frequency. At
+    100 TB the pair explode therefore runs over the vocabulary —
+    millions of rows — while only the word count touches the full
+    corpus; exactly how a distributed BPE trainer shards its first
+    merge round.
+
+    Output: (pair, pair_count, n_words) — total weighted
+    occurrences and the number of distinct words containing the
+    pair; top_k by count with a pair tiebreak.
+    """
+    wf = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "f",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1))
+            ).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "w", "f")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("f").alias("pair_count"),
+            F.countDistinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )

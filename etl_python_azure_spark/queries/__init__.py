@@ -86,7 +86,12 @@ _R04_WINDOW = [
     # changed in round 4 — re-prove under the driver
     "session_funnel",
     "stateful_session_equiv",
-    # new in round 4 (append here as queries are added)
+    # new in round 4
+    "bpe_pair_counts",
+    "bm25_search_topk",
+    "dup_cluster_histogram",
+    "quota_sample_sources",
+    "label_centroid_quality",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -125,11 +130,6 @@ _R04_WINDOW = [
     "argmax_order_per_status",
     "brand_price_stats",
     "trailing_week_revenue",
-    "order_rank_stats",
-    "order_value_quantiles",
-    "shipping_priority",
-    "promo_revenue_by_supp_nation",
-    "sliding_window_refresh",
 ]
 
 
@@ -145,6 +145,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import relational_extra  # noqa: F401
     from . import round3  # noqa: F401
+    from . import round4  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -1,0 +1,241 @@
+"""Round-4 registry surface: lexical search, tokenizer prep, and
+corpus-health operators.
+
+- BPE pair counting (distributed tokenizer-training inner loop)
+- inverted-index BM25 top-k (lexical retrieval baseline)
+- duplicate-cluster size histogram (dataset health)
+- per-group quota sampling (source caps in corpus mixes)
+- per-label embedding centroid QA (exact fixed-point means)
+
+Determinism notes: BM25's per-document score sums pivot the literal
+query-term list into columns added left-to-right (no engine-chosen
+float accumulation); centroid means and mean-cosine accumulate as
+floor-quantized integers (the kmeans trainer's discipline) so the
+oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from . import register
+
+# --------------------------------------------------------------------------
+# BPE trainer inner loop: adjacent symbol-pair counts over the word-
+# frequency table (vocabulary-sized, not corpus-sized).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, w, f
+      FROM (SELECT w, f, UNNEST(range(1, CAST(len(w) AS BIGINT))) AS i
+            FROM wf WHERE len(w) >= 2)
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 200
+    """,
+)
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_pair_counts
+
+    d = load_tables(spark, sf_dir, "documents")
+    return bpe_pair_counts(d, top_k=200)
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval: posting-list equi-join only (never the
+# whole corpus), fixed-order float accumulation via term pivot.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["filter", "hash", "join"]  # kept sorted
+
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    # idf quantized to an 1e-8 grid: JVM Math.log vs libm ln differ
+    # by 1 ulp on this corpus's inputs — see operators/search.py
+    idf = (
+        "(floor(ln(CAST(1.0 AS DOUBLE) + ((CAST(n_docs AS DOUBLE)"
+        " - CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))))"
+        " * CAST(1e8 AS DOUBLE)) / CAST(1e8 AS DOUBLE))"
+    )
+    # outer parens matter: the score is idf * ((tf*2.2)/denom),
+    # Spark's association — without them SQL would fold idf*tf*2.2
+    # first and drift by an ulp
+    norm = (
+        "(CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)"
+        " / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+        " * (CAST(0.25 AS DOUBLE) + ((CAST(0.75 AS DOUBLE)"
+        " * CAST(dl AS DOUBLE)) / avgdl))))"
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pivots = ",\n           ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN s END) AS s_{i}"
+        for i, t in enumerate(terms)
+    )
+    total = "COALESCE(s_0, CAST(0 AS DOUBLE))"
+    for i in range(1, len(terms)):
+        total = f"({total} + COALESCE(s_{i}, CAST(0 AS DOUBLE)))"
+    hits = " + ".join(
+        f"CASE WHEN s_{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token FROM documents,
+        UNNEST(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    idx AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM toks
+      WHERE token IN ({in_list}) GROUP BY token, doc_id
+    ),
+    dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dls
+    ),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df_t
+              FROM idx GROUP BY token),
+    scored AS (
+      SELECT idx.doc_id, idx.token, {idf} * {norm} AS s
+      FROM idx JOIN dfreq USING (token) JOIN dls USING (doc_id), stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+           {pivots}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, {total} AS score,
+           CAST(0 + {hits} AS BIGINT) AS n_terms_hit
+    FROM per_doc
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+@register("bm25_search_topk", _bm25_oracle(_BM25_TERMS, 20))
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_topk
+
+    d = load_tables(spark, sf_dir, "documents")
+    return bm25_topk(d, _BM25_TERMS, k=20)
+
+
+# --------------------------------------------------------------------------
+# Dataset health: exact-duplicate cluster size distribution.
+# --------------------------------------------------------------------------
+@register(
+    "dup_cluster_histogram",
+    """
+    WITH c AS (
+      SELECT md5(substr(text, 1, 40)) AS h, COUNT(*) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM c GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters on a 40-char text prefix (boilerplate-header
+    clustering) rather than the full text — this synthetic corpus
+    has no exact full-text duplicates, and a histogram with one row
+    proves nothing; prefix clusters exercise the real distribution
+    shape. Full-text clustering is the operator's default."""
+    from ..operators.dedup import cluster_size_histogram
+
+    d = load_tables(spark, sf_dir, "documents")
+    return cluster_size_histogram(
+        d, F.md5(F.substring(F.col("text"), 1, 40))
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixing: deterministic per-source cap.
+# --------------------------------------------------------------------------
+@register(
+    "quota_sample_sources",
+    """
+    SELECT source, doc_id, rank_in_group FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank_in_group
+      FROM documents
+    ) WHERE rank_in_group <= 10
+    """,
+)
+def quota_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quota_sample
+
+    d = load_tables(spark, sf_dir, "documents")
+    return quota_sample(d, "source", "doc_id", 10).select(
+        "source", "doc_id", F.col("rank_in_group").cast("long").alias(
+            "rank_in_group"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding QA: per-label centroid cohesion with exact fixed-point
+# means (the kmeans trainer's replayable-arithmetic discipline).
+# --------------------------------------------------------------------------
+@register(
+    "label_centroid_quality",
+    """
+    WITH m AS (
+      SELECT label, d.i AS i,
+             CAST(SUM(CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e10)
+                           AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mu
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
+      GROUP BY label, d.i
+    ),
+    cent AS (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label),
+    cn AS (
+      SELECT label, cvec,
+             sqrt(list_reduce(list_transform(cvec, x -> x * x),
+                              (acc, v) -> acc + v)) AS cnorm
+      FROM cent
+    ),
+    e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    cos AS (
+      SELECT e.label,
+             c.cnorm,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]),
+                 (acc, v) -> acc + v) / (e.nrm * c.cnorm) AS cs
+      FROM e JOIN cn c USING (label)
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(cnorm) AS centroid_norm,
+           CAST(SUM(CAST(floor(cs * 1e12) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_cos,
+           MIN(cs) AS min_cos, MAX(cs) AS max_cos
+    FROM cos GROUP BY label
+    """,
+)
+def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_centroid_stats
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return label_centroid_stats(em)

@@ -79,6 +79,11 @@ QUERIES = [
     "weighted_sample_docs",
     "unigram_logprob_scores",
     "derived_surrogate_key",
+    "bpe_pair_counts",
+    "bm25_search_topk",
+    "dup_cluster_histogram",
+    "quota_sample_sources",
+    "label_centroid_quality",
 ]
 
 
