@@ -86,6 +86,7 @@ OPTIONAL = [
     "dup_cluster_histogram",
     "quota_sample_sources",
     "label_centroid_quality",
+    "tfidf_cosine_pairs",
 ]
 
 

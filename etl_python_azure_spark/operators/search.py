@@ -146,3 +146,83 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine ≥ *threshold* — the
+    sparse lexical twin of the embedding near-dup pass (same output
+    contract as ``embedding_cosine_pairs``: id_a < id_b, cosine).
+
+    Scale shape: candidate pairs come from a posting-list self-join
+    on token, so cost ∝ Σ_t df_t² over SHARED tokens only — and the
+    *max_df* prune (drop tokens appearing in more than max_df docs)
+    caps the quadratic term the way prefix-filtering caps Jaccard:
+    ultra-common tokens contribute negligible idf weight but
+    dominate join fan-out, so dropping them is both the accuracy-
+    preserving and the cost-capping move. No cross join anywhere.
+
+    Determinism: idf is ulp-quantized like :func:`bm25_topk`;
+    per-document norms and per-pair dots fold over token-SORTED
+    weight lists (``sort_array(collect_list(...))`` ≡ DuckDB
+    ``list(... ORDER BY token)``), so every float accumulates in
+    canonical order and the cosine is replayable bit-for-bit.
+    """
+    idx = inverted_index(df, id_col, text_col)
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = idx.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df_t") <= max_df)
+    raw_idf = F.log(
+        F.lit(float(n_docs)) / F.col("df_t").cast("double")
+    )
+    idfq = F.floor(raw_idf * F.lit(1e8)).cast("double") / F.lit(1e8)
+    weighted = idx.join(F.broadcast(dfreq), "token").select(
+        F.col(id_col),
+        "token",
+        (F.col("tf").cast("double") * idfq).alias("w"),
+    )
+    norms = (
+        weighted.groupBy(id_col)
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(token, w))),"
+                " 0D, (acc, x) -> acc + x.w * x.w)"
+            ).alias("__n2")
+        )
+        .select(F.col(id_col), F.sqrt("__n2").alias("__norm"))
+    )
+    a = weighted.select(
+        F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        F.col(id_col).alias("id_b"), "token", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(token, wa, wb))),"
+                " 0D, (acc, x) -> acc + x.wa * x.wb)"
+            ).alias("__dot")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__dot") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -92,6 +92,7 @@ _R04_WINDOW = [
     "dup_cluster_histogram",
     "quota_sample_sources",
     "label_centroid_quality",
+    "tfidf_cosine_pairs",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -129,7 +130,6 @@ _R04_WINDOW = [
     "monthly_order_volume",
     "argmax_order_per_status",
     "brand_price_stats",
-    "trailing_week_revenue",
 ]
 
 

@@ -239,3 +239,59 @@ def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_tables(spark, sf_dir, "embeddings")
     return label_centroid_stats(em)
+
+
+# --------------------------------------------------------------------------
+# Sparse lexical near-dup: TF-IDF cosine over posting lists with a
+# df-prune (the quadratic-cost cap). Folds are token-ordered on both
+# engines (sort_array ≡ list(... ORDER BY token)).
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.token FROM documents,
+        UNNEST(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM toks
+            GROUP BY token, doc_id),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    pruned AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df_t FROM idx
+      GROUP BY token HAVING COUNT(DISTINCT doc_id) <= 50
+    ),
+    weighted AS (
+      SELECT idx.doc_id, idx.token,
+             CAST(tf AS DOUBLE)
+               * (floor(ln(CAST(n AS DOUBLE) / CAST(df_t AS DOUBLE))
+                        * CAST(1e8 AS DOUBLE)) / CAST(1e8 AS DOUBLE)) AS w
+      FROM idx JOIN pruned USING (token), nd
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(
+               list_transform(list(w ORDER BY token), x -> x * x),
+               (acc, v) -> acc + v)) AS nrm
+      FROM weighted GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_reduce(list(a.w * b.w ORDER BY a.token),
+                         (acc, v) -> acc + v) AS dot
+      FROM weighted a JOIN weighted b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.id_a
+    JOIN norms nb ON nb.doc_id = dots.id_b
+    WHERE dot / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE)
+    """,
+)
+def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import tfidf_cosine_pairs
+
+    d = load_tables(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.3, max_df=50)

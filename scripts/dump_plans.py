@@ -84,6 +84,7 @@ QUERIES = [
     "dup_cluster_histogram",
     "quota_sample_sources",
     "label_centroid_quality",
+    "tfidf_cosine_pairs",
 ]
 
 

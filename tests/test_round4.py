@@ -115,3 +115,30 @@ def test_label_centroid_stats_cohesion(spark):
     assert math.isclose(
         got[1]["centroid_norm"], math.sqrt(3) / 3, rel_tol=1e-6
     )
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from etl_python_azure_spark.operators.search import tfidf_cosine_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),      # exact dup of 1 -> cos 1.0
+        (3, "alpha beta gamma zeta"),       # near dup
+        (4, "omega psi chi phi"),           # disjoint
+        (5, "filler filler filler filler"), # shares nothing
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(d, threshold=0.1).collect()}
+    assert abs(pairs[(1, 2)] - 1.0) < 1e-12
+    # 1 and 3 share the common tokens but differ in their RAREST
+    # (highest-idf) token, so tf-idf cosine is positive yet well
+    # below 1 — rare distinguishing tokens dominate, as intended
+    assert 0.1 < pairs[(1, 3)] < 0.8 and pairs[(1, 3)] == pairs[(2, 3)]
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    # max_df prune drops the quadratic token: 'alpha' appears in 3
+    # docs; with max_df=2 docs 1/2/3 only pair through rarer tokens
+    pruned = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in tfidf_cosine_pairs(d, threshold=0.1, max_df=2).collect()}
+    assert (1, 2) in pruned  # delta (df=2) still links the exact dups
