@@ -341,7 +341,10 @@ def kmeans_centroids(
     import math
 
     spark = corpus.sparkSession
-    cn = with_norm(corpus.select(id_col, vec_col), vec_col)
+    # persisted: every Lloyd round re-reads the normalized corpus
+    # twice (assignment + means); without this the whole scan+norm
+    # lineage re-executes 2×max_iter times
+    cn = with_norm(corpus.select(id_col, vec_col), vec_col).persist()
     seed = (
         ivf_centroids(corpus, id_col, vec_col, num_centroids)
         .orderBy("centroid_id")
@@ -392,6 +395,7 @@ def kmeans_centroids(
         cents = new_cents
         if shift < tol:
             break
+    cn.unpersist()
     return _cent_df(cents)
 
 
