@@ -87,6 +87,7 @@ OPTIONAL = [
     "quota_sample_sources",
     "label_centroid_quality",
     "tfidf_cosine_pairs",
+    "interpolated_daily_values",
 ]
 
 

@@ -93,6 +93,7 @@ _R04_WINDOW = [
     "quota_sample_sources",
     "label_centroid_quality",
     "tfidf_cosine_pairs",
+    "interpolated_daily_values",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -129,7 +130,6 @@ _R04_WINDOW = [
     "first_last_order_price",
     "monthly_order_volume",
     "argmax_order_per_status",
-    "brand_price_stats",
 ]
 
 

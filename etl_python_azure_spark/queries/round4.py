@@ -295,3 +295,71 @@ def tfidf_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, threshold=0.3, max_df=50)
+
+
+# --------------------------------------------------------------------------
+# Time-series repair: per-user daily value series with interior gaps
+# linearly interpolated (operators/timeseries.py). Windows with
+# IGNORE NULLS exist in both engines; the interpolation expression
+# uses one fixed association so doubles match bit-for-bit.
+# --------------------------------------------------------------------------
+@register(
+    "interpolated_daily_values",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT b.user_id, CAST(gs.d AS DATE) AS day
+      FROM (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+            FROM daily GROUP BY user_id) b,
+           LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi,
+                                  INTERVAL 1 DAY)) AS d) gs
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    w AS (
+      SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE (pv + ((nv - pv)
+                  * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                     / CAST(date_diff('day', pd, nd) AS DOUBLE))))
+           END AS v_filled,
+           v IS NULL AS is_interpolated
+    FROM w
+    """,
+)
+def interpolated_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import linear_interpolate_gaps
+
+    e = load_tables(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = (
+        e.groupBy(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return linear_interpolate_gaps(daily, "user_id", "day", "v")

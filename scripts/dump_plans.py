@@ -85,6 +85,7 @@ QUERIES = [
     "quota_sample_sources",
     "label_centroid_quality",
     "tfidf_cosine_pairs",
+    "interpolated_daily_values",
 ]
 
 

@@ -142,3 +142,30 @@ def test_tfidf_cosine_pairs_semantics(spark):
     pruned = {(r["id_a"], r["id_b"]): r["cosine"]
               for r in tfidf_cosine_pairs(d, threshold=0.1, max_df=2).collect()}
     assert (1, 2) in pruned  # delta (df=2) still links the exact dups
+
+
+def test_linear_interpolation_hand_checked(spark):
+    from datetime import date
+
+    from etl_python_azure_spark.operators.timeseries import (
+        linear_interpolate_gaps,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            (1, date(2020, 1, 1), 10.0),
+            (1, date(2020, 1, 4), 40.0),   # gap: Jan 2 -> 20, Jan 3 -> 30
+            (1, date(2020, 1, 5), 0.0),
+            (2, date(2020, 3, 1), 7.0),    # single observation
+        ],
+        "user_id long, day date, v double",
+    )
+    out = {(r["user_id"], str(r["day"])): (r["v_filled"], r["is_interpolated"])
+           for r in linear_interpolate_gaps(daily).collect()}
+    assert out[(1, "2020-01-01")] == (10.0, False)
+    assert out[(1, "2020-01-02")] == (20.0, True)
+    assert out[(1, "2020-01-03")] == (30.0, True)
+    assert out[(1, "2020-01-04")] == (40.0, False)
+    assert out[(1, "2020-01-05")] == (0.0, False)
+    assert out[(2, "2020-03-01")] == (7.0, False)
+    assert len(out) == 6  # spine bounded per key, no leading/trailing
