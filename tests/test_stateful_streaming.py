@@ -186,3 +186,145 @@ def test_stateful_sessions_out_of_order_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 4, 4.0, ts(0), ts(38))}
+
+
+# ---- transformWithStateInPandas (Spark 4 stateful API) ----
+# The TWS Python driver worker needs google.protobuf, which this
+# sandbox lacks (and installs are unavailable) — same environment
+# class as JDBC/Delta jars. The operator itself imports and plans
+# fine; the end-to-end run is skipped where protobuf is missing and
+# executes on any standard pyspark install.
+
+import importlib.util
+
+import pytest
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    _HAS_PROTOBUF = False
+
+
+def _run_topk(spark, src, ckpt, out, k=3):
+    from etl_python_azure_spark.streaming.stateful_v2 import (
+        running_topk_stream,
+    )
+
+    stream = stream_parquet_dir(spark, src, SCHEMA)
+
+    def sink(batch, epoch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        running_topk_stream(stream, "user_id", "value", k=k)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState Python worker requires protobuf "
+    "(absent in this sandbox; runs on standard installs)",
+)
+def test_transform_with_state_topk_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (1, 7.0), (1, 1.0), (2, 3.0)], SCHEMA
+    ).write.parquet(src)
+    _run_topk(spark, src, ckpt, out1)
+    got = {
+        (r.user_id, r.rank): r.value
+        for r in spark.read.parquet(out1).collect()
+    }
+    assert got[(1, 1)] == 10.0 and got[(1, 2)] == 7.0 and got[(1, 3)] == 5.0
+    assert (1, 4) not in got  # k bounds the state AND the emission
+    assert got[(2, 1)] == 3.0
+
+    # restart from checkpoint: merged top-k reflects BOTH batches
+    spark.createDataFrame(
+        [(1, 8.0), (1, 0.5), (3, 4.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_topk(spark, src, ckpt, out2)
+    got2 = {
+        (r.user_id, r.rank): r.value
+        for r in spark.read.parquet(out2).collect()
+    }
+    # 8.0 displaces 5.0 in user 1's leaderboard — state carried over
+    assert got2[(1, 1)] == 10.0 and got2[(1, 2)] == 8.0 and got2[(1, 3)] == 7.0
+    assert got2[(3, 1)] == 4.0
+    assert not any(u == 2 for (u, _r) in got2)  # untouched key silent
+
+
+def test_transform_with_state_plan_builds(spark):
+    """Analysis-level coverage that works without protobuf: the
+    operator must produce a streaming plan with the declared output
+    schema (catches schema/outputMode/timeMode wiring errors)."""
+    from etl_python_azure_spark.streaming.stateful_v2 import (
+        running_topk_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .selectExpr(
+            "CAST(value AS LONG) AS user_id", "CAST(value AS DOUBLE) AS value"
+        )
+    )
+    df = running_topk_stream(stream, "user_id", "value", k=3)
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<user_id:bigint,rank:int,value:double>"
+    )
+
+
+def test_topk_processor_merge_logic():
+    """The processor's merge is plain Python — drive handleInputRows
+    with a fake state handle and assert the leaderboard semantics
+    the e2e test checks on real streams."""
+    import pandas as pd
+
+    from etl_python_azure_spark.streaming.stateful_v2 import _TopKProcessor
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    p = _TopKProcessor(3, "user_id", "value", None)
+    p._state = FakeState()
+
+    out1 = list(
+        p.handleInputRows(
+            (1,), iter([pd.DataFrame({"value": [10.0, 5.0, 7.0, 1.0]})]), None
+        )
+    )[0]
+    assert list(out1["value"]) == [10.0, 7.0, 5.0]
+    assert list(out1["rank"]) == [1, 2, 3]
+
+    # second batch merges with kept state: 8.0 displaces 5.0
+    out2 = list(
+        p.handleInputRows(
+            (1,), iter([pd.DataFrame({"value": [8.0, 0.5]})]), None
+        )
+    )[0]
+    assert list(out2["value"]) == [10.0, 8.0, 7.0]
+    assert p._state.get() == ([10.0, 8.0, 7.0],)
