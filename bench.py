@@ -88,6 +88,7 @@ OPTIONAL = [
     "label_centroid_quality",
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
+    "event_value_outliers",
 ]
 
 

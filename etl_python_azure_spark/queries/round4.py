@@ -363,3 +363,63 @@ def interpolated_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return linear_interpolate_gaps(daily, "user_id", "day", "v")
+
+
+# --------------------------------------------------------------------------
+# Anomaly flagging: per-event-type z-score outliers. Moments are
+# exact integer sums of fixed-point cents (floor(value*100)), so
+# mean/variance/z are identical doubles on both engines — the
+# winsorize/quantile family's cheap streaming-friendly sibling.
+# --------------------------------------------------------------------------
+@register(
+    "event_value_outliers",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             value,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+             sqrt((CAST(SUM(cents * cents) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE))
+                  - ((CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                     * (CAST(SUM(cents) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)))) AS sigma
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.value,
+           ((CAST(c.cents AS DOUBLE) - m.mu) / m.sigma) AS z
+    FROM c JOIN m USING (event_type)
+    WHERE abs((CAST(c.cents AS DOUBLE) - m.mu) / m.sigma)
+            > CAST(3.0 AS DOUBLE)
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * F.lit(100)).alias("cents"),
+    )
+    n = F.count(F.lit(1))
+    sum_c = F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+    sum_c2 = F.sum(
+        (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+    ).cast("double")
+    mu = sum_c / n.cast("double")
+    m = c.groupBy("event_type").agg(
+        n.alias("n"),
+        mu.alias("mu"),
+        F.sqrt((sum_c2 / n.cast("double")) - (mu * mu)).alias("sigma"),
+    )
+    z = (F.col("cents").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        c.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > F.lit(3.0))
+    )

@@ -86,6 +86,7 @@ QUERIES = [
     "label_centroid_quality",
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
+    "event_value_outliers",
 ]
 
 
