@@ -89,7 +89,12 @@ def bm25_topk(
     idx = inverted_index(df, id_col, text_col).filter(
         F.col("token").isin(terms)
     )
-    dls = doc_lengths(df, id_col, text_col)
+    # zero-token documents (empty/whitespace/NULL text) are excluded
+    # from N and avgdl: they hold no terms, and the SQL oracle's
+    # length table is derived from the non-empty token stream, so
+    # counting them here would diverge the idf/norm inputs the
+    # moment such a document exists
+    dls = doc_lengths(df, id_col, text_col).filter(F.col("dl") > 0)
     stats = dls.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -174,13 +179,19 @@ def tfidf_cosine_pairs(
     canonical order and the cosine is replayable bit-for-bit.
     """
     idx = inverted_index(df, id_col, text_col)
-    n_docs = df.select(id_col).distinct().count()
-    dfreq = idx.groupBy("token").agg(F.countDistinct(id_col).alias("df_t"))
+    # corpus size as a lazy 1-row broadcast (bm25_topk's stats
+    # pattern) — an eager .count() here would run a full corpus scan
+    # at DataFrame-BUILD time (plan audits, `query explain`) and a
+    # second one at execution
+    nd = df.agg(F.countDistinct(id_col).cast("double").alias("__n"))
+    dfreq = (
+        idx.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df_t"))
+        .crossJoin(F.broadcast(nd))
+    )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df_t") <= max_df)
-    raw_idf = F.log(
-        F.lit(float(n_docs)) / F.col("df_t").cast("double")
-    )
+    raw_idf = F.log(F.col("__n") / F.col("df_t").cast("double"))
     idfq = F.floor(raw_idf * F.lit(1e8)).cast("double") / F.lit(1e8)
     weighted = idx.join(F.broadcast(dfreq), "token").select(
         F.col(id_col),

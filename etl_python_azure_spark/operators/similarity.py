@@ -259,6 +259,23 @@ def lsh_topk_multitable(
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the other classic scale path besides LSH
 # --------------------------------------------------------------------------
+def fixed_point_mean(value: Column, alias: str, scale: float = 1e10) -> Column:
+    """Exact, order-independent mean of a float column: quantize
+    each value to fixed-point (``floor(x·scale)`` — floor of a
+    double is tie-free and bit-identical across engines, unlike
+    float AVG whose partial-sum order varies and unlike decimal
+    casts whose rounding mode can differ at exact ties), sum as
+    DECIMAL (exact integers, map-side combined), then one double
+    division. The shared arithmetic behind the k-means trainer and
+    the label-centroid QA — change it in one place or the claimed
+    trainer ≡ QA bit-reproducibility breaks."""
+    q = F.floor(value.cast("double") * F.lit(scale))
+    return (
+        F.sum(q.cast("decimal(38,0)")).cast("double")
+        / (F.count(F.lit(1)).cast("double") * F.lit(scale))
+    ).alias(alias)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -362,40 +379,35 @@ def kmeans_centroids(
             rows, "centroid_id int, __cvec array<double>, __cnorm double"
         )
 
-    # Exact, order-independent centroid update: each element is
-    # quantized to fixed-point (floor(x·1e10) — floor of a double is
-    # tie-free and bit-identical across engines, unlike float AVG
-    # whose partial-sum order varies and unlike decimal casts whose
-    # rounding mode can differ at exact ties), summed as DECIMAL
-    # (exact integers, map-side combined), then one double division.
-    # Quantization at 1e-10 is far below float32 input precision
+    # Exact centroid update via :func:`fixed_point_mean` —
+    # quantization at 1e-10 is far below float32 input precision
     # (eps ≈ 1.2e-7), so the quantizer is unaffected; it buys a
     # bit-reproducible trainer that a SQL oracle can replay.
-    def _mean_expr(i: int) -> Column:
-        q = F.floor(F.col(vec_col)[i].cast("double") * F.lit(1e10))
-        return (
-            F.sum(q.cast("decimal(38,0)")).cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
-        ).alias(f"c{i}")
-
-    for _ in range(max_iter):
-        assigned = _nearest_cells(cn, _cent_df(cents), id_col, vec_col, 1)
-        means = (
-            assigned.groupBy("cell")
-            .agg(*[_mean_expr(i) for i in range(dim)])
-            .collect()
-        )
-        new_cents = list(cents)
-        for r in means:
-            new_cents[r["cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
-        shift = max(
-            sum((a - b) ** 2 for a, b in zip(old, new))
-            for old, new in zip(cents, new_cents)
-        )
-        cents = new_cents
-        if shift < tol:
-            break
-    cn.unpersist()
+    try:
+        for _ in range(max_iter):
+            assigned = _nearest_cells(cn, _cent_df(cents), id_col, vec_col, 1)
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    *[
+                        fixed_point_mean(F.col(vec_col)[i], f"c{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new_cents = list(cents)
+            for r in means:
+                new_cents[r["cell"]] = [float(r[f"c{i}"]) for i in range(dim)]
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(old, new))
+                for old, new in zip(cents, new_cents)
+            )
+            cents = new_cents
+            if shift < tol:
+                break
+    finally:
+        cn.unpersist()
     return _cent_df(cents)
 
 
@@ -583,14 +595,12 @@ def label_centroid_stats(
     max_cos).
     """
 
-    def _mean(i: int) -> Column:
-        q = F.floor(F.col(vec_col)[i].cast("double") * F.lit(1e10))
-        return (
-            F.sum(q.cast("decimal(38,0)")).cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
-        ).alias(f"__c{i}")
-
-    cent = df.groupBy(label_col).agg(*[_mean(i) for i in range(dim)])
+    cent = df.groupBy(label_col).agg(
+        *[
+            fixed_point_mean(F.col(vec_col)[i], f"__c{i}")
+            for i in range(dim)
+        ]
+    )
     cent = cent.select(
         label_col,
         F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__cvec"),
@@ -618,11 +628,7 @@ def label_centroid_stats(
     return cos.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.max("__cnorm").alias("centroid_norm"),
-        (
-            F.sum(F.floor(F.col("__cos") * F.lit(1e12)).cast("decimal(38,0)"))
-            .cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.lit(1e12))
-        ).alias("mean_cos"),
+        fixed_point_mean(F.col("__cos"), "mean_cos", scale=1e12),
         F.min("__cos").alias("min_cos"),
         F.max("__cos").alias("max_cos"),
     )

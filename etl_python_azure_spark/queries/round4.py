@@ -61,6 +61,10 @@ _BM25_TERMS = ["filter", "hash", "join"]  # kept sorted
 
 
 def _bm25_oracle(terms: list[str], k: int) -> str:
+    # bm25_topk sorts+dedups its term list before pivoting, and the
+    # pivot order IS the float accumulation order — sort here too so
+    # the contract cannot be broken by a caller passing unsorted terms
+    terms = sorted(set(terms))
     # idf quantized to an 1e-8 grid: JVM Math.log vs libm ln differ
     # by 1 ulp on this corpus's inputs — see operators/search.py
     idf = (
@@ -384,7 +388,7 @@ def interpolated_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
-             sqrt((CAST(SUM(cents * cents) AS DOUBLE)
+             sqrt((CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE))
                   - ((CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
                      * (CAST(SUM(cents) AS DOUBLE)
@@ -408,9 +412,11 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     sum_c = F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
-    sum_c2 = F.sum(
-        (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
-    ).cast("double")
+    # cast BEFORE multiplying: a long*long product overflows 2^63 for
+    # |value| >= ~3e8 and Spark would wrap silently (DuckDB's mirror
+    # widens to HUGEINT for the same reason)
+    cents_dec = F.col("cents").cast("decimal(38,0)")
+    sum_c2 = F.sum(cents_dec * cents_dec).cast("double")
     mu = sum_c / n.cast("double")
     m = c.groupBy("event_type").agg(
         n.alias("n"),

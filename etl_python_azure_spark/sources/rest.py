@@ -82,6 +82,7 @@ def paginated_fetch(
     page_size: int = 11000,
     max_pages: int = 1,
     envelope_key: str | None = None,
+    id_key: str | None = None,
 ) -> list[dict]:
     """S2: ``length=&start=`` pagination (datatable protocol, `L:78`).
 
@@ -90,16 +91,32 @@ def paginated_fetch(
     defends against datatable servers that ignore ``start=`` past the
     end — a repeated page stops the walk instead of duplicating
     records forever.
+
+    When the feed has row identity, pass *id_key*: the walk stops
+    only when a page contributes NO unseen ids (precise — a feed
+    whose consecutive pages legitimately hold identical-looking
+    records keeps paginating). Without *id_key* the defense is a
+    whole-page equality heuristic, which cannot distinguish a
+    misbehaving server from a feed whose adjacent pages are
+    genuinely identical; such feeds should provide *id_key*.
     """
     records: list[dict] = []
     prev: list[dict] | None = None
+    seen: set = set()
     for page in range(max_pages):
         url = url_template.format(length=page_size, start=page * page_size)
         batch = fetch_json(transport, url, headers, envelope_key)
-        if prev is not None and batch == prev:
-            break  # server ignored start= — same page again
-        records.extend(batch)
-        prev = batch
+        if id_key is not None:
+            fresh = [r for r in batch if r.get(id_key) not in seen]
+            if page > 0 and not fresh:
+                break  # nothing new — server ignored start=
+            seen.update(r.get(id_key) for r in fresh)
+            records.extend(fresh)
+        else:
+            if prev is not None and batch == prev:
+                break  # server ignored start= — same page again
+            records.extend(batch)
+            prev = batch
         if len(batch) < page_size:
             break
     return records

@@ -116,11 +116,21 @@ def main() -> None:
         )
         rep = _replicate(df, keys, offsets, args.replicas)
         if t == "documents":
-            # salt every token for r > 0: replicas share no shingles
+            # salt every non-empty token for r > 0 with a separator
+            # (\x01) no original token contains: replicas share no
+            # shingles AND a salted token can never collide with a
+            # pre-existing one (plain concat would map 'foo'→'foo1',
+            # which may already exist in replica 0); empty tokens
+            # from double spaces stay empty so token counts match
+            # replica 0 exactly
             salted = F.array_join(
                 F.transform(
                     F.split(F.col("text"), " "),
-                    lambda w: F.concat(w, F.col("__r").cast("string")),
+                    lambda w: F.when(w == "", w).otherwise(
+                        F.concat(
+                            w, F.lit("\x01"), F.col("__r").cast("string")
+                        )
+                    ),
                 ),
                 " ",
             )

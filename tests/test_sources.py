@@ -138,3 +138,35 @@ def test_paginated_fetch_duplicate_page_defense(total, page_size):
         max_pages=100,
     )
     assert recs == data[:page_size]
+
+
+def test_paginated_fetch_id_key_survives_identical_pages():
+    """With row identity, genuinely identical-looking consecutive
+    pages keep paginating (the equality heuristic would truncate),
+    and a server that ignores start= still stops after one page."""
+    data = [{"id": i, "v": "same"} for i in range(5)]
+
+    def honest(url, headers):
+        import urllib.parse as up
+
+        q = dict(up.parse_qsl(up.urlsplit(url).query))
+        s, ln = int(q["start"]), int(q["length"])
+        return 200, json.dumps(data[s : s + ln])
+
+    recs = paginated_fetch(
+        honest, "http://x?length={length}&start={start}",
+        page_size=2, max_pages=10, id_key="id",
+    )
+    assert recs == data
+
+    def stuck(url, headers):
+        import urllib.parse as up
+
+        q = dict(up.parse_qsl(up.urlsplit(url).query))
+        return 200, json.dumps(data[: int(q["length"])])
+
+    recs = paginated_fetch(
+        stuck, "http://x?length={length}&start={start}",
+        page_size=2, max_pages=10, id_key="id",
+    )
+    assert recs == data[:2]
