@@ -89,6 +89,7 @@ OPTIONAL = [
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
     "event_value_outliers",
+    "hybrid_search_topk",
 ]
 
 

@@ -237,3 +237,63 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embs: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    n_candidates: int = 100,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation + embedding-cosine
+    rerank — the standard two-stage pattern (cheap lexical recall,
+    semantic precision on a bounded candidate set).
+
+    Stage 1 runs :func:`bm25_topk` for *n_candidates* (posting-list
+    cost only); stage 2 joins ONLY those candidates to their vectors
+    and ranks by cosine against the query vector (row
+    *query_vec_id*), so the expensive similarity math touches
+    n_candidates rows regardless of corpus size. Both stages are the
+    already-oracle-checked building blocks; ranking is cosine-desc
+    with an id tiebreak.
+
+    Output: (id, score, cosine, rank) — BM25 score kept for
+    diagnostics/blending downstream.
+    """
+    from .dedup import dot_expr, with_norm
+
+    cand = bm25_topk(
+        docs, query_terms, k=n_candidates, id_col=id_col, text_col=text_col
+    ).select(id_col, "score")
+    n = with_norm(embs.select(vec_id_col, vec_col), vec_col)
+    qv = (
+        n.filter(F.col(vec_id_col) == query_vec_id)
+        .select(
+            F.col(vec_col).alias("__vq"), F.col("__norm").alias("__nq")
+        )
+    )
+    scored = (
+        cand.join(n, cand[id_col] == n[vec_id_col])
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col),
+            "score",
+            (
+                dot_expr("__vq", vec_col)
+                / (F.col("__nq") * F.col("__norm"))
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -95,6 +95,7 @@ _R04_WINDOW = [
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
     "event_value_outliers",
+    "hybrid_search_topk",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -129,7 +130,6 @@ _R04_WINDOW = [
     "scalar_null_toolbox",
     "orders_with_large_items",
     "first_last_order_price",
-    "monthly_order_volume",
 ]
 
 

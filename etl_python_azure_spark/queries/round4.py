@@ -429,3 +429,59 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > F.lit(3.0))
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidates -> embedding-cosine rerank. The
+# oracle wraps the (already hash-proven) BM25 SQL as a candidate
+# subquery and reranks via the fold-based cosine, mirroring the
+# two-stage operator exactly.
+# --------------------------------------------------------------------------
+_HYBRID_QV = 7
+_HYBRID_CANDS = 50
+_HYBRID_K = 10
+
+_HYBRID_ORACLE = f"""
+    WITH cand AS (
+      SELECT doc_id, score FROM ({_bm25_oracle(_BM25_TERMS, _HYBRID_CANDS)})
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS qe, nrm AS qn FROM n
+           WHERE vec_id = {_HYBRID_QV}),
+    scored AS (
+      SELECT c.doc_id, c.score,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(qv.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (qv.qn * e.nrm) AS cosine
+      FROM cand c JOIN n e ON e.vec_id = c.doc_id, qv
+    )
+    SELECT doc_id, score, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_HYBRID_K}
+    """
+
+
+@register("hybrid_search_topk", _HYBRID_ORACLE)
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import hybrid_topk
+
+    d, em = (
+        load_tables(spark, sf_dir, "documents"),
+        load_tables(spark, sf_dir, "embeddings"),
+    )
+    return hybrid_topk(
+        d,
+        em,
+        _BM25_TERMS,
+        query_vec_id=_HYBRID_QV,
+        n_candidates=_HYBRID_CANDS,
+        k=_HYBRID_K,
+    )

@@ -87,6 +87,7 @@ QUERIES = [
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
     "event_value_outliers",
+    "hybrid_search_topk",
 ]
 
 

@@ -169,3 +169,32 @@ def test_linear_interpolation_hand_checked(spark):
     assert out[(1, "2020-01-05")] == (0.0, False)
     assert out[(2, "2020-03-01")] == (7.0, False)
     assert len(out) == 6  # spine bounded per key, no leading/trailing
+
+
+def test_hybrid_topk_reranks_by_cosine_within_candidates(spark):
+    from etl_python_azure_spark.operators.search import hybrid_topk
+
+    docs = [
+        (1, "needle common words here"),
+        (2, "needle other things entirely"),
+        (3, "nothing relevant at all"),   # no 'needle' -> not a candidate
+        (4, "needle needle needle"),
+    ]
+    # query vector = row 0's vector; doc 2's vector is closest to it,
+    # doc 4's is orthogonal despite the best BM25 score
+    def vec(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    embs = [(0, vec(0)), (1, vec(1)), (2, vec(0)), (4, vec(3))]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    e = spark.createDataFrame(embs, "vec_id long, embedding array<float>")
+    top = hybrid_topk(d, e, ["needle"], query_vec_id=0,
+                      n_candidates=10, k=3).collect()
+    assert [r["doc_id"] for r in top] == [2, 1, 4]  # cosine order
+    assert top[0]["cosine"] == 1.0 and top[2]["cosine"] == 0.0
+    assert 3 not in {r["doc_id"] for r in top}  # never a candidate
+    # BM25 diagnostics survive the rerank: doc 4 had the top score
+    scores = {r["doc_id"]: r["score"] for r in top}
+    assert scores[4] > scores[1] and scores[4] > scores[2]
