@@ -142,3 +142,34 @@ def test_transition_matrix_windows_are_partitioned(spark, sf_dir):
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "#" in spec.split(",")[0], spec  # first arg is a column
+
+
+def test_round4_plan_shapes(spark, sf_dir):
+    """Lock the audited round-4 plans: token joins stay hash
+    equi-joins (never cartesian), tiny stat frames broadcast, the
+    quota window never collapses to a single partition."""
+    # BM25: posting-list equi-joins + 1-row stats broadcast; the only
+    # nested-loop is the stats crossJoin (1 row, broadcast)
+    plan = _plan(spark, sf_dir, "bm25_search_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # TF-IDF pairs: the token self-join must be a hash join
+    plan = _plan(spark, sf_dir, "tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    # BPE: no joins at all — two aggregates over one scan
+    plan = _plan(spark, sf_dir, "bpe_pair_counts")
+    assert "Join" not in plan
+    # quota sampling: per-group window, never Exchange SinglePartition
+    plan = _plan(spark, sf_dir, "quota_sample_sources")
+    assert "SinglePartition" not in plan
+    # centroid QA: C-row centroid table broadcasts back onto corpus
+    plan = _plan(spark, sf_dir, "label_centroid_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # outliers: moment table broadcast, no cartesian
+    plan = _plan(spark, sf_dir, "event_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
