@@ -152,7 +152,14 @@ def sketch_distinct_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [
         li.filter(F.pmod("l_orderkey", F.lit(4)) == i) for i in range(4)
     ]
-    parts = [distinct_sketch(b, keys, dcol) for b in batches]
+    # lgConfigK=16 → HLL rse ≈ 1.04/√2^16 ≈ 0.4%, so the 2%
+    # certificate sits at ~5σ. The operator default (12, rse ≈ 1.6%)
+    # made 2% a ~1.3σ claim that flipped for one group at sf0.1 —
+    # caught by the full-sweep oracle diff, invisible at sf0.01.
+    # Estimates are hash-deterministic per dataset, so a bound that
+    # holds across the sf sweeps is stable run-to-run; 64 KB of
+    # registers per group is the price, tune per workload at scale.
+    parts = [distinct_sketch(b, keys, dcol, lg_config_k=16) for b in batches]
     merged = parts[0]
     for p in parts[1:]:
         merged = merge_distinct_sketches([merged, p], keys, dcol)
