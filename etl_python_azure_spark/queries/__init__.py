@@ -34,6 +34,11 @@ exactly — see ``scripts/oracle_check.py``):
   with scalar probes (fold sums, element copies, sizes) and keep
   raw-array forms under pytest. ``scripts/dtype_audit.py`` and
   ``scripts/oracle_check.py`` both enforce this.
+- Probabilistic certificates (sketch error bounds) must sit at ≥5σ
+  of the sketch's configured error, not at the marketing number:
+  a 2% claim over a 1.6%-rse HLL flipped at sf0.1 (r04). Estimates
+  are hash-deterministic per dataset, so a bound validated across
+  the sf sweeps is stable run-to-run.
 """
 
 from __future__ import annotations
