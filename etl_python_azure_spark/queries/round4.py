@@ -3,9 +3,12 @@ corpus-health operators.
 
 - BPE pair counting (distributed tokenizer-training inner loop)
 - inverted-index BM25 top-k (lexical retrieval baseline)
+- TF-IDF cosine near-dup pairs (df-pruned posting-list join)
+- hybrid retrieval (BM25 candidates → embedding-cosine rerank)
 - duplicate-cluster size histogram (dataset health)
 - per-group quota sampling (source caps in corpus mixes)
 - per-label embedding centroid QA (exact fixed-point means)
+- daily-series linear gap interpolation; per-type z-score outliers
 
 Determinism notes: BM25's per-document score sums pivot the literal
 query-term list into columns added left-to-right (no engine-chosen

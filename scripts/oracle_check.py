@@ -154,7 +154,10 @@ def main() -> int:
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # single file (testdata) or Spark-written directory of
+            # part files (scale-rehearsal data) — glob the latter
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
