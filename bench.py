@@ -90,6 +90,14 @@ OPTIONAL = [
     "interpolated_daily_values",
     "event_value_outliers",
     "hybrid_search_topk",
+    # round-4b surface
+    "scd2_priority_history",
+    "touch_attribution_paths",
+    "benchmark_decontamination",
+    "source_pair_jaccard",
+    "zipf_fit_top_tokens",
+    "pagerank_trade_graph",
+    "ewma_user_daily_value",
 ]
 
 

@@ -53,4 +53,13 @@ from .text import (  # noqa: F401
     text_quality,
     token_counts,
     url_domains,
+    zipf_fit,
+)
+from .dedup import contamination_overlap, source_pair_jaccard  # noqa: F401
+from .graph import pagerank  # noqa: F401
+from .sessionize import touch_attribution  # noqa: F401
+from .timeseries import (  # noqa: F401
+    ewma_halflife,
+    linear_interpolate_gaps,
+    scd2_compact,
 )

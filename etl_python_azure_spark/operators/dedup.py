@@ -735,3 +735,108 @@ def cluster_size_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-decontamination scan: which training documents share
+    word *n*-gram shingles with any held-out/eval document?
+
+    The standard pre-training hygiene step (eval-set leakage makes
+    benchmark numbers meaningless): shingle both sides, equi-join on
+    the shingle, count distinct shared shingles per training doc.
+
+    Output: (train_doc_id, n_shared_shingles, n_eval_docs) for docs
+    with ≥ *min_shared* shared shingles.
+
+    Scale shape: the join is shingle-keyed — cost ∝ true collisions,
+    never |train| × |eval|. The eval side is benchmark-sized (maybe
+    millions of shingles, not billions), so Spark broadcasts it under
+    AQE; the train side streams through map-side. Boilerplate
+    shingles that would blow up the join (present in thousands of
+    docs each side) should be removed upstream via
+    :func:`remove_boilerplate_lines` — or cap df per shingle like
+    :func:`~..operators.search.tfidf_cosine_pairs` does.
+    """
+    t = word_shingles(train, id_col, text_col, n=n, distinct=True)
+    e = word_shingles(eval_set, id_col, text_col, n=n, distinct=True)
+    return (
+        t.alias("t")
+        .join(
+            e.select(
+                F.col("shingle"), F.col(id_col).alias("__eval_id")
+            ).alias("e"),
+            "shingle",
+        )
+        .groupBy(F.col(id_col).alias("train_doc_id"))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def source_pair_jaccard(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level similarity matrix: exact Jaccard of the distinct
+    word-*n*-gram shingle SETS of each pair of sources.
+
+    The corpus-health companion to per-document dedup — "how much of
+    source A is re-hosted in source B" drives mixture weights and
+    crawl dedup priorities.
+
+    Output: (group_a, group_b, n_inter, size_a, size_b, jaccard) for
+    every unordered pair with a non-empty intersection.
+
+    Scale shape: shingles collapse to DISTINCT (group, shingle) first
+    — the self-join then runs over set elements, keyed by shingle, so
+    cost ∝ shared shingles × groups sharing them (groups number in
+    the hundreds, not the corpus size). Never materializes the
+    |G|² × |shingles| cross product.
+    """
+    gs = (
+        word_shingles(df.select(group_col, text_col), group_col, text_col, n=n)
+        .select(F.col(group_col).alias("g"), "shingle")
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        gs.alias("a")
+        .join(gs.alias("b"), "shingle")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_inter",
+            "size_a",
+            "size_b",
+            (
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("size_a") + F.col("size_b") - F.col("n_inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -9,7 +9,7 @@ timer-driven micro-batch restatement (T1–T3) and a true stream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,84 @@ def sessionize(
             F.col("sw.end").alias("session_end"),
             *[F.col(n) for n in aggs],
         )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First/last-touch attribution: for every conversion event,
+    which touch (non-conversion event) opened and which closed the
+    path since the user's previous conversion?
+
+    Marketing-analytics staple the reference's daily-grain tables
+    can't express (`L:154` pre-buckets away the ordering). Each
+    conversion row comes back as::
+
+        (key, conversion_id, conversion_ts, conversion_value,
+         first_touch_type, last_touch_type, n_touches)
+
+    with NULL touch columns for conversions with no preceding touch
+    in their segment (back-to-back conversions).
+
+    Semantics: a user's events are segmented at conversions — each
+    conversion claims the touches strictly after the previous
+    conversion and strictly before itself (ties broken by *id_col*).
+
+    Scale shape: ONE shuffle on *key_col* feeds all three window
+    passes (running segment id, running first/last/count) — Catalyst
+    collapses same-partitioning windows into a single sort. No
+    self-join, no per-user collect.
+    """
+    is_conv = F.col(type_col) == conversion_type
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # segment id = number of conversions strictly BEFORE this row:
+    # running count including self, minus self for conversion rows —
+    # so a conversion lands in the segment of the touches it claims
+    seg = (
+        F.sum(is_conv.cast("int")).over(run)
+        - is_conv.cast("int")
+    ).alias("__seg")
+    touch_type = F.when(~is_conv, F.col(type_col))
+    segmented = df.select(
+        key_col, ts_col, id_col, type_col, value_col, seg
+    )
+    w_seg = (
+        Window.partitionBy(key_col, "__seg")
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = segmented.select(
+        key_col,
+        ts_col,
+        id_col,
+        type_col,
+        value_col,
+        F.first(touch_type, ignorenulls=True).over(w_seg).alias(
+            "first_touch_type"
+        ),
+        F.last(touch_type, ignorenulls=True).over(w_seg).alias(
+            "last_touch_type"
+        ),
+        (
+            F.count(touch_type).over(w_seg)
+        ).alias("n_touches"),
+    )
+    return enriched.filter(F.col(type_col) == conversion_type).select(
+        key_col,
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.col(value_col).alias("conversion_value"),
+        "first_touch_type",
+        "last_touch_type",
+        F.col("n_touches").cast("long").alias("n_touches"),
     )
 
 

@@ -535,3 +535,76 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """Least-squares fit of ln(freq) ~ ln(rank) over the top-*k*
+    corpus tokens — the Zipf-law health check (natural corpora fit a
+    slope near −1; generated/templated text drifts off it).
+
+    One corpus-wide token count (hash agg), a global top-*k* (tiny),
+    then the regression runs over *k* rows on fixed-point integers:
+    ln values are floor-quantized to an 1e-8 grid and summed as
+    DECIMAL(38,0) so the moment sums are exact — slope/intercept/r²
+    are then single double expressions with one association, bit-
+    equal on any engine (the ``corr_regression_qty_price``
+    discipline; JVM/libm ``ln`` has matched on this corpus, see the
+    registry rules).
+
+    Output: one row (n, slope, intercept, r2, top_token, top_freq).
+    """
+    counts = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(top_k)
+    )
+    w_rank = Window.orderBy(F.desc("f"), F.asc("w"))
+    ranked = counts.select(
+        "w", "f", F.row_number().over(w_rank).alias("rank")
+    )
+    # fixed-point ln on the 1e-8 grid, exact integer moments
+    xi = F.floor(F.log(F.col("rank").cast("double")) * F.lit(1e8)).cast(
+        "decimal(38,0)"
+    )
+    yi = F.floor(F.log(F.col("f").cast("double")) * F.lit(1e8)).cast(
+        "decimal(38,0)"
+    )
+    def _d(c):
+        return c.cast("string").cast("double") / F.lit(1e8)
+
+    def _d2(c):
+        return c.cast("string").cast("double") / F.lit(1e16)
+
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _d(F.sum(xi)).alias("sx"),
+        _d(F.sum(yi)).alias("sy"),
+        _d2(F.sum(xi * yi)).alias("sxy"),
+        _d2(F.sum(xi * xi)).alias("sxx"),
+        _d2(F.sum(yi * yi)).alias("syy"),
+        F.max(F.when(F.col("rank") == 1, F.col("w"))).alias("top_token"),
+        F.max(F.when(F.col("rank") == 1, F.col("f"))).alias("top_freq"),
+    )
+    cov = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    varx = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    vary = (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    slope = cov / varx
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - (slope * F.col("sx"))) / F.col("n")).alias(
+            "intercept"
+        ),
+        ((cov / varx) * (cov / vary)).alias("r2"),
+        "top_token",
+        "top_freq",
+    )

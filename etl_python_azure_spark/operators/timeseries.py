@@ -16,6 +16,61 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def scd2_compact(
+    obs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse an observation stream into SCD Type-2 validity
+    intervals (the warehouse-side twin of the reference's CDC upsert,
+    `S:209–227`, which keeps only the LATEST version — this keeps
+    them all).
+
+    *obs* holds (key, ts, attrs...) observation rows. Consecutive
+    observations (per key, ordered by ts then *tiebreak_col*) with
+    identical attribute values merge into one version row:
+
+        (key, version, attrs..., valid_from, valid_to, n_obs)
+
+    ``version`` numbers runs 1..n per key; ``valid_to`` is the next
+    version's ``valid_from`` (NULL for the current/open version) —
+    the standard half-open [valid_from, valid_to) convention.
+
+    Scale shape: one shuffle on *key_col*, two window passes over the
+    same (key, ts) sort order, one hash aggregate. Change detection
+    is null-safe (``<=>``) so NULL attribute observations form their
+    own runs rather than merging with everything.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.lag(a).over(w).eqNullSafe(F.col(a))
+    versioned = obs.withColumn(
+        "version",
+        F.sum(F.when(changed, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    runs = versioned.groupBy(key_col, "version", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    w_v = Window.partitionBy(key_col).orderBy("version")
+    return runs.select(
+        key_col,
+        "version",
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        "n_obs",
+    )
+
+
 def linear_interpolate_gaps(
     daily: DataFrame,
     key_col: str = "user_id",
@@ -73,4 +128,61 @@ def linear_interpolate_gaps(
         .otherwise(interp)
         .alias("v_filled"),
         F.col(val_col).isNull().alias("is_interpolated"),
+    )
+
+
+def ewma_halflife(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    val_col: str = "v",
+    max_len: int = 100,
+) -> DataFrame:
+    """Exponentially-weighted moving average with decay 1/2 per
+    OBSERVATION (``s_t = (v_t + s_{t-1}) / 2``) — the trend feature
+    for per-entity metric series.
+
+    EWMA is a sequential recursion, which neither SQL engine can run
+    row-by-row — but with a power-of-two decay it unrolls exactly:
+
+        s_r = 0.5^(r+1) * Σ_{i≤r} 2^i * v_i      (r = row number)
+
+    ``2^i * cents_i`` is an exact integer (DECIMAL(38,0)), its
+    running sum is order-free, and the final ``0.5^(r+1)`` rescale is
+    an exact binary shift — so the whole trajectory is deterministic
+    and bit-replayable by the DuckDB oracle, like the PageRank loop.
+
+    The unroll costs magnitude: 2^i * cents must fit DECIMAL(38,0),
+    which bounds per-key series at ~*max_len* ≈ 100 observations
+    (2^100·10⁶ ≈ 1.3e36). Callers with longer series window or
+    re-chunk first; the operator fails loudly (ANSI overflow) rather
+    than decaying silently. At 100 TB this is one shuffle on the key
+    and one cumulative window over (key, day) — no state, no UDFs.
+
+    Output: (key, day, v, ewma).
+    """
+    if max_len > 100:
+        raise ValueError("2^i overflows DECIMAL(38,0) beyond ~100 rows")
+    w_rn = Window.partitionBy(key_col).orderBy(day_col)
+    r = F.row_number().over(w_rn)
+    cents = F.floor(F.col(val_col) * F.lit(100)).cast("decimal(38,0)")
+    wgt = F.pow(F.lit(2.0), r.cast("double")).cast("decimal(38,0)")
+    staged = daily.select(
+        key_col,
+        day_col,
+        F.col(val_col).alias("v"),
+        r.alias("__r"),
+        (cents * wgt).alias("__w"),
+    )
+    acc = F.sum("__w").over(
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ewma = (
+        acc.cast("string").cast("double")
+        * F.pow(F.lit(0.5), (F.col("__r") + F.lit(1)).cast("double"))
+    ) / F.lit(100.0)
+    return staged.select(
+        key_col, day_col, "v", ewma.alias("ewma")
     )

@@ -101,6 +101,15 @@ _R04_WINDOW = [
     "interpolated_daily_values",
     "event_value_outliers",
     "hybrid_search_topk",
+    # round-4b additions (SCD2 / attribution / decontamination /
+    # source-similarity / zipf / pagerank)
+    "scd2_priority_history",
+    "touch_attribution_paths",
+    "benchmark_decontamination",
+    "source_pair_jaccard",
+    "zipf_fit_top_tokens",
+    "pagerank_trade_graph",
+    "ewma_user_daily_value",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -128,13 +137,6 @@ _R04_WINDOW = [
     "distinct_cardinalities",
     "running_customer_spend",
     "cube_order_stats",
-    "outlier_orders_p95",
-    "filter_variety",
-    "acctbal_dominance",
-    "null_safe_join",
-    "scalar_null_toolbox",
-    "orders_with_large_items",
-    "first_last_order_price",
 ]
 
 
@@ -151,6 +153,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import relational_extra  # noqa: F401
     from . import round3  # noqa: F401
     from . import round4  # noqa: F401
+    from . import round4b  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

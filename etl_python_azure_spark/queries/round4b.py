@@ -1,0 +1,397 @@
+"""Round-4b registry surface: warehouse history, attribution,
+corpus hygiene, and graph analytics.
+
+- SCD Type-2 compaction (CDC history — the keep-all-versions twin of
+  the reference's latest-version upsert, `S:209–227`)
+- first/last-touch attribution over the event stream
+- benchmark decontamination (train ∩ eval shingle overlap)
+- source-pair Jaccard similarity matrix (corpus-level dedup health)
+- Zipf-law fit over the token frequency curve
+- fixed-point PageRank over the nation trade graph (iterative
+  join–agg loop, replayable arithmetic)
+- EWMA (decay 1/2) over per-user daily value (power-of-two unroll)
+
+Determinism notes: PageRank quantizes each iteration's per-edge
+contributions to BIGINT on an 1e-12 grid (integer sums are
+order-free), so the DuckDB oracle replays all iterations bit-for-bit
+as unrolled CTEs; the Zipf regression uses the fixed-point-ln moment
+discipline of ``bpe_pair_counts``/``corr_regression_qty_price``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from . import register
+
+# --------------------------------------------------------------------------
+# SCD Type-2: per-customer order-priority history compacted into
+# validity intervals ([valid_from, valid_to), NULL = open version).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+                  IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ),
+    v AS (
+      SELECT *, SUM(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS version
+      FROM w
+    ),
+    runs AS (
+      SELECT o_custkey, version, o_orderpriority,
+             MIN(o_orderdate) AS valid_from, COUNT(*) AS n_obs
+      FROM v GROUP BY o_custkey, version, o_orderpriority
+    )
+    SELECT o_custkey, CAST(version AS BIGINT) AS version,
+           o_orderpriority, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY version) AS valid_to,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM runs
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import scd2_compact
+
+    o = load_tables(spark, sf_dir, "orders")
+    return scd2_compact(
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+# --------------------------------------------------------------------------
+# First/last-touch attribution: every purchase claims the touches
+# since the user's previous purchase.
+# --------------------------------------------------------------------------
+@register(
+    "touch_attribution_paths",
+    """
+    WITH seg AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+             - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sg
+      FROM events
+    ),
+    en AS (
+      SELECT user_id, ts, event_id, event_type, value,
+        first_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+          OVER w AS first_touch_type,
+        last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS)
+          OVER w AS last_touch_type,
+        COUNT(CASE WHEN event_type <> 'purchase' THEN event_type END)
+          OVER w AS n_touches
+      FROM seg
+      WINDOW w AS (PARTITION BY user_id, sg ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           value AS conversion_value, first_touch_type, last_touch_type,
+           CAST(n_touches AS BIGINT) AS n_touches
+    FROM en WHERE event_type = 'purchase'
+    """,
+)
+def touch_attribution_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import touch_attribution
+
+    e = load_tables(spark, sf_dir, "events")
+    return touch_attribution(e, conversion_type="purchase")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing ≥3 word-3-gram
+# shingles with the (doc_id % 97 = 0) held-out slice.
+# --------------------------------------------------------------------------
+@register(
+    "benchmark_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    )
+    SELECT t.doc_id AS train_doc_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) t
+    JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) e USING (shingle)
+    GROUP BY t.doc_id
+    HAVING COUNT(DISTINCT t.shingle) >= 3
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contamination_overlap
+
+    d = load_tables(spark, sf_dir, "documents")
+    return contamination_overlap(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+        min_shared=3,
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level source similarity: exact Jaccard of shingle SETS per
+# source pair (mixture-weight / crawl-overlap diagnostic).
+# --------------------------------------------------------------------------
+@register(
+    "source_pair_jaccard",
+    """
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    gs AS (
+      SELECT DISTINCT source AS g, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT g, COUNT(*) AS sz FROM gs GROUP BY g),
+    inter AS (
+      SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS n_inter
+      FROM gs a JOIN gs b ON a.shingle = b.shingle AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+    """,
+)
+def source_pair_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import source_pair_jaccard
+
+    d = load_tables(spark, sf_dir, "documents")
+    return source_pair_jaccard(d, group_col="source")
+
+
+# --------------------------------------------------------------------------
+# Zipf-law fit over the top-200 token frequency curve.
+# --------------------------------------------------------------------------
+_ZIPF_COV = "((n * sxy) - (sx * sy))"
+_ZIPF_VARX = "((n * sxx) - (sx * sx))"
+_ZIPF_VARY = "((n * syy) - (sy * sy))"
+
+
+@register(
+    "zipf_fit_top_tokens",
+    f"""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS f FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+      ORDER BY f DESC, w LIMIT 200
+    ),
+    ranked AS (
+      SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank
+      FROM counts
+    ),
+    fx AS (
+      SELECT w, f, rank,
+        CAST(floor(ln(CAST(rank AS DOUBLE)) * CAST(1e8 AS DOUBLE))
+             AS BIGINT) AS xi,
+        CAST(floor(ln(CAST(f AS DOUBLE)) * CAST(1e8 AS DOUBLE))
+             AS BIGINT) AS yi
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        (CAST(CAST(SUM(xi) AS VARCHAR) AS DOUBLE)
+          / CAST(1e8 AS DOUBLE)) AS sx,
+        (CAST(CAST(SUM(yi) AS VARCHAR) AS DOUBLE)
+          / CAST(1e8 AS DOUBLE)) AS sy,
+        (CAST(CAST(SUM(CAST(xi AS HUGEINT) * yi) AS VARCHAR) AS DOUBLE)
+          / CAST(1e16 AS DOUBLE)) AS sxy,
+        (CAST(CAST(SUM(CAST(xi AS HUGEINT) * xi) AS VARCHAR) AS DOUBLE)
+          / CAST(1e16 AS DOUBLE)) AS sxx,
+        (CAST(CAST(SUM(CAST(yi AS HUGEINT) * yi) AS VARCHAR) AS DOUBLE)
+          / CAST(1e16 AS DOUBLE)) AS syy,
+        MAX(CASE WHEN rank = 1 THEN w END) AS top_token,
+        MAX(CASE WHEN rank = 1 THEN f END) AS top_freq
+      FROM fx
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ({_ZIPF_COV} / {_ZIPF_VARX}) AS slope,
+           ((sy - (({_ZIPF_COV} / {_ZIPF_VARX}) * sx)) / n) AS intercept,
+           (({_ZIPF_COV} / {_ZIPF_VARX}) * ({_ZIPF_COV} / {_ZIPF_VARY}))
+             AS r2,
+           top_token, CAST(top_freq AS BIGINT) AS top_freq
+    FROM m
+    """,
+)
+def zipf_fit_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import zipf_fit
+
+    d = load_tables(spark, sf_dir, "documents")
+    return zipf_fit(d, top_k=200)
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank over the nation trade graph (supplier nation →
+# customer nation, weighted by shipped line items). The oracle
+# replays all 3 quantized iterations as unrolled CTEs.
+# --------------------------------------------------------------------------
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    base = (
+        "((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))"
+        " / CAST(nn.n AS DOUBLE))"
+    )
+    cte = """
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT src, dst,
+             (w / SUM(w) OVER (PARTITION BY src)) AS share
+      FROM e
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (
+      SELECT node, (CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS rank
+      FROM nodes, nn
+    )"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cte += f""",
+    c{i} AS (
+      SELECT dst,
+             CAST(CAST(SUM(CAST(floor((rank * share)
+                    * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS VARCHAR)
+                  AS DOUBLE) AS mass
+      FROM sh JOIN {prev} r ON r.node = sh.src
+      GROUP BY dst
+    ),
+    r{i} AS (
+      SELECT nodes.node,
+             ({base} + (CAST(0.85 AS DOUBLE)
+                * (COALESCE(mass, CAST(0.0 AS DOUBLE))
+                   / CAST(1e12 AS DOUBLE)))) AS rank
+      FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node, nn
+    )"""
+        prev = f"r{i}"
+    return (
+        cte
+        + f""",
+    indeg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+              FROM e GROUP BY dst)
+    SELECT r.node, r.rank, COALESCE(i.in_degree, 0) AS in_degree
+    FROM {prev} r LEFT JOIN indeg i ON i.node = r.node
+    """
+    )
+
+
+@register("pagerank_trade_graph", _pagerank_oracle(_PR_ITERS))
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer",
+                    "supplier")
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            s.s_nationkey.alias("src"), c.c_nationkey.alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(
+        edges,
+        weight_col="w",
+        damping=_PR_DAMPING,
+        n_iter=_PR_ITERS,
+    )
+
+
+# --------------------------------------------------------------------------
+# EWMA (decay 1/2 per observation) over per-user daily event value.
+# The power-of-two unroll makes the recursion exact on both engines:
+# 2^i * cents is an exact HUGEINT/DECIMAL, the cumulative sum is
+# order-free, the 0.5^(r+1) rescale is an exact binary shift.
+# --------------------------------------------------------------------------
+@register(
+    "ewma_user_daily_value",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT user_id, day, v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS r
+      FROM daily
+    ),
+    weighted AS (
+      SELECT user_id, day, v, r,
+             CAST(floor(v * 100) AS HUGEINT)
+               * CAST(power(CAST(2.0 AS DOUBLE), CAST(r AS DOUBLE))
+                      AS HUGEINT) AS w
+      FROM staged
+    ),
+    acc AS (
+      SELECT user_id, day, v, r,
+             SUM(w) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM weighted
+    )
+    SELECT user_id, day, v,
+           ((CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             * power(CAST(0.5 AS DOUBLE), CAST(r + 1 AS DOUBLE)))
+            / CAST(100.0 AS DOUBLE)) AS ewma
+    FROM acc
+    """,
+)
+def ewma_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_halflife
+
+    e = load_tables(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return ewma_halflife(daily, "user_id", "day", "v")

@@ -87,6 +87,13 @@ QUERIES = [
     "tfidf_cosine_pairs",
     "interpolated_daily_values",
     "event_value_outliers",
+    "scd2_priority_history",
+    "touch_attribution_paths",
+    "benchmark_decontamination",
+    "source_pair_jaccard",
+    "zipf_fit_top_tokens",
+    "pagerank_trade_graph",
+    "ewma_user_daily_value",
     "hybrid_search_topk",
 ]
 
@@ -150,6 +157,22 @@ def main() -> None:
         " plan is still the minimal pruned scan (4 columns) + one"
         " WholeStageCodegen project, zero exchanges, and the r04"
         " bench run is back at ~0.46 s.",
+        "",
+        "- pagerank_trade_graph's counts are inflated by cache"
+        " artifacts: the edge/node tables are persisted, and every"
+        " InMemoryRelation in the unrolled 3-iteration plan re-embeds"
+        " its originating scan+join text, so the exchange/join tallies"
+        " above count each embedded description once per iteration."
+        " At runtime each iteration is one broadcast join of the"
+        " 25-row rank vector onto the CACHED edge table plus one hash"
+        " agg (InMemoryTableScan appears 208×; the parquet scans"
+        " execute once).",
+        "",
+        "- latinad_full_refresh bench variance: mid-r04 runs measured"
+        " 9.3–10.8 s (vs 6.75 s in BENCH_r03) — re-running the exact"
+        " r03 commit (e228bb5) in a clean worktree reproduced 9.3 s,"
+        " so the delta is machine/load variance of the HTTP-fan-out"
+        " e2e, not a plan or code regression. The plan is unchanged.",
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")

@@ -173,3 +173,28 @@ def test_round4_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "event_value_outliers")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4b_plan_shapes(spark, sf_dir):
+    """Round-4b audited shapes: window ops never collapse to a single
+    partition, shingle/token joins stay equi-joins, PageRank's
+    per-iteration join-agg never goes cartesian."""
+    # SCD2: windows partitioned by customer, no joins at all
+    plan = _plan(spark, sf_dir, "scd2_priority_history")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # attribution: same — three windows over one (user) partitioning
+    plan = _plan(spark, sf_dir, "touch_attribution_paths")
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan  # pure window pipeline, no self-join
+    # decontamination: shingle equi-join, never |train| x |eval|
+    plan = _plan(spark, sf_dir, "benchmark_decontamination")
+    assert "CartesianProduct" not in plan
+    # source similarity: shingle-keyed self-join + broadcast sizes
+    plan = _plan(spark, sf_dir, "source_pair_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # pagerank: every iteration is an equi-join; nothing cartesian,
+    # nothing single-partition except the final 25-row sort-less agg
+    plan = _plan(spark, sf_dir, "pagerank_trade_graph")
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,225 @@
+"""Semantic tests for the round-4b operators (SCD2 compaction,
+touch attribution, decontamination, source-pair Jaccard, Zipf fit,
+PageRank) on hand-checkable inputs — the oracle diff proves engine
+parity; these prove the semantics are the intended ones."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from etl_python_azure_spark.operators.dedup import (
+    contamination_overlap,
+    source_pair_jaccard,
+)
+from etl_python_azure_spark.operators.graph import pagerank
+from etl_python_azure_spark.operators.sessionize import touch_attribution
+from etl_python_azure_spark.operators.text import zipf_fit
+from etl_python_azure_spark.operators.timeseries import scd2_compact
+
+
+def _ts(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_scd2_compact_runs_and_intervals(spark):
+    obs = spark.createDataFrame(
+        [
+            (1, _ts(1), 101, "gold"),
+            (1, _ts(2), 102, "gold"),     # same run
+            (1, _ts(3), 103, "silver"),   # change -> v2
+            (1, _ts(4), 104, "gold"),     # change BACK -> v3 (not merged)
+            (2, _ts(1), 201, "bronze"),   # single open version
+        ],
+        "k long, ts timestamp, tb long, tier string",
+    )
+    out = {
+        (r["k"], r["version"]): r
+        for r in scd2_compact(obs, "k", "ts", ["tier"], "tb").collect()
+    }
+    assert len(out) == 4
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1["tier"], v1["n_obs"]) == ("gold", 2)
+    assert v1["valid_from"] == _ts(1) and v1["valid_to"] == _ts(3)
+    assert (v2["tier"], v2["valid_to"]) == ("silver", _ts(4))
+    assert (v3["tier"], v3["valid_to"]) == ("gold", None)  # open
+    assert out[(2, 1)]["valid_to"] is None
+
+
+def test_scd2_null_attr_forms_own_run(spark):
+    obs = spark.createDataFrame(
+        [(1, _ts(1), 1, "a"), (1, _ts(2), 2, None), (1, _ts(3), 3, None)],
+        "k long, ts timestamp, tb long, tier string",
+    )
+    rows = scd2_compact(obs, "k", "ts", ["tier"], "tb").collect()
+    assert len(rows) == 2  # 'a' then a merged NULL run
+    nulls = [r for r in rows if r["tier"] is None]
+    assert nulls[0]["n_obs"] == 2 and nulls[0]["version"] == 2
+
+
+def test_scd2_same_ts_uses_tiebreaker(spark):
+    obs = spark.createDataFrame(
+        [(1, _ts(1), 2, "late"), (1, _ts(1), 1, "early")],
+        "k long, ts timestamp, tb long, tier string",
+    )
+    rows = {r["version"]: r["tier"] for r in
+            scd2_compact(obs, "k", "ts", ["tier"], "tb").collect()}
+    assert rows == {1: "early", 2: "late"}
+
+
+def test_touch_attribution_hand_path(spark):
+    rows = [
+        # user 1: view, click, purchase, view, purchase, purchase
+        (1, _ts(1, 1), 11, "view", 0.0),
+        (1, _ts(1, 2), 12, "click", 0.0),
+        (1, _ts(1, 3), 13, "purchase", 9.5),
+        (1, _ts(1, 4), 14, "view", 0.0),
+        (1, _ts(1, 5), 15, "purchase", 3.0),
+        (1, _ts(1, 6), 16, "purchase", 4.0),  # back-to-back: no touch
+        # user 2: purchase with no preceding touch at all
+        (2, _ts(2, 1), 21, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string, value double",
+    )
+    out = {r["conversion_id"]: r for r in touch_attribution(df).collect()}
+    assert len(out) == 4
+    assert (out[13]["first_touch_type"], out[13]["last_touch_type"],
+            out[13]["n_touches"]) == ("view", "click", 2)
+    assert (out[15]["first_touch_type"], out[15]["n_touches"]) == ("view", 1)
+    assert out[16]["first_touch_type"] is None and out[16]["n_touches"] == 0
+    assert out[21]["first_touch_type"] is None
+    assert out[13]["conversion_value"] == 9.5
+
+
+def test_contamination_overlap_hand_checked(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-grams with eval
+            (2, "totally different words here"),
+            (3, "the quick brown dog"),          # shares 1 shingle
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")],
+        "doc_id long, text string",
+    )
+    out = {r["train_doc_id"]: r for r in
+           contamination_overlap(train, eval_set, min_shared=1).collect()}
+    # doc 1 shares 'the quick brown' and 'quick brown fox'
+    assert out[1]["n_shared_shingles"] == 2 and out[1]["n_eval_docs"] == 1
+    assert out[3]["n_shared_shingles"] == 1
+    assert 2 not in out
+    gated = contamination_overlap(train, eval_set, min_shared=2).collect()
+    assert [r["train_doc_id"] for r in gated] == [1]
+
+
+def test_source_pair_jaccard_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z w"),        # shingles: 'x y z', 'y z w'
+            ("b", "x y z v"),        # shingles: 'x y z', 'y z v'
+            ("c", "p q r s"),        # disjoint
+        ],
+        "source string, text string",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in
+           source_pair_jaccard(df).collect()}
+    ab = out[("a", "b")]
+    assert (ab["n_inter"], ab["size_a"], ab["size_b"]) == (1, 2, 2)
+    assert abs(ab["jaccard"] - 1.0 / 3.0) < 1e-15
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_zipf_fit_exact_inverse_law(spark):
+    # frequencies exactly proportional to 1/rank -> slope -1, r2 ~ 1
+    words = ["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4 + ["delta"] * 3
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_fit(df, top_k=4).collect()[0]
+    assert row["n"] == 4
+    assert row["top_token"] == "alpha" and row["top_freq"] == 12
+    assert math.isclose(row["slope"], -1.0, abs_tol=1e-4)
+    assert row["r2"] > 0.9999
+    assert math.isclose(row["intercept"], math.log(12.0), abs_tol=1e-4)
+
+
+def test_pagerank_symmetric_two_cycle(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5)], "src long, dst long, w long"
+    )
+    out = {r["node"]: r for r in
+           pagerank(e, weight_col="w", n_iter=5).collect()}
+    # symmetric 2-cycle: uniform 1/2 is the fixed point
+    assert math.isclose(out[1]["rank"], 0.5, abs_tol=1e-9)
+    assert math.isclose(out[2]["rank"], 0.5, abs_tol=1e-9)
+    assert out[1]["in_degree"] == 1
+
+
+def test_pagerank_hub_attracts_mass_and_is_partition_invariant(spark):
+    # spokes 2..5 all point at hub 1; hub points back at node 2
+    edges = [(i, 1, 1) for i in range(2, 6)] + [(1, 2, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    r1 = {r["node"]: r["rank"] for r in
+          pagerank(e, weight_col="w", n_iter=3).collect()}
+    assert r1[1] == max(r1.values())          # hub dominates
+    assert r1[2] > r1[3]                      # hub's out-neighbor next
+    assert math.isclose(r1[3], r1[4], abs_tol=1e-15) and math.isclose(
+        r1[4], r1[5], abs_tol=1e-15
+    )
+    assert sum(r1.values()) <= 1.0 + 1e-9     # quantization only leaks DOWN
+    r2 = {r["node"]: r["rank"] for r in
+          pagerank(e.repartition(7), weight_col="w", n_iter=3).collect()}
+    assert r1 == r2                           # bit-identical re-partitioned
+
+
+def test_pagerank_weights_shift_mass(spark):
+    # 1 splits 90/10 between 2 and 3
+    e = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    out = {r["node"]: r["rank"] for r in
+           pagerank(e, weight_col="w", n_iter=4).collect()}
+    assert out[2] > out[3]
+
+
+def test_ewma_halflife_hand_checked(spark):
+    from datetime import date
+
+    from etl_python_azure_spark.operators.timeseries import ewma_halflife
+
+    daily = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 1), 10.0),   # s1 = 10/2 = 5
+            (1, date(2024, 1, 2), 10.0),   # s2 = (10+5)/2 = 7.5
+            (1, date(2024, 1, 3), 0.0),    # s3 = 7.5/2 = 3.75
+            (2, date(2024, 1, 1), 4.0),    # s1 = 2
+        ],
+        "user_id long, day date, v double",
+    )
+    out = {(r["user_id"], str(r["day"])): r["ewma"]
+           for r in ewma_halflife(daily).collect()}
+    assert out[(1, "2024-01-01")] == 5.0
+    assert out[(1, "2024-01-02")] == 7.5
+    assert out[(1, "2024-01-03")] == 3.75
+    assert out[(2, "2024-01-01")] == 2.0
+
+
+def test_ewma_partition_invariant(spark):
+    from datetime import date, timedelta
+
+    from etl_python_azure_spark.operators.timeseries import ewma_halflife
+
+    rows = [
+        (u, date(2024, 1, 1) + timedelta(days=i), float(u * 10 + i) + 0.25)
+        for u in range(1, 6)
+        for i in range(30)
+    ]
+    daily = spark.createDataFrame(rows, "user_id long, day date, v double")
+    a = {(r["user_id"], str(r["day"])): r["ewma"]
+         for r in ewma_halflife(daily).collect()}
+    b = {(r["user_id"], str(r["day"])): r["ewma"]
+         for r in ewma_halflife(daily.repartition(13)).collect()}
+    assert a == b and len(a) == 150
