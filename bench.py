@@ -98,6 +98,9 @@ OPTIONAL = [
     "zipf_fit_top_tokens",
     "pagerank_trade_graph",
     "ewma_user_daily_value",
+    "cms_token_frequency",
+    "snapshot_diff_orders",
+    "rrf_fusion_topk",
 ]
 
 

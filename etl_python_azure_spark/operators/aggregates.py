@@ -122,3 +122,106 @@ def finalize_distinct(
     return df.withColumn(
         out_col, F.hll_sketch_estimate(F.col(f"hll_{distinct_col}"))
     ).drop(f"hll_{distinct_col}")
+
+
+def cms_build(
+    df: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch of a token stream as a (seed, bucket, cnt)
+    cell table — the mergeable heavy-hitter / frequency sketch that
+    completes the sketch family next to `distinct_sketch`.
+
+    Each occurrence lands in one bucket per hash row (md5-salted, so
+    any engine replays it); a cell table is ``depth × width`` rows
+    REGARDLESS of corpus size, and two sketches merge by summing
+    cells (`cms_merge`) — the same partial/final discipline as
+    `partial_aggregate`, so per-partition/per-day sketches fold into
+    a corpus sketch without rescanning history.
+
+    Estimates (`cms_estimate`) are biased UP only: est ≥ true always,
+    and P[est > true + (e/width)·N] < e^-depth per query.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    cells = df.select(
+        F.col(token_col).alias("__t"), F.explode(seeds).alias("seed")
+    ).select(
+        "seed",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("seed").cast("string"), F.col("__t")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return cells.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS cell tables built with the same depth/width."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS cell table.
+
+    *queries* holds the tokens to estimate (one per row). Each token
+    probes one bucket per hash row; the estimate is the MIN across
+    rows. The sketch is depth×width rows — broadcast — so estimating
+    any number of tokens is a map-side join plus a small agg, never a
+    corpus scan.
+
+    Output: (token, cms_estimate).
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    probes = queries.select(
+        F.col(token_col).alias("token"), F.explode(seeds).alias("seed")
+    ).select(
+        "token",
+        "seed",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("seed").cast("string"), F.col("token")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

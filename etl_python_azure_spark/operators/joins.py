@@ -97,3 +97,71 @@ def merge_upsert(
     winners = split.new.unionByName(split.updated)
     keep_existing = existing.join(split.updated.select(key), on=key, how="left_anti")
     return keep_existing.unionByName(winners.select(*existing.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table snapshots — the change-data-feed
+    the reference's full-refresh loads (`L:190–197`, `S:229–245`)
+    throw away: WHAT actually changed between runs.
+
+    Full outer join on *key_cols*; each non-matching or value-drifted
+    row comes back as::
+
+        (keys..., change_type ∈ {added, removed, changed},
+         changed_cols)  -- comma-joined names, '' unless changed
+
+    Unchanged rows are dropped (the output is the delta, sized by
+    churn, not by the table). Comparison is null-safe per column.
+
+    Scale shape: ONE shuffle join on the key — the same cost as the
+    MERGE it usually precedes; no collect, no per-column passes (all
+    column comparisons evaluate in one projection).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cmp = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in cmp],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in cmp],
+    )
+    cond = [
+        o[f"__ko_{k}"].eqNullSafe(n[f"__kn_{k}"]) for k in keys
+    ]
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ko_{keys[0]}").isNotNull()
+    in_new = F.col(f"__kn_{keys[0]}").isNotNull()
+    drifted = [
+        F.when(
+            ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+        )
+        for c in cmp
+    ]
+    changed_cols = F.concat_ws(
+        ",", F.array_compact(F.array(*drifted))
+    )
+    change_type = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(changed_cols != "", F.lit("changed"))
+    )
+    return (
+        j.select(
+            *[
+                F.coalesce(f"__kn_{k}", f"__ko_{k}").alias(k)
+                for k in keys
+            ],
+            change_type.alias("change_type"),
+            F.when(change_type == "changed", changed_cols)
+            .otherwise(F.lit(""))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -22,7 +22,7 @@ across every sweep since r02).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -296,4 +296,51 @@ def hybrid_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists:
+
+        rrf(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d))
+
+    (absent list contributes 0). The standard score-free way to merge
+    lexical and vector retrieval — no score normalization to tune,
+    robust to incomparable score scales, and exactly reproducible
+    (integer ranks, one division per list, fixed addition order).
+
+    Scale shape: a full outer join of two top-N lists (N rows each,
+    broadcast-sized) + one top-k — never touches the corpus.
+
+    Output: (id, rrf_score, rank_a, rank_b, fused_rank).
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("rank_a")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("__id"), F.col(rank_col).alias("rank_b")
+    )
+    j = a.join(b, "__id", "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k) + F.col(c)).cast("double"), F.lit(0.0)
+    )
+    scored = j.select(
+        F.col("__id").alias(id_col),
+        (term("rank_a") + term("rank_b")).alias("rrf_score"),
+        "rank_a",
+        "rank_b",
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        scored.select(
+            "*", F.row_number().over(w).alias("fused_rank")
+        )
+        .filter(F.col("fused_rank") <= top)
     )

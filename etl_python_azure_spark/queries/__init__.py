@@ -110,6 +110,9 @@ _R04_WINDOW = [
     "zipf_fit_top_tokens",
     "pagerank_trade_graph",
     "ewma_user_daily_value",
+    "cms_token_frequency",
+    "snapshot_diff_orders",
+    "rrf_fusion_topk",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -134,9 +137,6 @@ _R04_WINDOW = [
     "top3_orders_per_segment",
     "rollup_quantity",
     "pivot_qty_by_status",
-    "distinct_cardinalities",
-    "running_customer_spend",
-    "cube_order_stats",
 ]
 
 

@@ -395,3 +395,266 @@ def ewma_user_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ewma_halflife(daily, "user_id", "day", "v")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: point-frequency estimates with an upper-bound
+# certificate. The sketch is depth×width cells regardless of corpus
+# size and is MERGEABLE (cms_merge) — the heavy-hitter companion to
+# sketch_distinct_maintenance. est ≥ exact always; the certificate
+# checks est−exact ≤ ceil(2e/width · N) (P[violation] ≈ (2e)^-depth
+# per token; deterministic given the data, validated across the sf
+# sweeps per the 5σ registry rule).
+# --------------------------------------------------------------------------
+_CMS_TOKENS = ["and", "data", "filter", "hash", "join", "zzz_absent_token"]
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_2E = "5.43656365691809"
+
+_CMS_BUCKET = (
+    "CAST(CAST(from_hex(substr(md5(CAST(seed AS VARCHAR) || ':' || {t}),"
+    " 1, 8))::BIT::UBIGINT AS BIGINT) % 512 AS BIGINT)"
+)
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+      SELECT t.token FROM documents,
+        UNNEST(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_tok FROM toks),
+    cells AS (
+      SELECT seed, {_CMS_BUCKET.format(t="token")} AS bucket,
+             COUNT(*) AS cnt
+      FROM toks, UNNEST(range(0, {_CMS_DEPTH})) AS s(seed)
+      GROUP BY 1, 2
+    ),
+    q(token) AS (VALUES {", ".join(f"('{t}')" for t in _CMS_TOKENS)}),
+    probes AS (
+      SELECT q.token, s.seed, {_CMS_BUCKET.format(t="q.token")} AS bucket
+      FROM q, UNNEST(range(0, {_CMS_DEPTH})) AS s(seed)
+    ),
+    est AS (
+      SELECT token, MIN(COALESCE(cnt, 0)) AS e FROM probes
+      LEFT JOIN cells USING (seed, bucket) GROUP BY token
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS c FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in _CMS_TOKENS)})
+      GROUP BY token
+    )
+    SELECT q.token, CAST(COALESCE(exact.c, 0) AS BIGINT) AS exact_count,
+           CAST(est.e AS BIGINT) AS cms_estimate,
+           CAST(est.e - COALESCE(exact.c, 0) AS BIGINT) AS overestimate,
+           (est.e - COALESCE(exact.c, 0))
+             <= CAST(ceil((CAST({_CMS_2E} AS DOUBLE)
+                           / CAST({_CMS_WIDTH} AS DOUBLE))
+                          * CAST(n.n_tok AS DOUBLE)) AS BIGINT)
+             AS within_bound
+    FROM q JOIN est USING (token) LEFT JOIN exact USING (token), n
+    """
+
+
+@register("cms_token_frequency", _CMS_ORACLE)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import cms_build, cms_estimate
+
+    d = load_tables(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sketch = cms_build(toks, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    q = spark.createDataFrame([(t,) for t in _CMS_TOKENS], "token string")
+    est = cms_estimate(
+        sketch, q, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    ).withColumnRenamed("cms_estimate", "e")
+    exact = (
+        toks.filter(F.col("token").isin(_CMS_TOKENS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    bound = F.ceil(
+        (F.lit(float(_CMS_2E)) / F.lit(float(_CMS_WIDTH)))
+        * F.col("n_tok").cast("double")
+    )
+    over = F.col("e") - F.coalesce("c", F.lit(0))
+    return (
+        q.join(est, "token")
+        .join(exact, "token", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.coalesce("c", F.lit(0)).cast("long").alias("exact_count"),
+            F.col("e").cast("long").alias("cms_estimate"),
+            over.cast("long").alias("overestimate"),
+            (over <= bound).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (change data feed): row-level delta between the
+# orders table and a deterministically perturbed "next run" snapshot
+# (removed %13 keys, price-bumped %7, status-flipped %11, added %17
+# under offset keys). The output is sized by churn, not table size.
+# --------------------------------------------------------------------------
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    j AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             o.o_orderkey AS ko, n.o_orderkey AS kn,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM old o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN ko IS NULL THEN 'added'
+                WHEN kn IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN ko IS NULL OR kn IS NULL THEN ''
+                ELSE concat_ws(',',
+                  CASE WHEN op IS DISTINCT FROM np
+                       THEN 'o_totalprice' END,
+                  CASE WHEN os IS DISTINCT FROM ns
+                       THEN 'o_orderstatus' END)
+           END AS changed_cols
+    FROM j
+    WHERE ko IS NULL OR kn IS NULL
+       OR (op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import snapshot_diff
+
+    o = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        o.filter(k % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 7 == 0, F.col("o_totalprice") * F.lit(1.1))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(k % 11 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.filter(k % 17 == 0).select(
+                (k + F.lit(10000000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return snapshot_diff(
+        o, new, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion: BM25 top-50 ⊕ embedding-cosine top-50 →
+# top-10, score-free (1/(60+rank) terms, fixed addition order).
+# --------------------------------------------------------------------------
+_RRF_QV = 7
+_RRF_N = 50
+_RRF_K = 10
+
+from .round4 import _BM25_TERMS, _bm25_oracle  # noqa: E402
+
+_RRF_ORACLE = f"""
+    WITH bm AS (
+      SELECT doc_id, score FROM ({_bm25_oracle(_BM25_TERMS, _RRF_N)})
+    ),
+    bmr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank_a
+      FROM bm
+    ),
+    n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT embedding AS qe, nrm AS qn FROM n
+           WHERE vec_id = {_RRF_QV}),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(qv.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (acc, v) -> acc + v) / (qv.qn * e.nrm) AS cosine
+      FROM n e, qv WHERE e.vec_id <> {_RRF_QV}
+    ),
+    cr AS (
+      SELECT doc_id, rank_b FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank_b
+        FROM cos
+      ) WHERE rank_b <= {_RRF_N}
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.rank_a, b.rank_b,
+             (COALESCE(CAST(1.0 AS DOUBLE)
+                       / CAST(60 + a.rank_a AS DOUBLE), CAST(0.0 AS DOUBLE))
+              + COALESCE(CAST(1.0 AS DOUBLE)
+                         / CAST(60 + b.rank_b AS DOUBLE),
+                         CAST(0.0 AS DOUBLE))) AS rrf_score
+      FROM bmr a FULL OUTER JOIN cr b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_score,
+           CAST(COALESCE(rank_a, 0) AS BIGINT) AS rank_a,
+           CAST(COALESCE(rank_b, 0) AS BIGINT) AS rank_b,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {_RRF_K}
+    """
+
+
+@register("rrf_fusion_topk", _RRF_ORACLE)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.search import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    d = load_tables(spark, sf_dir, "documents")
+    em = load_tables(spark, sf_dir, "embeddings")
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = bm25_topk(d, _BM25_TERMS, k=_RRF_N).select(
+        "doc_id", F.row_number().over(wa).alias("rank")
+    )
+    cos = cosine_topk(
+        em, em.filter(F.col("vec_id") == _RRF_QV), k=_RRF_N
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(bm, cos, id_col="doc_id", k=60, top=_RRF_K)
+    return fused.select(
+        "doc_id",
+        "rrf_score",
+        F.coalesce("rank_a", F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_b"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )

@@ -223,3 +223,86 @@ def test_ewma_partition_invariant(spark):
     b = {(r["user_id"], str(r["day"])): r["ewma"]
          for r in ewma_halflife(daily.repartition(13)).collect()}
     assert a == b and len(a) == 150
+
+
+def test_cms_estimate_never_underestimates_and_merges(spark):
+    from etl_python_azure_spark.operators.aggregates import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    toks = (["apple"] * 50 + ["banana"] * 20 + ["cherry"] * 5
+            + [f"noise{i}" for i in range(200)])
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    sk = cms_build(df, depth=4, width=64)
+    q = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("absent",)], "token string"
+    )
+    est = {r["token"]: r["cms_estimate"]
+           for r in cms_estimate(sk, q, depth=4, width=64).collect()}
+    assert est["apple"] >= 50 and est["banana"] >= 20 and est["cherry"] >= 5
+    # width 64 over ~275 tokens: collisions stay small
+    assert est["apple"] <= 50 + 30
+    assert est["absent"] >= 0  # may collide, never negative
+    # merging two halves == sketching the whole
+    half1 = spark.createDataFrame([(t,) for t in toks[:100]], "token string")
+    half2 = spark.createDataFrame([(t,) for t in toks[100:]], "token string")
+    merged = cms_merge(
+        cms_build(half1, depth=4, width=64), cms_build(half2, depth=4, width=64)
+    )
+    est2 = {r["token"]: r["cms_estimate"]
+            for r in cms_estimate(merged, q, depth=4, width=64).collect()}
+    assert est == est2
+
+
+def test_snapshot_diff_classifies(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, 40.0, None)],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),          # unchanged -> dropped
+         (2, 25.0, "B"),          # price changed
+         (4, 40.0, "D"),          # NULL -> 'D' (null-safe compare)
+         (5, 50.0, "E")],         # added
+        "k long, price double, status string",
+    )
+    from etl_python_azure_spark.operators.joins import snapshot_diff
+
+    out = {r["k"]: (r["change_type"], r["changed_cols"])
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {
+        2: ("changed", "price"),
+        3: ("removed", ""),
+        4: ("changed", "status"),
+        5: ("added", ""),
+    }
+
+
+def test_snapshot_diff_multi_col_change_order(spark):
+    old = spark.createDataFrame([(1, 1.0, "A")],
+                                "k long, price double, status string")
+    new = spark.createDataFrame([(1, 2.0, "B")],
+                                "k long, price double, status string")
+    from etl_python_azure_spark.operators.joins import snapshot_diff
+
+    row = snapshot_diff(old, new, "k", ["price", "status"]).collect()[0]
+    assert row["changed_cols"] == "price,status"  # compare_cols order
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from etl_python_azure_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r for r in
+           rrf_fuse(a, b, k=60, top=10).collect()}
+    # doc 11 appears in both lists -> highest fused score
+    assert out[11]["fused_rank"] == 1
+    assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61  # single-list contribution
+    assert out[13]["rank_a"] is None and out[13]["rank_b"] == 2
+    # all four docs survive (top=10 > candidates)
+    assert len(out) == 4
