@@ -101,6 +101,8 @@ OPTIONAL = [
     "cms_token_frequency",
     "snapshot_diff_orders",
     "rrf_fusion_topk",
+    "ann_pq_adc_recall",
+    "ann_pq_rerank_recall",
 ]
 
 

@@ -113,6 +113,8 @@ _R04_WINDOW = [
     "cms_token_frequency",
     "snapshot_diff_orders",
     "rrf_fusion_topk",
+    "ann_pq_adc_recall",
+    "ann_pq_rerank_recall",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -135,8 +137,6 @@ _R04_WINDOW = [
     "json_flatten_props",
     "revenue_by_nation",
     "top3_orders_per_segment",
-    "rollup_quantity",
-    "pivot_qty_by_status",
 ]
 
 

@@ -585,3 +585,302 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         "query_id", "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ companion: product-quantization ADC recall. The whole
+# pipeline — unit-normalize, per-subspace Lloyd training, encoding,
+# LUT-based asymmetric distances — replays in SQL because every
+# mean is exact fixed-point and every ADC term is floor-quantized
+# to an 1e-12 integer grid before summing (operators/pq.py).
+# --------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_DSUB = 8
+_PQ_ROUNDS = 3
+
+
+def _pq_oracle_sql(
+    m: int, ksub: int, dsub: int, rounds: int
+) -> tuple[str, str]:
+    d1 = dsub + 1
+    mean = (
+        "CAST(SUM(CAST(floor(CAST(s.sv[d.i] AS DOUBLE) * 1e10)"
+        " AS BIGINT)) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * 1e10)"
+    )
+    l2 = (
+        f"list_reduce(list_transform(range(1, {d1}), i -> "
+        "(CAST(s.sv[i] AS DOUBLE) - c.cvec[i])"
+        " * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])), "
+        "(acc, x) -> acc + x)"
+    )
+    ctes = [
+        """nv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM n
+    )""",
+        f"""sv AS (
+      SELECT vec_id, s.sub,
+             v[(s.sub * {dsub} + 1):(s.sub * {dsub} + {dsub})] AS sv
+      FROM nv, UNNEST(range(0, {m})) AS s(sub)
+    )""",
+        f"""b0 AS (
+      SELECT sub,
+             CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id)
+                  - 1 AS INT) AS code,
+             sv AS cvec
+      FROM sv WHERE vec_id IN (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})
+    )""",
+    ]
+    prev = "b0"
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""pa{r} AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY {l2} ASC, c.code ASC) AS rnk
+        FROM sv s JOIN {prev} c USING (sub)
+      ) WHERE rnk = 1
+    )""",
+            f"""pm{r} AS (
+      SELECT a.sub, a.code, d.i AS i, {mean} AS mu
+      FROM pa{r} a JOIN sv s USING (vec_id, sub)
+           CROSS JOIN (SELECT UNNEST(range(1, {d1})) AS i) d
+      GROUP BY a.sub, a.code, d.i
+    )""",
+            f"""pg{r} AS (
+      SELECT sub, code, list(mu ORDER BY i) AS cvec
+      FROM pm{r} GROUP BY sub, code
+    )""",
+            f"""b{r} AS (
+      SELECT p.sub, p.code, COALESCE(g.cvec, p.cvec) AS cvec
+      FROM {prev} p LEFT JOIN pg{r} g USING (sub, code)
+    )""",
+        ]
+        prev = f"b{r}"
+    return ",\n    ".join(ctes), prev
+
+
+_PQ_CTES, _PQ_BOOK = _pq_oracle_sql(_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_ROUNDS)
+
+_PQ_RECALL_ORACLE = f"""
+    WITH {_NORM_CTE},
+    {_PQ_CTES},
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+                     i -> (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])
+                          * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])),
+                     (acc, x) -> acc + x) ASC, c.code ASC) AS rnk
+        FROM sv s JOIN {_PQ_BOOK} c USING (sub)
+      ) WHERE rnk = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.sub, c.code,
+             CAST(floor(list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+                 i -> (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])
+                      * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])),
+                 (acc, x) -> acc + x) * CAST(1e12 AS DOUBLE))
+               AS BIGINT) AS dq
+      FROM sv s JOIN {_PQ_BOOK} c USING (sub)
+      WHERE s.vec_id < 10
+    ),
+    scored AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             (CAST(SUM(l.dq) AS DOUBLE) / CAST(1e12 AS DOUBLE)) AS adist
+      FROM codes cd JOIN lut l USING (sub, code)
+      WHERE cd.vec_id <> l.query_id
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+        ) AS rank FROM scored
+      ) WHERE rank <= 5
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT bf.query_id, COUNT(pq.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN pq
+        ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+           (CAST(n_hits AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS recall_at_5
+    FROM hits
+    """
+
+
+@register("ann_pq_adc_recall", _PQ_RECALL_ORACLE)
+def ann_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of a pure-PQ ADC scan (m=8 subspaces × 16 codes over
+    unit-normalized vectors) against brute-force cosine — the
+    compressed-corpus search path that composes with IVF cells for
+    the full IVF-PQ index. Training, encoding, and the quantized ADC
+    are all replayed by the oracle as unrolled SQL."""
+    from ..operators.pq import (
+        normalize_vectors,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    nv = normalize_vectors(em)
+    book = pq_train(
+        nv, m=_PQ_M, ksub=_PQ_KSUB, rounds=_PQ_ROUNDS
+    )
+    codes = pq_encode(nv, book, m=_PQ_M, dsub=_PQ_DSUB)
+    q = nv.filter(F.col("vec_id") < 10)
+    pq_top = pq_adc_topk(
+        codes, book, q, m=_PQ_M, dsub=_PQ_DSUB, k=5
+    ).select("query_id", F.col("neighbor_id").alias("pq_neighbor"))
+    bf = cosine_topk(em, em.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(
+            pq_top,
+            (bf.query_id == pq_top.query_id)
+            & (bf.neighbor_id == pq_top.pq_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("pq_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The deployed PQ pattern: ADC top-50 candidates from the compressed
+# codes, exact-cosine rerank to top-5 (recall 0.26 → 0.74 on this
+# corpus). Compressed scan prunes, raw vectors are touched only for
+# |candidates| rows per query.
+# --------------------------------------------------------------------------
+_PQ_RERANK_CAND = 50
+
+_PQ_RERANK_ORACLE = _PQ_RECALL_ORACLE.replace(
+    """    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+        ) AS rank FROM scored
+      ) WHERE rank <= 5
+    ),""",
+    f"""    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+        ) AS rank FROM scored
+      ) WHERE rank <= {_PQ_RERANK_CAND}
+    ),
+    rr AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (q.nrm * c.nrm) AS cosine
+      FROM cand ca JOIN n q ON q.vec_id = ca.query_id
+      JOIN n c ON c.vec_id = ca.neighbor_id
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM rr
+      ) WHERE rank <= 5
+    ),""",
+)
+assert "cand AS" in _PQ_RERANK_ORACLE  # replace() must have matched
+
+
+@register("ann_pq_rerank_recall", _PQ_RERANK_ORACLE)
+def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of PQ-ADC top-50 reranked by exact cosine — the
+    standard compressed-index deployment (scan codes, rerank the
+    short list with raw vectors). Same replayable pipeline as
+    ``ann_pq_adc_recall`` plus one candidate join."""
+    from ..operators.dedup import dot_expr, with_norm
+    from ..operators.pq import normalize_vectors, pq_adc_topk, pq_encode, pq_train
+    from pyspark.sql import Window
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    nv = normalize_vectors(em)
+    book = pq_train(nv, m=_PQ_M, ksub=_PQ_KSUB, rounds=_PQ_ROUNDS)
+    codes = pq_encode(nv, book, m=_PQ_M, dsub=_PQ_DSUB)
+    cand = pq_adc_topk(
+        codes, book, nv.filter(F.col("vec_id") < 10),
+        m=_PQ_M, dsub=_PQ_DSUB, k=_PQ_RERANK_CAND,
+    ).select("query_id", "neighbor_id")
+    n = with_norm(em.select("vec_id", "embedding"))
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    cn = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    rr = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc")))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pq_top = (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("pq_neighbor"))
+    )
+    bf = cosine_topk(em, em.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(
+            pq_top,
+            (bf.query_id == pq_top.query_id)
+            & (bf.neighbor_id == pq_top.pq_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("pq_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )

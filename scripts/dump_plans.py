@@ -97,6 +97,7 @@ QUERIES = [
     "cms_token_frequency",
     "snapshot_diff_orders",
     "rrf_fusion_topk",
+    "ann_pq_adc_recall",
     "hybrid_search_topk",
 ]
 

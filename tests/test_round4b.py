@@ -306,3 +306,62 @@ def test_rrf_fuse_hand_checked(spark):
     assert out[13]["rank_a"] is None and out[13]["rank_b"] == 2
     # all four docs survive (top=10 > candidates)
     assert len(out) == 4
+
+
+def _axis_vec(axis, dim=64, eps=0.0, eps_axis=1):
+    v = [0.0] * dim
+    v[axis] = 1.0
+    if eps:
+        v[eps_axis] = eps
+    return v
+
+
+def test_pq_encode_separates_clusters_and_is_partition_invariant(spark):
+    from etl_python_azure_spark.operators.pq import (
+        normalize_vectors,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    # two tight clusters along axes 0 and 8 (different subspaces)
+    rows = [(i, _axis_vec(0, eps=0.01 * i)) for i in range(8)]
+    rows += [(10 + i, _axis_vec(8, eps=0.01 * i, eps_axis=9))
+             for i in range(8)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nv = normalize_vectors(em)
+    book = pq_train(nv, m=8, ksub=2, rounds=3)
+    assert book.count() == 16  # 8 subspaces x 2 codes
+    codes = pq_encode(nv, book, m=8, dsub=8)
+    assert codes.count() == 16 * 8
+    # sub 0 must split cluster A from cluster B (axis 0 lives there)
+    sub0 = {r["vec_id"]: r["code"] for r in
+            codes.filter("sub = 0").collect()}
+    a_codes = {sub0[i] for i in range(8)}
+    b_codes = {sub0[10 + i] for i in range(8)}
+    assert a_codes.isdisjoint(b_codes)
+    # ADC: a query from cluster A ranks A members above B members
+    top = pq_adc_topk(codes, book, nv.filter("vec_id = 0"),
+                      m=8, dsub=8, k=15).collect()
+    ranks = {r["neighbor_id"]: r["rank"] for r in top}
+    assert max(ranks[i] for i in range(1, 8)) < min(
+        ranks[10 + i] for i in range(8)
+    )
+    # bit-identical codes under repartition
+    c2 = pq_encode(nv.repartition(7), book, m=8, dsub=8)
+    assert sorted(map(tuple, codes.collect())) == sorted(
+        map(tuple, c2.collect())
+    )
+
+
+def test_normalize_vectors_unit_norm(spark):
+    import math
+
+    from etl_python_azure_spark.operators.pq import normalize_vectors
+
+    em = spark.createDataFrame(
+        [(1, [3.0, 4.0] + [0.0] * 62)], "vec_id long, embedding array<float>"
+    )
+    v = normalize_vectors(em).collect()[0]["embedding"]
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-12)
+    assert math.isclose(v[0], 0.6, rel_tol=1e-12)
