@@ -103,6 +103,7 @@ OPTIONAL = [
     "rrf_fusion_topk",
     "ann_pq_adc_recall",
     "ann_pq_rerank_recall",
+    "ann_ivfpq_recall",
 ]
 
 

@@ -115,6 +115,7 @@ _R04_WINDOW = [
     "rrf_fusion_topk",
     "ann_pq_adc_recall",
     "ann_pq_rerank_recall",
+    "ann_ivfpq_recall",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -136,7 +137,6 @@ _R04_WINDOW = [
     "iso_split_and_parse",
     "json_flatten_props",
     "revenue_by_nation",
-    "top3_orders_per_segment",
 ]
 
 

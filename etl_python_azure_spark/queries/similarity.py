@@ -884,3 +884,192 @@ def ann_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# The full IVF-PQ composition: coarse cells prune the corpus (probe
+# 4 of 16), the PQ code table scores only the surviving cells via
+# ADC, and n_candidates records the scan reduction. Recall is
+# measured against exact brute force; every stage (coarse assign,
+# PQ training, encoding, quantized ADC) replays in the oracle.
+# --------------------------------------------------------------------------
+_IVFPQ_ORACLE = f"""
+    WITH {_NORM_CTE},
+    {_PQ_CTES},
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id, s.sub
+                 ORDER BY list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+                     i -> (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])
+                          * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])),
+                     (acc, x) -> acc + x) ASC, c.code ASC) AS rnk
+        FROM sv s JOIN {_PQ_BOOK} c USING (sub)
+      ) WHERE rnk = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.sub, c.code,
+             CAST(floor(list_reduce(list_transform(range(1, {_PQ_DSUB + 1}),
+                 i -> (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])
+                      * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i])),
+                 (acc, x) -> acc + x) * CAST(1e12 AS DOUBLE))
+               AS BIGINT) AS dq
+      FROM sv s JOIN {_PQ_BOOK} c USING (sub)
+      WHERE s.vec_id < 10
+    ),
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    cand AS (
+      SELECT p.qid AS query_id, a.id AS neighbor_id
+      FROM probe p JOIN asg a ON a.cell = p.cell
+      WHERE a.id <> p.qid
+    ),
+    scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             (CAST(SUM(l.dq) AS DOUBLE) / CAST(1e12 AS DOUBLE)) AS adist
+      FROM cand ca
+      JOIN codes cd ON cd.vec_id = ca.neighbor_id
+      JOIN lut l ON l.query_id = ca.query_id
+                AND l.sub = cd.sub AND l.code = cd.code
+      GROUP BY ca.query_id, ca.neighbor_id
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+        ) AS rank FROM scored
+      ) WHERE rank <= 5
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= 5
+    ),
+    ncand AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY query_id
+    ),
+    hits AS (
+      SELECT bf.query_id, COUNT(pq.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN pq
+        ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT h.query_id, CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           (CAST(h.n_hits AS DOUBLE) / CAST(5.0 AS DOUBLE)) AS recall_at_5
+    FROM hits h JOIN ncand nc ON nc.query_id = h.query_id
+    """
+
+
+@register("ann_ivfpq_recall", _IVFPQ_ORACLE)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 and scan size of the composed IVF-PQ index: coarse
+    cells prune to ~4/16 of the corpus (n_candidates), the PQ code
+    table scores only those cells via quantized ADC. The 100 TB
+    serving shape — cells partition the code table, a query reads 4
+    partitions of 1-byte-per-subspace codes, raw vectors stay on
+    cold storage for the final rerank (``ann_pq_rerank_recall``)."""
+    from ..operators.dedup import with_norm
+    from ..operators.pq import normalize_vectors, pq_encode, pq_train
+    from ..operators.similarity import _nearest_cells, ivf_assign, ivf_centroids
+    from pyspark.sql import Window
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    nv = normalize_vectors(em)
+    book = pq_train(nv, m=_PQ_M, ksub=_PQ_KSUB, rounds=_PQ_ROUNDS)
+    codes = pq_encode(nv, book, m=_PQ_M, dsub=_PQ_DSUB)
+    cents = ivf_centroids(em, num_centroids=16)
+    asg = ivf_assign(em, cents).select("neighbor_id", "cell")
+    qraw = em.filter(F.col("vec_id") < 10)
+    qn = with_norm(qraw.select("vec_id", "embedding"))
+    probes = _nearest_cells(qn, cents, "vec_id", "embedding", 4).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        probes.join(asg, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    # ADC restricted to surviving cells
+    from ..operators.pq import _subvectors, l2_expr
+
+    qsv = _subvectors(
+        nv.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        _PQ_M, _PQ_DSUB,
+    ).select(F.col("vec_id").alias("query_id"), "sub", "sv")
+    lut = qsv.join(F.broadcast(book), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.floor(l2_expr("sv", "cvec") * F.lit(1e12))
+        .cast("decimal(38,0)")
+        .alias("__dq"),
+    )
+    scored = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("__dq").cast("double") / F.lit(1e12)).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    pq_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("pq_neighbor"))
+    )
+    bf = cosine_topk(em, qraw, k=5).select("query_id", "neighbor_id")
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        bf.join(
+            pq_top,
+            (bf.query_id == pq_top.query_id)
+            & (bf.neighbor_id == pq_top.pq_neighbor),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("pq_neighbor").alias("n_hits"))
+    )
+    return (
+        hits.join(F.broadcast(ncand), "query_id")
+        .select(
+            "query_id",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        )
+    )
