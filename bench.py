@@ -104,6 +104,7 @@ OPTIONAL = [
     "ann_pq_adc_recall",
     "ann_pq_rerank_recall",
     "ann_ivfpq_recall",
+    "bpe_learned_merges",
 ]
 
 

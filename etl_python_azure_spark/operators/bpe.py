@@ -1,0 +1,168 @@
+"""Distributed BPE merge learning — the tokenizer-training loop run
+as relational operators over the word-frequency table.
+
+`text.bpe_pair_counts` does ONE pair-count round; this module runs
+the actual training loop: count adjacent symbol pairs, pick the best
+merge, rewrite the vocabulary, repeat. Everything stays
+vocabulary-sized (never the token stream), every round is pure
+DataFrame ops, and the loop is fully deterministic — so a SQL oracle
+replays the learned merge table exactly.
+
+The greedy left-to-right non-overlapping merge (canonical BPE
+behavior) is computed RELATIONALLY, not with a per-word UDF loop:
+a pair (a,b) with a≠b can never match at two adjacent positions
+(that would need b=a), so all matches merge; for a=b, a run of k
+consecutive matches merges at every other position from the run's
+start — a gaps-and-islands window (`pos - row_number`), the same
+machinery as sessionization. No Python in the hot path.
+
+Scale shape per round: one window pass over (word, pos) — the
+vocabulary × symbols-per-word table, millions of rows for a
+real corpus (the corpus itself is touched once, for word counts) —
+plus one vocabulary-sized aggregate for the pair counts and a 1-row
+broadcast of the chosen merge. Rounds persist their symbol table so
+the lazy plan stays linear in the round count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _initial_symbols(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """Vocabulary as per-character symbol rows: (word, f, pos, sym)."""
+    wf = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # Spark's split keeps the trailing empty string the end-of-word
+    # zero-width match produces (limit=-1 semantics) — drop it
+    return wf.select(
+        "word",
+        "f",
+        F.posexplode(F.split(F.col("word"), "(?!^)")).alias("pos", "sym"),
+    ).filter(F.col("sym") != "")
+
+
+def _best_pair(syms: DataFrame) -> DataFrame:
+    """1-row frame: the highest-count adjacent pair (count desc,
+    then lexicographic a, b)."""
+    w = Window.partitionBy("word").orderBy("pos")
+    pairs = syms.select(
+        "word", "f", "sym", F.lead("sym").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        pairs.groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+
+
+def _apply_merge(syms: DataFrame, best: DataFrame) -> DataFrame:
+    """Rewrite the symbol table with the chosen merge applied
+    greedily left-to-right (non-overlapping) in every word."""
+    w = Window.partitionBy("word").orderBy("pos")
+    marked = (
+        syms.crossJoin(F.broadcast(best))
+        .select(
+            "word",
+            "f",
+            "pos",
+            "sym",
+            "a",
+            "b",
+            (
+                (F.col("sym") == F.col("a"))
+                & (F.lead("sym").over(w) == F.col("b"))
+            ).alias("m"),
+        )
+    )
+    # greedy non-overlap: within each run of consecutive matching
+    # positions (only possible for a=b), keep the 1st, 3rd, ... match
+    w_m = Window.partitionBy("word").orderBy("pos")
+    run_rn = F.when(
+        F.col("m"),
+        F.row_number().over(
+            Window.partitionBy("word", "m_grp_key").orderBy("pos")
+        ),
+    )
+    with_grp = marked.withColumn(
+        "m_rn",
+        F.sum(F.col("m").cast("int")).over(
+            w_m.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "m_grp_key", F.when(F.col("m"), F.col("pos") - F.col("m_rn"))
+    )
+    taken = with_grp.withColumn(
+        "take",
+        F.coalesce(
+            F.when(F.col("m"), (run_rn % 2) == 1), F.lit(False)
+        ),
+    )
+    w_prev = Window.partitionBy("word").orderBy("pos")
+    rewritten = (
+        taken.withColumn(
+            "absorbed", F.coalesce(F.lag("take").over(w_prev), F.lit(False))
+        )
+        .filter(~F.col("absorbed"))
+        .select(
+            "word",
+            "f",
+            F.when(F.col("take"), F.concat("a", "b"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+            F.col("pos").alias("__oldpos"),
+        )
+    )
+    return rewritten.select(
+        "word",
+        "f",
+        (
+            F.row_number().over(
+                Window.partitionBy("word").orderBy("__oldpos")
+            )
+            - 1
+        ).alias("pos"),
+        "sym",
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """Learn the first *n_merges* BPE merges over the corpus.
+
+    Output: (merge_rank, a, b, merged, pair_count) — the merge table
+    a tokenizer ships. Deterministic: pair ties break
+    lexicographically, greedy application is exact (see module doc),
+    counts are integer sums.
+    """
+    syms = _initial_symbols(df, text_col).persist()
+    out = None
+    prev = [syms]
+    for r in range(1, n_merges + 1):
+        best = _best_pair(syms)
+        row = best.select(
+            F.lit(r).alias("merge_rank"),
+            "a",
+            "b",
+            F.concat("a", "b").alias("merged"),
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        if r < n_merges:
+            syms = _apply_merge(syms, best).persist()
+            prev.append(syms)
+    result = out
+    return result

@@ -116,6 +116,7 @@ _R04_WINDOW = [
     "ann_pq_adc_recall",
     "ann_pq_rerank_recall",
     "ann_ivfpq_recall",
+    "bpe_learned_merges",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -136,7 +137,6 @@ _R04_WINDOW = [
     "string_toolbox",
     "iso_split_and_parse",
     "json_flatten_props",
-    "revenue_by_nation",
 ]
 
 

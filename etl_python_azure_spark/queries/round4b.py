@@ -658,3 +658,87 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_b"),
         F.col("fused_rank").cast("long").alias("fused_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning: the tokenizer-training loop (count pairs, pick
+# best, rewrite vocabulary, repeat) run relationally and replayed by
+# the oracle round-for-round. Greedy non-overlapping application is
+# a gaps-and-islands window, not a per-word loop.
+# --------------------------------------------------------------------------
+_BPE_MERGES = 5
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    ctes = [
+        """wf AS (
+      SELECT w AS word, COUNT(*) AS f FROM (
+        SELECT UNNEST(string_split(lower(text), ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    )""",
+        """s0 AS (
+      SELECT word, f, CAST(u.i AS INT) - 1 AS pos,
+             substr(word, CAST(u.i AS INT), 1) AS sym
+      FROM wf, UNNEST(range(1, CAST(len(word) AS BIGINT) + 1)) AS u(i)
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""pr{r} AS (
+      SELECT word, f, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s{p}
+    )""")
+        ctes.append(f"""best{r} AS (
+      SELECT sym AS a, nxt AS b, SUM(f) AS pair_count
+      FROM pr{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+      ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
+    )""")
+        if r == n_merges:
+            break
+        ctes.append(f"""mk{r} AS (
+      SELECT s.word, s.f, s.pos, s.sym, b.a, b.b,
+             COALESCE(s.sym = b.a
+               AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
+                   = b.b, FALSE) AS m
+      FROM s{p} s CROSS JOIN best{r} b
+    )""")
+        ctes.append(f"""gr{r} AS (
+      SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER (
+               PARTITION BY word ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS m_rn
+      FROM mk{r}
+    )""")
+        ctes.append(f"""tk{r} AS (
+      SELECT *, CASE WHEN m THEN (ROW_NUMBER() OVER (
+                 PARTITION BY word, CASE WHEN m THEN pos - m_rn END
+                 ORDER BY pos) % 2) = 1
+                ELSE FALSE END AS take
+      FROM gr{r}
+    )""")
+        ctes.append(f"""ab{r} AS (
+      SELECT *, COALESCE(lag(take) OVER (
+                 PARTITION BY word ORDER BY pos), FALSE) AS absorbed
+      FROM tk{r}
+    )""")
+        ctes.append(f"""s{r} AS (
+      SELECT word, f,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+                  AS INT) - 1 AS pos,
+             CASE WHEN take THEN a || b ELSE sym END AS sym
+      FROM ab{r} WHERE NOT absorbed
+    )""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_rank, a, b, a || b AS merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register("bpe_learned_merges", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn_merges
+
+    d = load_tables(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, n_merges=_BPE_MERGES)

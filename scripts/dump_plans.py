@@ -98,6 +98,7 @@ QUERIES = [
     "snapshot_diff_orders",
     "rrf_fusion_topk",
     "ann_pq_adc_recall",
+    "bpe_learned_merges",
     "hybrid_search_topk",
 ]
 

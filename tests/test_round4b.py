@@ -365,3 +365,33 @@ def test_normalize_vectors_unit_norm(spark):
     v = normalize_vectors(em).collect()[0]["embedding"]
     assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-12)
     assert math.isclose(v[0], 0.6, rel_tol=1e-12)
+
+
+def test_bpe_learn_merges_hand_checked(spark):
+    from etl_python_azure_spark.operators.bpe import bpe_learn_merges
+
+    # wf: 'aaab' x2, 'ab' x1
+    d = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    rows = {r["merge_rank"]: r for r in
+            bpe_learn_merges(d, n_merges=3).collect()}
+    # round 1: (a,a) appears twice per 'aaab' -> 4; (a,b) -> 3
+    assert (rows[1]["a"], rows[1]["b"], rows[1]["pair_count"]) == ("a", "a", 4)
+    # greedy: 'a a a b' -> 'aa a b' (first of the run only), so
+    # round 2 best is (a,b): 2 from 'aaab' + 1 from 'ab'
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["pair_count"]) == ("a", "b", 3)
+    # round 3: 'aa ab' -> (aa,ab) x2
+    assert (rows[3]["a"], rows[3]["b"], rows[3]["merged"],
+            rows[3]["pair_count"]) == ("aa", "ab", "aaab", 2)
+
+
+def test_bpe_greedy_run_parity(spark):
+    from etl_python_azure_spark.operators.bpe import bpe_learn_merges
+
+    # 'aaaa' alone: round 1 (a,a) count 3; greedy merges positions
+    # 0 and 2 -> 'aa aa'; round 2 (aa,aa) count 1
+    d = spark.createDataFrame([("aaaa",)], "text string")
+    rows = {r["merge_rank"]: r for r in
+            bpe_learn_merges(d, n_merges=2).collect()}
+    assert rows[1]["pair_count"] == 3
+    assert (rows[2]["a"], rows[2]["b"], rows[2]["pair_count"]) == (
+        "aa", "aa", 1)
