@@ -198,3 +198,24 @@ def test_round4b_plan_shapes(spark, sf_dir):
     # nothing single-partition except the final 25-row sort-less agg
     plan = _plan(spark, sf_dir, "pagerank_trade_graph")
     assert "CartesianProduct" not in plan
+
+
+def test_round4c_plan_shapes(spark, sf_dir):
+    """CMS / snapshot-diff / RRF / PQ / BPE audited shapes."""
+    # CMS: cell table broadcasts onto the probe side, no cartesian
+    plan = _plan(spark, sf_dir, "cms_token_frequency")
+    assert "CartesianProduct" not in plan
+    # snapshot diff: ONE full-outer join, key-shuffled, no cartesian
+    plan = _plan(spark, sf_dir, "snapshot_diff_orders")
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
+    # RRF: fusion of two top-N lists, no corpus-sized join
+    plan = _plan(spark, sf_dir, "rrf_fusion_topk")
+    assert "CartesianProduct" not in plan
+    # PQ ADC: codebook/LUT broadcast onto codes, never cartesian
+    plan = _plan(spark, sf_dir, "ann_pq_adc_recall")
+    assert "BroadcastHashJoin" in plan
+    # BPE: windows stay partitioned by word, no single-partition sort
+    # (the 1-row best-pair frames legitimately broadcast)
+    plan = _plan(spark, sf_dir, "bpe_learned_merges")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
