@@ -105,6 +105,8 @@ OPTIONAL = [
     "ann_pq_rerank_recall",
     "ann_ivfpq_recall",
     "bpe_learned_merges",
+    "scd2_point_in_time",
+    "k_anonymity_report",
 ]
 
 

@@ -117,6 +117,8 @@ _R04_WINDOW = [
     "ann_pq_rerank_recall",
     "ann_ivfpq_recall",
     "bpe_learned_merges",
+    "scd2_point_in_time",
+    "k_anonymity_report",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -135,8 +137,6 @@ _R04_WINDOW = [
     "drop_all_null_columns_q",
     "string_length_gate",
     "string_toolbox",
-    "iso_split_and_parse",
-    "json_flatten_props",
 ]
 
 

@@ -10,6 +10,11 @@ corpus hygiene, and graph analytics.
 - fixed-point PageRank over the nation trade graph (iterative
   join–agg loop, replayable arithmetic)
 - EWMA (decay 1/2) over per-user daily value (power-of-two unroll)
+- count-min sketch frequency estimates with an upper-bound
+  certificate; row-level snapshot diff (change data feed);
+  reciprocal-rank fusion of lexical + vector retrieval
+- BPE merge learning (the relational tokenizer-training loop)
+- SCD2 point-in-time lookup; k-anonymity audit
 
 Determinism notes: PageRank quantizes each iteration's per-edge
 contributions to BIGINT on an 1e-12 grid (integer sums are
@@ -742,3 +747,89 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return bpe_learn_merges(d, n_merges=_BPE_MERGES)
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (bi-temporal) lookup over the SCD2 history: which
+# priority was valid for each customer on a given date. The query
+# every SCD2 table exists to answer; half-open [from, to) semantics.
+# --------------------------------------------------------------------------
+_ASOF_DATE = "1995-06-01"
+
+
+@register(
+    "scd2_point_in_time",
+    f"""
+    WITH w AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey)
+                  IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+    ),
+    v AS (
+      SELECT *, SUM(chg) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS version
+      FROM w
+    ),
+    runs AS (
+      SELECT o_custkey, version, o_orderpriority,
+             MIN(o_orderdate) AS valid_from
+      FROM v GROUP BY o_custkey, version, o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey, version, o_orderpriority, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY o_custkey ORDER BY version) AS valid_to
+      FROM runs
+    )
+    SELECT o_custkey, CAST(version AS BIGINT) AS version,
+           o_orderpriority, valid_from, valid_to
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_ASOF_DATE}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_ASOF_DATE}')
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import scd2_compact
+
+    o = load_tables(spark, sf_dir, "orders")
+    hist = scd2_compact(
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"),
+        key_col="o_custkey",
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+    d = F.lit(_ASOF_DATE).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select("o_custkey", "version", "o_orderpriority", "valid_from",
+             "valid_to")
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier group sizes over customer
+# (market segment × nation). Release hygiene for any user-derived
+# training table: groups below k are re-identification risks.
+# --------------------------------------------------------------------------
+@register(
+    "k_anonymity_report",
+    """
+    SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) >= 5 AS k_anonymous
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) >= F.lit(5)).alias("k_anonymous"),
+    )

@@ -166,3 +166,30 @@ def multi_table_load(tables: dict[str, DataFrame], root: str) -> str:
         json.dump(manifest, f)
     shutil.rmtree(staging, ignore_errors=True)
     return mpath
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    root: str,
+    version: int,
+    target_rows_per_file: int = 1_000_000,
+) -> str:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``ceil(rows / target_rows_per_file)`` files as a NEW snapshot
+    version under *root* (atomic manifest repoint, readers never see
+    a half-compacted directory; the source stays untouched).
+
+    The streaming/micro-batch sinks in this package (and any
+    frequent-append pipeline) accrete small files that degrade scan
+    parallelism bookkeeping at 100 TB — periodic compaction is the
+    maintenance op every lakehouse schedules. Uses one count (cheap:
+    parquet row-count metadata) plus a round-robin ``repartition``
+    (full shuffle — the point is rewriting layout).
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    return snapshot_write(df.repartition(files), root, version)

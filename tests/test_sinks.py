@@ -224,3 +224,26 @@ def test_jdbc_ranged_refresh_then_upsert_same_target(spark, tmp_path):
         assert in_win == {103: "new3", 104: "new4", 105: "new5"}
         got = dict(c.execute("SELECT id, v FROM m WHERE id IN (0,7,500)"))
         assert got == {0: "upd0", 7: "upd7", 500: "ins500"}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from etl_python_azure_spark.sinks.files import (
+        compact_parquet,
+        read_snapshot,
+    )
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 64
+    root = str(tmp_path / "compacted")
+    compact_parquet(spark, src, root, version=1,
+                    target_rows_per_file=5_000)
+    out = read_snapshot(spark, root)
+    files = out.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert files == 2  # ceil(10000 / 5000)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("id")).collect()[0][0] == 10_000 * 9_999 // 2
