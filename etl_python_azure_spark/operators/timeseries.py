@@ -47,7 +47,10 @@ def scd2_compact(
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
     w = Window.partitionBy(key_col).orderBy(*order)
-    changed = F.lit(False)
+    # a key's first observation ALWAYS opens version 1 — without the
+    # row_number anchor, a leading NULL attribute would null-safe-
+    # equal the lag's no-previous-row NULL and start at version 0
+    changed = F.row_number().over(w) == 1
     for a in attr_cols:
         changed = changed | ~F.lag(a).over(w).eqNullSafe(F.col(a))
     versioned = obs.withColumn(

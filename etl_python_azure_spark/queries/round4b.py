@@ -42,7 +42,10 @@ from . import register
     """
     WITH w AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-             CASE WHEN lag(o_orderpriority) OVER (
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  OR lag(o_orderpriority) OVER (
                     PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey)
                   IS DISTINCT FROM o_orderpriority
@@ -762,7 +765,10 @@ _ASOF_DATE = "1995-06-01"
     f"""
     WITH w AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-             CASE WHEN lag(o_orderpriority) OVER (
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  OR lag(o_orderpriority) OVER (
                     PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey)
                   IS DISTINCT FROM o_orderpriority
