@@ -107,6 +107,7 @@ OPTIONAL = [
     "bpe_learned_merges",
     "scd2_point_in_time",
     "k_anonymity_report",
+    "daily_purchase_rate_ci",
 ]
 
 

@@ -119,6 +119,7 @@ _R04_WINDOW = [
     "bpe_learned_merges",
     "scd2_point_in_time",
     "k_anonymity_report",
+    "daily_purchase_rate_ci",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -136,7 +137,6 @@ _R04_WINDOW = [
     "null_fill_cast",
     "drop_all_null_columns_q",
     "string_length_gate",
-    "string_toolbox",
 ]
 
 

@@ -839,3 +839,68 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) >= F.lit(5)).alias("k_anonymous"),
     )
+
+
+# --------------------------------------------------------------------------
+# Daily purchase rate with a 95% Wilson score interval — the
+# statistically-honest way to report small-n daily rates (normal
+# approx intervals go negative / past 1 at the edges; Wilson
+# doesn't). One fixed association per term so both engines produce
+# identical doubles.
+# --------------------------------------------------------------------------
+@register(
+    "daily_purchase_rate_ci",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS conv
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT day, n, conv,
+             (conv / n) AS p,
+             ((CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / n) AS z2n
+      FROM d
+    )
+    SELECT day, CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conversions,
+           p AS rate,
+           (((p + (z2n / CAST(2.0 AS DOUBLE)))
+             - (CAST(1.96 AS DOUBLE)
+                * sqrt(((p * (CAST(1.0 AS DOUBLE) - p)) / n)
+                       + (z2n / (CAST(4.0 AS DOUBLE) * n)))))
+            / (CAST(1.0 AS DOUBLE) + z2n)) AS ci_lo,
+           (((p + (z2n / CAST(2.0 AS DOUBLE)))
+             + (CAST(1.96 AS DOUBLE)
+                * sqrt(((p * (CAST(1.0 AS DOUBLE) - p)) / n)
+                       + (z2n / (CAST(4.0 AS DOUBLE) * n)))))
+            / (CAST(1.0 AS DOUBLE) + z2n)) AS ci_hi
+    FROM t
+    """,
+)
+def daily_purchase_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("double").alias("conv"),
+    )
+    z = F.lit(1.96)
+    p = F.col("conv") / F.col("n")
+    z2n = (z * z) / F.col("n")
+    center = p + (z2n / F.lit(2.0))
+    margin = z * F.sqrt(
+        ((p * (F.lit(1.0) - p)) / F.col("n"))
+        + (z2n / (F.lit(4.0) * F.col("n")))
+    )
+    denom = F.lit(1.0) + z2n
+    return d.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("conv").cast("long").alias("conversions"),
+        p.alias("rate"),
+        ((center - margin) / denom).alias("ci_lo"),
+        ((center + margin) / denom).alias("ci_hi"),
+    )
