@@ -108,6 +108,8 @@ OPTIONAL = [
     "scd2_point_in_time",
     "k_anonymity_report",
     "daily_purchase_rate_ci",
+    "ts_similarity_blocked_pairs",
+    "ts_similarity_bruteforce_topk",
 ]
 
 

@@ -189,3 +189,160 @@ def ewma_halflife(
     return staged.select(
         key_col, day_col, "v", ewma.alias("ewma")
     )
+
+
+def znorm_series(
+    daily: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    val_col: str = "v",
+) -> DataFrame:
+    """Align per-key daily series on the GLOBAL day spine (gap days
+    filled with 0), then z-normalize per key with exact fixed-point
+    moments (the `event_value_outliers` discipline) — the shared
+    preprocessing for time-series similarity search.
+
+    Keys with zero variance (constant series) are dropped — they
+    have no shape to match. Output: (key, idx, z, n) with idx the
+    0-based position on the spine.
+    """
+    bounds = daily.agg(
+        F.min(day_col).alias("__lo"), F.max(day_col).alias("__hi")
+    )
+    spine = (
+        daily.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(F.sequence("__lo", "__hi")).alias(day_col),
+        )
+    )
+    filled = spine.join(daily, [key_col, day_col], "left").select(
+        key_col,
+        day_col,
+        F.floor(F.coalesce(val_col, F.lit(0.0)) * F.lit(100))
+        .alias("cents"),
+    )
+    n = F.count(F.lit(1))
+    sum_c = F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+    cents_dec = F.col("cents").cast("decimal(38,0)")
+    sum_c2 = F.sum(cents_dec * cents_dec).cast("double")
+    mu = sum_c / n.cast("double")
+    stats = filled.groupBy(key_col).agg(
+        n.alias("n"),
+        mu.alias("mu"),
+        F.sqrt((sum_c2 / n.cast("double")) - (mu * mu)).alias("sigma"),
+    )
+    w = Window.partitionBy(key_col).orderBy(day_col)
+    return (
+        filled.join(F.broadcast(stats.filter(F.col("sigma") > 0)), key_col)
+        .select(
+            key_col,
+            (F.row_number().over(w) - 1).alias("idx"),
+            (
+                (F.col("cents").cast("double") - F.col("mu"))
+                / F.col("sigma")
+            ).alias("z"),
+            "n",
+        )
+    )
+
+
+def sax_words(
+    z: DataFrame,
+    key_col: str = "user_id",
+    segments: int = 6,
+) -> DataFrame:
+    """PAA + SAX signature per key: segment means of the z-series
+    (exact fixed-point, so the symbols are engine-independent)
+    discretized on the standard 4-symbol Gaussian breakpoints
+    (−0.6745, 0, 0.6745) and concatenated in segment order.
+
+    The word is the BLOCK KEY for similarity search — iSAX-style
+    lower-bound blocking: similar shapes share a word, so the
+    pairwise join runs per block, never over all key pairs.
+    Output: (key, word).
+    """
+    # explicit floor: DuckDB's double→int CAST rounds half-even,
+    # Spark's truncates — floor() agrees everywhere
+    seg = F.expr(f"CAST(floor(idx * {segments} / n) AS INT)")
+    segmu = (
+        F.sum(F.floor(F.col("z") * F.lit(1e10)).cast("decimal(38,0)"))
+        .cast("double")
+        / (F.count(F.lit(1)).cast("double") * F.lit(1e10))
+    )
+    sym = (
+        F.when(F.col("segmu") < -0.6745, "a")
+        .when(F.col("segmu") < 0.0, "b")
+        .when(F.col("segmu") < 0.6745, "c")
+        .otherwise("d")
+    )
+    paa = z.groupBy(key_col, seg.alias("seg")).agg(segmu.alias("segmu"))
+    return (
+        paa.select(key_col, "seg", sym.alias("sym"))
+        .groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+            ).alias("word")
+        )
+    )
+
+
+def ts_similarity_pairs(
+    z: DataFrame,
+    blocks: DataFrame | None = None,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Exact z-normalized squared Euclidean distance between key
+    pairs — restricted to same-SAX-word *blocks* when given (the
+    scale path: cost ∝ collisions), else all pairs (the small-N
+    ground-truth verifier, `ann_bruteforce_topk`-style).
+
+    Per-position terms are floor-quantized to an 1e-12 grid before
+    summing, so the distance is aggregation-order-free and
+    SQL-replayable. Output: (key_a, key_b, dist) — unordered pairs.
+    """
+    a = z.select(
+        F.col(key_col).alias("key_a"), "idx", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col(key_col).alias("key_b"), "idx", F.col("z").alias("zb")
+    )
+    if blocks is not None:
+        pairs = (
+            blocks.alias("x")
+            .join(blocks.alias("y"), "word")
+            .filter(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
+            .select(
+                F.col(f"x.{key_col}").alias("key_a"),
+                F.col(f"y.{key_col}").alias("key_b"),
+            )
+        )
+        a = a.join(pairs.select("key_a").distinct(), "key_a")
+        joined = a.join(pairs, "key_a").join(
+            b, ["key_b", "idx"]
+        )
+    else:
+        joined = a.join(b, "idx").filter(F.col("key_a") < F.col("key_b"))
+    diff = F.col("za") - F.col("zb")
+    return (
+        joined.groupBy("key_a", "key_b")
+        .agg(
+            (
+                F.sum(
+                    F.floor(diff * diff * F.lit(1e12)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("dist")
+        )
+    )

@@ -120,6 +120,8 @@ _R04_WINDOW = [
     "scd2_point_in_time",
     "k_anonymity_report",
     "daily_purchase_rate_ci",
+    "ts_similarity_blocked_pairs",
+    "ts_similarity_bruteforce_topk",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -135,8 +137,6 @@ _R04_WINDOW = [
     "derived_surrogate_key",
     "dropna_after_left_join",
     "null_fill_cast",
-    "drop_all_null_columns_q",
-    "string_length_gate",
 ]
 
 

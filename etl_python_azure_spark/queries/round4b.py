@@ -904,3 +904,158 @@ def daily_purchase_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("ci_lo"),
         ((center + margin) / denom).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series similarity search over per-user daily value series
+# (paper-grounded: distributed TS similarity / iSAX-style blocking).
+# Shared preprocessing: global-spine alignment, zero gap-fill, exact
+# fixed-point z-normalization. The blocked query is the scale path
+# (SAX-word collisions only); the brute-force top-k is the
+# ground-truth verifier, like ann_bruteforce_topk.
+# --------------------------------------------------------------------------
+_TS_CTES = """
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(gs.d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM daily) u,
+           (SELECT UNNEST(generate_series((SELECT MIN(day) FROM daily),
+                                          (SELECT MAX(day) FROM daily),
+                                          INTERVAL 1 DAY)) AS d) gs
+    ),
+    filled AS (
+      SELECT s.user_id, s.day,
+             CAST(floor(COALESCE(d.v, CAST(0.0 AS DOUBLE)) * 100)
+                  AS BIGINT) AS cents
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n,
+             (CAST(SUM(cents) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS mu,
+             sqrt((CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE))
+                  - ((CAST(SUM(cents) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE))
+                     * (CAST(SUM(cents) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)))) AS sigma
+      FROM filled GROUP BY user_id
+    ),
+    z AS (
+      SELECT f.user_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY f.user_id ORDER BY f.day) AS INT) - 1 AS idx,
+             ((CAST(f.cents AS DOUBLE) - s.mu) / s.sigma) AS zv,
+             s.n
+      FROM filled f JOIN stats s USING (user_id)
+      WHERE s.sigma > 0
+    )
+"""
+
+_TS_DIST = """
+      SELECT a.user_id AS key_a, b.user_id AS key_b,
+             (CAST(SUM(CAST(floor(((a.zv - b.zv) * (a.zv - b.zv))
+                    * CAST(1e12 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+              / CAST(1e12 AS DOUBLE)) AS dist
+"""
+
+
+@register(
+    "ts_similarity_blocked_pairs",
+    f"""
+    WITH {_TS_CTES},
+    paa AS (
+      SELECT user_id, CAST(floor(idx * 6 / n) AS INT) AS seg,
+             (CAST(SUM(CAST(floor(zv * CAST(1e10 AS DOUBLE)) AS BIGINT))
+                   AS DOUBLE)
+              / (CAST(COUNT(*) AS DOUBLE) * CAST(1e10 AS DOUBLE)))
+               AS segmu
+      FROM z GROUP BY 1, 2
+    ),
+    sax AS (
+      SELECT user_id, string_agg(
+        CASE WHEN segmu < CAST(-0.6745 AS DOUBLE) THEN 'a'
+             WHEN segmu < CAST(0.0 AS DOUBLE) THEN 'b'
+             WHEN segmu < CAST(0.6745 AS DOUBLE) THEN 'c'
+             ELSE 'd' END, '' ORDER BY seg) AS word
+      FROM paa GROUP BY user_id
+    ),
+    cand AS (
+      SELECT x.user_id AS key_a, y.user_id AS key_b
+      FROM sax x JOIN sax y
+        ON x.word = y.word AND x.user_id < y.user_id
+    ),
+    dists AS (
+      {_TS_DIST}
+      FROM cand c
+      JOIN z a ON a.user_id = c.key_a
+      JOIN z b ON b.user_id = c.key_b AND b.idx = a.idx
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT key_a, key_b, dist FROM dists
+    """,
+)
+def ts_similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import sax_words, ts_similarity_pairs, znorm_series
+
+    e = load_tables(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
+    )
+    z = znorm_series(daily).persist()
+    blocks = sax_words(z, segments=6)
+    return ts_similarity_pairs(z, blocks).select(
+        "key_a", "key_b", "dist"
+    )
+
+
+@register(
+    "ts_similarity_bruteforce_topk",
+    f"""
+    WITH {_TS_CTES.replace("FROM events GROUP BY",
+                           "FROM events WHERE user_id < 300 GROUP BY")},
+    dists AS (
+      {_TS_DIST}
+      FROM z a JOIN z b
+        ON a.idx = b.idx AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT key_a, key_b, dist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY dist ASC, key_a ASC, key_b ASC) AS rank
+      FROM dists
+    ) WHERE rank <= 20
+    """,
+)
+def ts_similarity_bruteforce_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ground-truth verifier for the SAX-blocked path — like
+    ``ann_bruteforce_topk``, BOUNDED by construction: all-pairs cost
+    is users², so the exact scan runs on a fixed user slice
+    (< 300 — the full population at sf≤0.01) and stays a
+    constant-size job at any corpus scale."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import ts_similarity_pairs, znorm_series
+
+    e = load_tables(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
+    )
+    z = znorm_series(daily)
+    w = Window.orderBy(F.asc("dist"), F.asc("key_a"), F.asc("key_b"))
+    return (
+        ts_similarity_pairs(z)
+        .select("key_a", "key_b", "dist")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )

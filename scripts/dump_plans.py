@@ -99,6 +99,7 @@ QUERIES = [
     "rrf_fusion_topk",
     "ann_pq_adc_recall",
     "bpe_learned_merges",
+    "ts_similarity_blocked_pairs",
     "hybrid_search_topk",
 ]
 

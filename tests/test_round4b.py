@@ -395,3 +395,39 @@ def test_bpe_greedy_run_parity(spark):
     assert rows[1]["pair_count"] == 3
     assert (rows[2]["a"], rows[2]["b"], rows[2]["pair_count"]) == (
         "aa", "aa", 1)
+
+
+def test_ts_similarity_blocks_and_distance(spark):
+    from datetime import date, timedelta
+
+    from etl_python_azure_spark.operators.timeseries import (
+        sax_words,
+        ts_similarity_pairs,
+        znorm_series,
+    )
+
+    base = date(2024, 1, 1)
+    # users 1 and 2: identical rising shape (scaled differently —
+    # z-norm erases scale); user 3: the mirrored falling shape;
+    # user 4: constant (zero variance -> dropped)
+    rows = []
+    for i in range(12):
+        rows += [(1, base + timedelta(days=i), float(i)),
+                 (2, base + timedelta(days=i), float(10 * i)),
+                 (3, base + timedelta(days=i), float(11 - i)),
+                 (4, base + timedelta(days=i), 5.0)]
+    daily = spark.createDataFrame(rows, "user_id long, day date, v double")
+    z = znorm_series(daily)
+    assert z.filter("user_id = 4").count() == 0  # constant dropped
+    words = {r["user_id"]: r["word"] for r in sax_words(z).collect()}
+    assert words[1] == words[2]          # same shape, same word
+    assert words[1] != words[3]          # mirrored shape blocks apart
+    assert words[1] == words[3][::-1]    # and is exactly the reverse
+    blocked = ts_similarity_pairs(z, sax_words(z)).collect()
+    assert [(r["key_a"], r["key_b"]) for r in blocked] == [(1, 2)]
+    assert blocked[0]["dist"] < 1e-9     # z-normed identical shapes
+    # brute force agrees on the blocked pair and adds the rest
+    bf = {(r["key_a"], r["key_b"]): r["dist"]
+          for r in ts_similarity_pairs(z).collect()}
+    assert abs(bf[(1, 2)] - blocked[0]["dist"]) == 0.0
+    assert bf[(1, 3)] > 1.0              # opposite shapes far apart
