@@ -164,15 +164,17 @@ def main() -> None:
         " WholeStageCodegen project, zero exchanges, and the r04"
         " bench run is back at ~0.46 s.",
         "",
-        "- pagerank_trade_graph's counts are inflated by cache"
-        " artifacts: the edge/node tables are persisted, and every"
-        " InMemoryRelation in the unrolled 3-iteration plan re-embeds"
-        " its originating scan+join text, so the exchange/join tallies"
-        " above count each embedded description once per iteration."
-        " At runtime each iteration is one broadcast join of the"
-        " 25-row rank vector onto the CACHED edge table plus one hash"
-        " agg (InMemoryTableScan appears 208×; the parquet scans"
-        " execute once).",
+        "- Iterative/persisted queries (pagerank_trade_graph,"
+        " bpe_learned_merges, ts_similarity_blocked_pairs) have"
+        " inflated tallies above: their loop-carried tables are"
+        " persisted, and every InMemoryRelation in the unrolled plan"
+        " re-embeds its originating scan+join text, so each embedded"
+        " description is counted once per iteration/reference. At"
+        " runtime the base scans execute once and each round reads"
+        " the cache (e.g. pagerank: one broadcast join of the 25-row"
+        " rank vector onto the cached edge table per iteration;"
+        " InMemoryTableScan appears 208×, the parquet scans run"
+        " once).",
         "",
         "- latinad_full_refresh bench variance: mid-r04 runs measured"
         " 9.3–10.8 s (vs 6.75 s in BENCH_r03) — re-running the exact"
