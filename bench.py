@@ -110,6 +110,7 @@ OPTIONAL = [
     "daily_purchase_rate_ci",
     "ts_similarity_blocked_pairs",
     "ts_similarity_bruteforce_topk",
+    "label_noise_scan",
 ]
 
 

@@ -632,3 +632,97 @@ def label_centroid_stats(
         F.min("__cos").alias("min_cos"),
         F.max("__cos").alias("max_cos"),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact fixed-point per-label centroids: (label, __cvec,
+    __cnorm) — the shared first stage of `label_centroid_stats` and
+    the label-noise scan, bit-reproducible at any partitioning."""
+    cent = df.groupBy(label_col).agg(
+        *[
+            fixed_point_mean(F.col(vec_col)[i], f"__c{i}")
+            for i in range(dim)
+        ]
+    )
+    return cent.select(
+        label_col,
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__cvec"),
+    ).withColumn(
+        "__cnorm",
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(__cvec, x -> x * x), 0D,"
+                " (acc, v) -> acc + v)"
+            )
+        ),
+    )
+
+
+def label_noise_candidates(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Label-noise scan: points whose nearest LABEL CENTROID (by
+    cosine) is not their own label — the cheap first-pass mislabel /
+    outlier detector run before trusting labels for training.
+
+    One broadcast of the L-row centroid table against the corpus
+    (L cosines per point, argmin via the same rank-1 window the IVF
+    assign uses), no pairwise point joins. Output: (id, label,
+    nearest_label, own_cos, nearest_cos) for the mismatches only —
+    sized by noise, not the corpus.
+    """
+    cents = label_centroids(df, label_col, vec_col, dim)
+    e = with_norm(df.select(id_col, label_col, vec_col), vec_col).select(
+        id_col, F.col(label_col).alias("own_label"), vec_col,
+        F.col("__norm").alias("__nrm"),
+    )
+    allcos = (
+        e.crossJoin(
+            F.broadcast(cents.withColumnRenamed(label_col, "cand_label"))
+        )
+        .select(
+            id_col,
+            "own_label",
+            "cand_label",
+            (
+                dot_expr(vec_col, "__cvec")
+                / (F.col("__nrm") * F.col("__cnorm"))
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cs"), F.asc("cand_label")
+    )
+    near = (
+        allcos.withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .select(
+            id_col,
+            "own_label",
+            F.col("cand_label").alias("nearest_label"),
+            F.col("cs").alias("nearest_cos"),
+        )
+    )
+    own = allcos.filter(F.col("own_label") == F.col("cand_label")).select(
+        id_col, F.col("cs").alias("own_cos")
+    )
+    return (
+        near.join(own, id_col)
+        .filter(F.col("nearest_label") != F.col("own_label"))
+        .select(
+            id_col,
+            F.col("own_label").alias(label_col),
+            "nearest_label",
+            "own_cos",
+            "nearest_cos",
+        )
+    )

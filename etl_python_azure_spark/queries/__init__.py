@@ -122,6 +122,7 @@ _R04_WINDOW = [
     "daily_purchase_rate_ci",
     "ts_similarity_blocked_pairs",
     "ts_similarity_bruteforce_topk",
+    "label_noise_scan",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -136,7 +137,6 @@ _R04_WINDOW = [
     "top100_orders",
     "derived_surrogate_key",
     "dropna_after_left_join",
-    "null_fill_cast",
 ]
 
 

@@ -1059,3 +1059,69 @@ def ts_similarity_bruteforce_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+# --------------------------------------------------------------------------
+# Label-noise scan: points whose nearest label centroid (cosine) is
+# not their own label — the first-pass mislabel detector over the
+# embeddings table. Centroids are the exact fixed-point means of
+# label_centroid_quality, so the whole scan replays in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "label_noise_scan",
+    """
+    WITH m AS (
+      SELECT label, d.i AS i,
+             CAST(SUM(CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e10)
+                           AS BIGINT)) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mu
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) d
+      GROUP BY label, d.i
+    ),
+    cent AS (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label),
+    cn AS (
+      SELECT label, cvec,
+             sqrt(list_reduce(list_transform(cvec, x -> x * x),
+                              (acc, v) -> acc + v)) AS cnorm
+      FROM cent
+    ),
+    e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    allcos AS (
+      SELECT e.vec_id, e.label AS own_label, c.label AS cand_label,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]),
+                 (acc, v) -> acc + v) / (e.nrm * c.cnorm) AS cs
+      FROM e CROSS JOIN cn c
+    ),
+    near AS (
+      SELECT vec_id, own_label, cand_label AS nearest_label,
+             cs AS nearest_cos
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cs DESC, cand_label ASC) AS rnk
+        FROM allcos
+      ) WHERE rnk = 1
+    ),
+    own AS (
+      SELECT vec_id, cs AS own_cos FROM allcos
+      WHERE own_label = cand_label
+    )
+    SELECT n.vec_id, CAST(n.own_label AS INT) AS label,
+           CAST(n.nearest_label AS INT) AS nearest_label,
+           o.own_cos, n.nearest_cos
+    FROM near n JOIN own o USING (vec_id)
+    WHERE n.nearest_label <> n.own_label
+    """,
+)
+def label_noise_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import label_noise_candidates
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return label_noise_candidates(em)

@@ -431,3 +431,26 @@ def test_ts_similarity_blocks_and_distance(spark):
           for r in ts_similarity_pairs(z).collect()}
     assert abs(bf[(1, 2)] - blocked[0]["dist"]) == 0.0
     assert bf[(1, 3)] > 1.0              # opposite shapes far apart
+
+
+def test_label_noise_scan_flags_planted_mislabels(spark):
+    from etl_python_azure_spark.operators.similarity import (
+        label_noise_candidates,
+    )
+
+    # two tight clusters; vec 30 carries label 1 but sits in cluster 0
+    rows = [(i, 0, _axis_vec(0, eps=0.01 * i)) for i in range(10)]
+    rows += [(20 + i, 1, _axis_vec(8, eps=0.01 * i, eps_axis=9))
+             for i in range(10)]
+    rows += [(30, 1, _axis_vec(0, eps=0.05))]
+    em = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in label_noise_candidates(em).collect()}
+    assert 30 in out
+    assert out[30]["nearest_label"] == 0
+    assert out[30]["nearest_cos"] > out[30]["own_cos"]
+    # clean points are not flagged (the planted point barely shifts
+    # label 1's centroid)
+    assert all(v not in out for v in range(10))
+    assert all(20 + v not in out for v in range(10))
