@@ -111,6 +111,13 @@ OPTIONAL = [
     "ts_similarity_blocked_pairs",
     "ts_similarity_bruteforce_topk",
     "label_noise_scan",
+    # round-4c
+    "sorted_neighborhood_dups",
+    "ohlc_daily_bars",
+    "purged_fold_report",
+    "bigram_logprob_scores",
+    "ann_sq8_recall",
+    "bpe_encode_stats",
 ]
 
 

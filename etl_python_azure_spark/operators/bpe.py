@@ -166,3 +166,25 @@ def bpe_learn_merges(
             prev.append(syms)
     result = out
     return result
+
+
+def bpe_final_symbols(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """The vocabulary AFTER applying *n_merges* learned merges — the
+    ENCODE side of the tokenizer (`bpe_learn_merges` returns the
+    merge table; this returns the segmentation it produces).
+
+    Output: (word, f, pos, sym) — each distinct corpus word's final
+    symbol sequence plus its corpus frequency, so corpus-level token
+    counts are Σ f over symbol rows (vocabulary-sized work, the
+    corpus itself is touched once for word counts). Same loop, same
+    determinism guarantees as the trainer.
+    """
+    syms = _initial_symbols(df, text_col).persist()
+    for _ in range(n_merges):
+        best = _best_pair(syms)
+        syms = _apply_merge(syms, best).persist()
+    return syms

@@ -840,3 +840,113 @@ def source_pair_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers in (order_cols) order WITHOUT the
+    single-partition window anti-pattern.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY drags
+    the whole table through one task — a non-starter at 100 TB. This
+    is the two-pass idiom instead: range-repartition on the sort key
+    (Spark samples split points), sort within partitions, then add
+    each partition's cumulative row-count offset to a per-partition
+    row number. Only the per-partition COUNTS visit the driver (one
+    row per partition); *order_cols* must be a total order (include a
+    unique tiebreaker) so the numbering is deterministic regardless
+    of where the sampled range boundaries land.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    # persist() is CORRECTNESS-critical, not a cache hint:
+    # repartitionByRange samples its split points with a seed derived
+    # from the materialized RDD's id, which differs per ACTION — so
+    # the counts job below and the caller's final job would otherwise
+    # range-partition DIFFERENTLY, mismatching the offsets and
+    # duplicating row numbers (caught by the sf0.1 sweep). One
+    # materialization pins the boundaries; lost-partition recompute
+    # reuses the cached RDD's lineage (same seed), so it stays
+    # consistent on executor loss.
+    sorted_df = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # one row per partition — bounded collect (≤ num_partitions)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in sorted_df.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "__pid int, __off long",
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        sorted_df.join(F.broadcast(off), "__pid")
+        .withColumn(out_col, F.col("__off") + F.row_number().over(w))
+        .drop("__pid", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sort_col: str | None = None,
+    window: int = 5,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution pairs: sort the corpus
+    by a blocking key, then compare each record only to its *window*
+    successors in sort order — the classic merge/purge alternative to
+    hash blocking (`blocked_fuzzy_pairs`) that also catches
+    near-misses that straddle a block boundary.
+
+    The neighborhood join is an EQUI-join: explode offsets 1..w on
+    the left side and match ``rn + off = rn``, so Catalyst plans a
+    shuffle-hash/sort-merge join on the row number rather than a
+    θ-join. Pair volume is exactly n·w; Levenshtein runs only on
+    those pairs. Global row numbers come from
+    :func:`global_row_number` (two-pass, no single-partition sort).
+    Output: (id_a, id_b, dist) with dist ≤ *max_dist*.
+    """
+    sort_col = sort_col or text_col
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.col(text_col)).alias("__txt"),
+        F.lower(F.col(sort_col)).alias("__key"),
+    )
+    rn = global_row_number(base, ["__key", "__id"], out_col="rn")
+    left = rn.select(
+        F.col("__id").alias("id_a"),
+        F.col("__txt").alias("__ta"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window)
+        ).alias("rn_b"),
+    )
+    right = rn.select(
+        F.col("rn").alias("rn_b"),
+        F.col("__id").alias("id_b"),
+        F.col("__txt").alias("__tb"),
+    )
+    return (
+        left.join(right, "rn_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

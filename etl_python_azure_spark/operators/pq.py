@@ -229,3 +229,118 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third compression point on the ANN
+# memory/recall curve (LSH buckets < IVF cells < PQ codes < SQ8 <
+# raw floats). One byte per DIMENSION: each dim maps to 0..255 on its
+# own [min, max] range. 4× smaller than float32 with near-exact
+# recall; no training loop at all (two corpus stats), so it's the
+# cheap-to-maintain compressed scan when PQ's codebook retrain is an
+# operational burden.
+# ---------------------------------------------------------------------------
+
+
+def _sq_dequant_term(qv: str, codes: str) -> str:
+    """SQL text: Σ_i (qv_i − dequant(codes_i))², folded in index
+    order (deterministic on both engines). mn/mx array columns must
+    be in scope."""
+    deq = (
+        "(element_at(mn, i + 1) + CAST(element_at({codes}, i + 1) AS DOUBLE)"
+        " * ((element_at(mx, i + 1) - element_at(mn, i + 1)) / 255D))"
+    ).format(codes=codes)
+    return (
+        f"aggregate(transform({qv}, (x, i) -> "
+        f"(CAST(x AS DOUBLE) - {deq}) * (CAST(x AS DOUBLE) - {deq})), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def sq_train_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension [min, max] ranges as ONE broadcastable row:
+    (mn array<double>, mx array<double>) in dimension order.
+
+    One posexplode + hash aggregate over the corpus; the result is
+    dim-sized (bytes). min/max are aggregation-order-free, so the
+    "training" is exactly reproducible — no fixed-point machinery
+    needed, unlike the k-means quantizers.
+    """
+    ex = corpus.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("mn_v"), F.max("x").alias("mx_v")
+    )
+    return stats.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mn_v))),"
+            " s -> s.mn_v)"
+        ).alias("mn"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, mx_v))),"
+            " s -> s.mx_v)"
+        ).alias("mx"),
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as array<int> of 0..255 codes against the
+    FROZEN per-dim ranges (1-row broadcast): round-half-up of the
+    position within [mn, mx]; degenerate dims (mx = mn) encode 0.
+    Appending a new batch re-uses the frozen ranges — same
+    incremental-maintenance shape as `pq_encode`/`ivf_assign`.
+    Output: (id, codes, mn, mx) — ranges ride along for the decode.
+    """
+    code = (
+        f"transform({vec_col}, (x, i) -> "
+        "CASE WHEN element_at(mx, i + 1) = element_at(mn, i + 1) THEN 0 "
+        "ELSE CAST(least(255D, greatest(0D, floor("
+        "(CAST(x AS DOUBLE) - element_at(mn, i + 1))"
+        " / (element_at(mx, i + 1) - element_at(mn, i + 1))"
+        " * 255D + 0.5D))) AS INT) END)"
+    )
+    return corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.expr(code).alias("codes"), "mn", "mx"
+    )
+
+
+def sq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric top-*k* over the SQ8-compressed corpus: exact query
+    floats against dequantized corpus codes, squared L2, ties on
+    neighbor id. The scan reads only the codes table (¼ the bytes of
+    the raw corpus); queries broadcast. Output: (query_id,
+    neighbor_id, adist, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_sq_dequant_term("qv", "codes")).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -121,3 +121,66 @@ def quota_sample(
         .filter(F.col("__rk") <= quota)
         .withColumnRenamed("__rk", "rank_in_group")
     )
+
+
+def purged_time_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 5,
+    purge_days: int = 0,
+    embargo_days: int = 0,
+) -> DataFrame:
+    """Purged k-fold cross-validation assignment for time-ordered
+    data (the leakage control serially-correlated datasets need:
+    plain random k-fold lets a model train on rows adjacent in time
+    to its test rows).
+
+    The observed date span splits into *n_folds* contiguous blocks.
+    For each fold, a row's role is:
+
+    - ``test``    — inside the fold's block;
+    - ``purged``  — within *purge_days* BEFORE the block (train rows
+      whose look-ahead features would overlap the test window);
+    - ``embargo`` — within *embargo_days* AFTER the block (train
+      rows a test-window feature could leak into);
+    - ``train``   — everything else.
+
+    Output: one row per (input row × fold) with (fold, role) —
+    callers filter ``role = 'train'``/``'test'`` per fold. The only
+    driver-visible state is the 1-row global date span (broadcast);
+    the fold fan-out is a constant ×n_folds projection, no shuffle.
+    Deterministic: block boundaries derive from day arithmetic on
+    the observed min/max date only.
+    """
+    d = F.to_date(F.col(ts_col))
+    span = df.agg(
+        F.min(d).alias("__d0"), F.max(d).alias("__d1")
+    ).withColumn(
+        "__ndays", F.datediff(F.col("__d1"), F.col("__d0")) + 1
+    )
+    folds = df.sparkSession.range(n_folds).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    day_idx = F.datediff(d, F.col("__d0"))
+    # fold f's block = day indexes [f*ndays/n, (f+1)*ndays/n)
+    blk_lo = (F.col("fold") * F.col("__ndays")) / n_folds
+    blk_hi = ((F.col("fold") + 1) * F.col("__ndays")) / n_folds
+    lo = F.floor(blk_lo).cast("int")
+    hi = F.floor(blk_hi).cast("int")  # exclusive
+    role = (
+        F.when((day_idx >= lo) & (day_idx < hi), F.lit("test"))
+        .when(
+            (day_idx < lo) & (day_idx >= lo - purge_days), F.lit("purged")
+        )
+        .when(
+            (day_idx >= hi) & (day_idx < hi + embargo_days),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(folds))
+        .withColumn("role", role)
+        .drop("__d0", "__d1", "__ndays")
+    )

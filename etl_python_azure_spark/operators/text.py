@@ -608,3 +608,78 @@ def zipf_fit(
         "top_token",
         "top_freq",
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-k
+    smoothed bigram model trained on the corpus itself — the
+    next-order sibling of :func:`unigram_logprob_scores` (fluency
+    signal: word-salad documents score far below natural prose even
+    when their unigram mix looks normal).
+
+    Model: lp(w2|w1) = ln((c(w1,w2) + k) / (c(w1) + k·V)). Training
+    is two hash aggregates over one token explode (bigram counts are
+    vocabulary²-bounded, far below corpus-sized, so the scoring join
+    is a shuffle equi-join on the bigram key — NOT a broadcast; only
+    the 1-row vocabulary size broadcasts). The per-doc sum folds over
+    the sorted log-prob list, bit-identical on any partitioning and
+    engine. Output: (id, n_bigrams, avg_bigram_lp).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        F.col(id_col),
+        F.col("token"),
+        F.lead("token").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c2 = big.groupBy("token", "nxt").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = toks.agg(F.countDistinct("token").alias("__v"))
+    # ln quantized to an 1e-8 grid: JVM Math.log vs libm ln differ by
+    # 1 ulp on some of this model's ratios (observed at sf0.01), and
+    # the per-doc sum amplifies the drift past the zero-tolerance
+    # gate — same discipline as BM25's idf (operators/search.py)
+    model = (
+        c2.join(c1, "token")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "nxt",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("__c2") + F.lit(add_k))
+                        / (F.col("__c1") + F.lit(add_k) * F.col("__v"))
+                    )
+                    * F.lit(1e8)
+                )
+                / F.lit(1e8)
+            ).alias("__lp"),
+        )
+    )
+    per_doc = (
+        big.join(model, ["token", "nxt"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "aggregate(sort_array(collect_list(__lp)), 0D,"
+                " (acc, v) -> acc + v)"
+            ).alias("__sum_lp"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.col("__sum_lp") / F.col("n_bigrams")).alias("avg_bigram_lp"),
+    )

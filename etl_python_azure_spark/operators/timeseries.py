@@ -12,7 +12,7 @@ window op here shares. No driver state, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -345,4 +345,40 @@ def ts_similarity_pairs(
                 / F.lit(1e12)
             ).alias("dist")
         )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Resample an observation stream into OHLC bars — the canonical
+    time-series downsampling (finance candles; equally the shape of
+    "first/last/extreme reading per device-hour" telemetry rollups).
+
+    One hash aggregate per (key..., bucket): ``open``/``close`` via
+    ``min_by``/``max_by`` over the (ts, tiebreak) struct — the
+    single-pass, shuffle-once idiom for first/last-per-group at scale
+    (no window sort of the full stream); ``high``/``low``/``n_obs``
+    are plain aggregates. *tiebreak_col* must make (ts, tiebreak)
+    unique per key so the result is deterministic under any
+    partitioning. *bucket* defaults to the calendar day of *ts*.
+    """
+    b = (bucket if bucket is not None else F.to_date(F.col(ts_col))).alias(
+        "bucket"
+    )
+    return df.groupBy(*[F.col(c) for c in key_cols], b).agg(
+        F.expr(
+            f"min_by({value_col}, struct({ts_col}, {tiebreak_col}))"
+        ).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.expr(
+            f"max_by({value_col}, struct({ts_col}, {tiebreak_col}))"
+        ).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
     )

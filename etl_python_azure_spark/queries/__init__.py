@@ -123,6 +123,15 @@ _R04_WINDOW = [
     "ts_similarity_blocked_pairs",
     "ts_similarity_bruteforce_topk",
     "label_noise_scan",
+    # round-4c additions (sorted-neighborhood ER / OHLC / purged CV /
+    # bigram LM / SQ8 ANN / BPE encode) — first-time driver checks
+    # outrank re-proof fill
+    "sorted_neighborhood_dups",
+    "ohlc_daily_bars",
+    "purged_fold_report",
+    "bigram_logprob_scores",
+    "ann_sq8_recall",
+    "bpe_encode_stats",
     # fill to 50: r01-only greens, registration order (oldest evidence)
     "pricing_summary",
     "filter_project_scale",
@@ -131,12 +140,6 @@ _R04_WINDOW = [
     "customers_without_orders",
     "customers_with_big_order",
     "cdc_split_new",
-    "cdc_split_updated",
-    "union_with_drift",
-    "customer_set_ops",
-    "top100_orders",
-    "derived_surrogate_key",
-    "dropna_after_left_join",
 ]
 
 
@@ -154,6 +157,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round3  # noqa: F401
     from . import round4  # noqa: F401
     from . import round4b  # noqa: F401
+    from . import round4c  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -677,7 +677,12 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 5
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_cte_chain(n_merges: int, apply_all: bool = False) -> list[str]:
+    """The CTE chain replaying BPE training in SQL: word freqs, char
+    symbols, then per-round (pair counts → best pair → greedy merge
+    rewrite). With *apply_all*, the LAST merge is applied too (s{n}
+    exists) — the encode-side oracle (`round4c.bpe_encode_stats`)
+    needs the final segmentation, the trainer only the merge table."""
     ctes = [
         """wf AS (
       SELECT w AS word, COUNT(*) AS f FROM (
@@ -702,7 +707,7 @@ def _bpe_oracle_sql(n_merges: int) -> str:
       FROM pr{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
       ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1
     )""")
-        if r == n_merges:
+        if r == n_merges and not apply_all:
             break
         ctes.append(f"""mk{r} AS (
       SELECT s.word, s.f, s.pos, s.sym, b.a, b.b,
@@ -736,6 +741,11 @@ def _bpe_oracle_sql(n_merges: int) -> str:
              CASE WHEN take THEN a || b ELSE sym END AS sym
       FROM ab{r} WHERE NOT absorbed
     )""")
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    ctes = _bpe_cte_chain(n_merges)
     finals = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS merge_rank, a, b, a || b AS merged,"
         f" CAST(pair_count AS BIGINT) AS pair_count FROM best{r}"
