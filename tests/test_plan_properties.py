@@ -219,3 +219,39 @@ def test_round4c_plan_shapes(spark, sf_dir):
     # (the 1-row best-pair frames legitimately broadcast)
     plan = _plan(spark, sf_dir, "bpe_learned_merges")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_round4c_new_ops_plan_shapes(spark, sf_dir):
+    """Audited shapes for the sorted-neighborhood / OHLC / purged-CV
+    / bigram-LM / SQ8 / BPE-encode batch."""
+    # sorted neighborhood: the offset-exploded neighborhood join is a
+    # hash equi-join on rn — never cartesian, never single-partition
+    # (global_row_number's whole point)
+    plan = _plan(spark, sf_dir, "sorted_neighborhood_dups")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    # OHLC: ONE hash-agg shuffle, no join, no window sort of the
+    # stream (min_by/max_by, not ROW_NUMBER)
+    plan = _plan(spark, sf_dir, "ohlc_daily_bars")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # purged CV: 1-row span + k-row folds broadcast; corpus never
+    # shuffles for the assignment
+    plan = _plan(spark, sf_dir, "purged_fold_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # bigram LM: model join is an equi-join, never |docs| x |vocab²|
+    plan = _plan(spark, sf_dir, "bigram_logprob_scores")
+    assert "CartesianProduct" not in plan
+    # SQ8: queries broadcast over the codes scan (intentional
+    # broadcast nested loop = compressed linear scan), stats 1-row
+    plan = _plan(spark, sf_dir, "ann_sq8_recall")
+    assert "CartesianProduct" not in plan
+    # BPE encode: same loop as the trainer — merge frames broadcast
+    plan = _plan(spark, sf_dir, "bpe_encode_stats")
+    assert "CartesianProduct" not in plan
