@@ -118,6 +118,13 @@ OPTIONAL = [
     "bigram_logprob_scores",
     "ann_sq8_recall",
     "bpe_encode_stats",
+    # round-4d
+    "pca_top_component",
+    "psi_value_drift",
+    "event_pair_rules",
+    "nation_triangle_counts",
+    "segment_target_encoding",
+    "native_session_rollup",
 ]
 
 

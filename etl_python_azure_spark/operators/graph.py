@@ -112,3 +112,58 @@ def pagerank(
         "rank",
         F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED simple
+    graph induced by *edges* (direction and multiplicity dropped).
+
+    The classic two-join counting: canonicalize each edge to
+    (lo, hi), then triangles are (a<b<c) with all three edges
+    present — each counted exactly once. Both joins are hash
+    equi-joins on a node key; the worst-case cost is Σ deg² wedge
+    candidates (degree-skewed graphs want the standard
+    highest-degree-last orientation, which the lo<hi canonical form
+    approximates for free). Output: (node, n_triangles) for every
+    node in the graph (0 if none).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    # wedges a<b<c from edges (a,b) and (b,c)
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            und.select(F.col("a"), F.col("b").alias("c")),
+            ["a", "c"],
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )

@@ -132,14 +132,16 @@ _R04_WINDOW = [
     "bigram_logprob_scores",
     "ann_sq8_recall",
     "bpe_encode_stats",
-    # fill to 50: r01-only greens, registration order (oldest evidence)
+    # round-4d additions (PCA / PSI drift / association rules /
+    # triangles / target encoding / native session_window)
+    "pca_top_component",
+    "psi_value_drift",
+    "event_pair_rules",
+    "nation_triangle_counts",
+    "segment_target_encoding",
+    "native_session_rollup",
+    # fill to 50: the flagship re-proof (oldest green evidence)
     "pricing_summary",
-    "filter_project_scale",
-    "drift_tolerant_select",
-    "left_join_enrich",
-    "customers_without_orders",
-    "customers_with_big_order",
-    "cdc_split_new",
 ]
 
 
@@ -158,6 +160,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4  # noqa: F401
     from . import round4b  # noqa: F401
     from . import round4c  # noqa: F401
+    from . import round4d  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

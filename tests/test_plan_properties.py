@@ -255,3 +255,35 @@ def test_round4c_new_ops_plan_shapes(spark, sf_dir):
     # BPE encode: same loop as the trainer — merge frames broadcast
     plan = _plan(spark, sf_dir, "bpe_encode_stats")
     assert "CartesianProduct" not in plan
+
+
+def test_round4d_plan_shapes(spark, sf_dir):
+    """Audited shapes for the PCA / PSI / rules / triangles /
+    encoding / native-session batch."""
+    # PCA: the d² covariance agg and tiny-frame matvecs — the only
+    # nested loops are 1-row broadcasts (count, norm, eigenvalue)
+    plan = _plan(spark, sf_dir, "pca_top_component")
+    assert "CartesianProduct" not in plan
+    # PSI: 1-row span broadcast; corpus shuffles only for the two
+    # hash aggregates
+    plan = _plan(spark, sf_dir, "psi_value_drift")
+    assert "CartesianProduct" not in plan
+    # rules: basket self-join is an equi-join on the basket key
+    plan = _plan(spark, sf_dir, "event_pair_rules")
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    # triangles: dims broadcast, edge joins equi, nothing cartesian
+    plan = _plan(spark, sf_dir, "nation_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # target encoding: customer dim broadcast onto orders
+    plan = _plan(spark, sf_dir, "segment_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # native session_window: ONE aggregate, no join, no self-window
+    plan = _plan(spark, sf_dir, "native_session_rollup")
+    assert "Join" not in plan
