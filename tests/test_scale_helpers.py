@@ -67,3 +67,69 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # date/key-partitioned fact joined to a FILTERED dim: the fact
+    # scan must carry a dynamicpruning subquery in PartitionFilters,
+    # i.e. only the dim-selected partitions are read — the mechanism
+    # that turns a 100 TB fact scan into a handful of partitions
+    fact = spark.range(10000).select(
+        (F.col("id") % 20).alias("pk"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 5).alias("grp")
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("grp") == 1
+    )
+    j = f.join(dm, "pk")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert j.count() == 2000  # 4 of 20 partitions survive
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    # Spark's runtime bloom-filter join reduction: a selective filter
+    # on the build side injects might_contain() into the probe scan
+    # so non-matching rows drop BEFORE the shuffle — the runtime
+    # semi-join reduction for fact-fact joins that can't broadcast.
+    # (Default thresholds target real clusters: creation side small,
+    # application side ≥ 10 GB; loosened here to observe the plan.)
+    big = spark.range(100000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    big.write.mode("overwrite").parquet(str(tmp_path / "big"))
+    sm = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    sm.write.mode("overwrite").parquet(str(tmp_path / "small"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        bb = spark.read.parquet(str(tmp_path / "big"))
+        ss = spark.read.parquet(str(tmp_path / "small")).filter(
+            F.col("g") == 3
+        )
+        j = bb.join(ss, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
