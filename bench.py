@@ -125,6 +125,13 @@ OPTIONAL = [
     "nation_triangle_counts",
     "segment_target_encoding",
     "native_session_rollup",
+    # round-4e
+    "ann_multiprobe_recall",
+    "source_temperature_mix",
+    "doc_novelty_scores",
+    "value_median_mad_by_type",
+    "window_toolbox_orders",
+    "quality_pr_curve",
 ]
 
 

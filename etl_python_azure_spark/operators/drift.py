@@ -13,7 +13,7 @@ reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _LN_Q = 1e8  # ln grid — JVM Math.log vs libm ulp discipline
@@ -86,4 +86,87 @@ def psi_report(
             "aggregate(sort_array(collect_list(__term)), 0D,"
             " (acc, v) -> acc + v)"
         ).alias("psi"),
+    )
+
+
+def median_mad(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    tiebreak_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust location/scale per group: exact interpolated median,
+    MAD (median absolute deviation), and the count of |x − median| >
+    z·1.4826·MAD outliers — the monitoring twin of the z-score
+    outlier scan that a heavy-tailed feed needs (mean/stddev are
+    themselves dragged by the outliers they're meant to find).
+
+    Medians are exact: row_number over (value, tiebreak) picks the
+    two middle rows, (lo + hi) / 2 — no interpolating percentile
+    estimator whose partial order could drift between engines. Two
+    window passes over the same (group, value-sorted) layout plus
+    two hash aggregates. Output: (group..., n, median, mad,
+    n_outliers).
+    """
+    v = F.col(value_col).cast("double")
+    w1 = Window.partitionBy(*group_cols).orderBy(
+        F.col("__v"), F.col("__tb")
+    )
+    sized = df.select(
+        *[F.col(c) for c in group_cols],
+        v.alias("__v"),
+        F.col(tiebreak_col).alias("__tb"),
+    ).withColumn("__rn", F.row_number().over(w1)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    mid = sized.filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+    )
+    med = mid.groupBy(*group_cols).agg(
+        ((F.min("__v") + F.max("__v")) / F.lit(2.0)).alias("median"),
+        F.first("__n").alias("__n"),
+    )
+    dev = sized.join(med, group_cols).select(
+        *[F.col(c) for c in group_cols],
+        "__v",
+        "__tb",
+        "median",
+        F.abs(F.col("__v") - F.col("median")).alias("__d"),
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        F.col("__d"), F.col("__tb")
+    )
+    dmid = dev.withColumn("__rn", F.row_number().over(w2)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    ).filter(
+        (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+        | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+    )
+    mad = dmid.groupBy(*group_cols).agg(
+        ((F.min("__d") + F.max("__d")) / F.lit(2.0)).alias("mad")
+    )
+    out = (
+        dev.join(mad, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__d")
+                    > F.lit(z) * (F.lit(1.4826) * F.col("mad")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+    return out.select(
+        *[F.col(c) for c in group_cols],
+        F.col("n").cast("long").alias("n"),
+        "median",
+        "mad",
+        "n_outliers",
     )

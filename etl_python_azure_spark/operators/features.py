@@ -54,3 +54,81 @@ def m_estimate_encode(
             / (F.col("n").cast("double") + F.lit(m))
         ).alias("encoded"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_thresholds: int = 9,
+) -> DataFrame:
+    """Precision/recall sweep of a binary scorer — the threshold
+    table behind "where do we cut the quality filter". *label_col*
+    is a boolean Column (or name); thresholds are the n interior
+    points of an equal-width grid over the observed score range
+    (deterministic — no quantile estimation; a 1-row broadcast
+    span).
+
+    One scan computes per-row (score, label); the threshold spine
+    cross-joins in (constant ×n) and a single hash aggregate yields
+    tp/fp/fn per threshold. Output: (threshold_idx, threshold, tp,
+    fp, fn, precision, recall) — precision NULL when nothing is
+    flagged.
+    """
+    lbl = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"), lbl.alias("__y")
+    )
+    span = base.agg(
+        F.min("__s").alias("__mn"), F.max("__s").alias("__mx")
+    )
+    spine = base.sparkSession.range(1, n_thresholds + 1).select(
+        F.col("id").cast("int").alias("threshold_idx")
+    )
+    t = F.col("__mn") + (
+        F.col("__mx") - F.col("__mn")
+    ) * (
+        F.col("threshold_idx").cast("double")
+        / F.lit(float(n_thresholds + 1))
+    )
+    fanned = (
+        base.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(spine))
+        .select(
+            "threshold_idx",
+            t.alias("__t"),
+            (F.col("__s") >= t).alias("__pred"),
+            "__y",
+        )
+    )
+    agg = fanned.groupBy("threshold_idx").agg(
+        F.first("__t").alias("threshold"),
+        F.sum(F.when(F.col("__pred") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("__pred") & ~F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("__pred") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return agg.select(
+        "threshold_idx",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+    )

@@ -184,3 +184,87 @@ def purged_time_folds(
         .withColumn("role", role)
         .drop("__d0", "__d1", "__ndays")
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus-mix allocation: how many documents
+    each source contributes to a *total*-sized training mix when raw
+    source shares p_i are flattened to p_i^alpha (the multinomial
+    temperature sampling used to keep a dominant crawl from drowning
+    small high-quality sources; alpha<1 upweights the tail).
+
+    alpha is restricted to 0.5 (w = sqrt(p)) — sqrt is IEEE
+    correctly-rounded, so the weights are engine-exact without the
+    pow()/exp() 1-ulp risk the registry rules forbid. Integer seats
+    are assigned by largest-remainder (Hamilton) apportionment:
+    floor(total·share) each, leftovers to the largest fractional
+    parts (ties by group name) — deterministic, sums exactly to
+    *total*. Everything after the one count aggregate is
+    group-cardinality-sized.
+    """
+    if alpha != 0.5:
+        raise ValueError("alpha is fixed at 0.5 (sqrt weights): "
+                         "other temperatures need pow(), which is "
+                         "not engine-exact")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__t"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__t").cast("double")).alias(
+            "share"
+        ),
+        F.sqrt(
+            F.col("n_docs").cast("double") / F.col("__t").cast("double")
+        ).alias("__w"),
+    )
+    wsum = w.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(__w)), 0D,"
+            " (acc, v) -> acc + v)"
+        ).alias("__ws")
+    )
+    shares = w.crossJoin(F.broadcast(wsum)).select(
+        group_col,
+        "n_docs",
+        "share",
+        (F.col("__w") / F.col("__ws")).alias("temp_share"),
+    )
+    seats = shares.select(
+        group_col,
+        "n_docs",
+        "share",
+        "temp_share",
+        F.floor(F.lit(float(total)) * F.col("temp_share")).cast("long").alias(
+            "__base"
+        ),
+        (
+            F.lit(float(total)) * F.col("temp_share")
+            - F.floor(F.lit(float(total)) * F.col("temp_share"))
+        ).alias("__frac"),
+    )
+    short = seats.agg(
+        (F.lit(total) - F.sum("__base")).cast("long").alias("__left")
+    )
+    rk = Window.orderBy(F.desc("__frac"), F.asc(group_col))
+    return (
+        seats.crossJoin(F.broadcast(short))
+        .withColumn("__r", F.row_number().over(rk))
+        .select(
+            group_col,
+            "n_docs",
+            "share",
+            "temp_share",
+            (
+                F.col("__base")
+                + F.when(F.col("__r") <= F.col("__left"), 1).otherwise(0)
+            ).cast("long").alias("alloc_docs"),
+        )
+    )

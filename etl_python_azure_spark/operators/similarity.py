@@ -726,3 +726,64 @@ def label_noise_candidates(
             "nearest_cos",
         )
     )
+
+
+def multiprobe_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe LSH top-*k*: besides its own bucket, each query
+    probes the ``num_planes`` single-bit-flip neighbor buckets — the
+    classic way to buy recall WITHOUT more hash tables (a vector
+    near a hyperplane lands on either side with near-even odds, so
+    flipping one sign bit recovers most misses) or more memory
+    (one bucket table serves exact + probe lookups).
+
+    Probe fan-out is an explode of 1 + num_planes bucket keys per
+    query followed by the same equi-join as `lsh_topk`; each corpus
+    vector lives in exactly one bucket, so candidates are naturally
+    distinct. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from .dedup import dot_expr, with_norm
+
+    cb = lsh_buckets(corpus, id_col, vec_col, num_planes, dim)
+    c = with_norm(cb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+        "bucket",
+    )
+    qb = lsh_buckets(queries, id_col, vec_col, num_planes, dim)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+    q = with_norm(qb, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+        F.explode(probes).alias("bucket"),
+    )
+    sims = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

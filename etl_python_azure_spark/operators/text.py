@@ -683,3 +683,53 @@ def bigram_logprob_scores(
         "n_bigrams",
         (F.col("__sum_lp") / F.col("n_bigrams")).alias("avg_bigram_lp"),
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in no other document — the
+    memorization/diversity signal corpus curation reads next to the
+    dup-rate (novelty ≈ 0 means the doc is stitched from boilerplate
+    the corpus already has; ≈ 1 means fresh text).
+
+    One distinct-shingle explode, one corpus-frequency aggregate,
+    one broadcast-free equi-join back on the shingle key, one per-doc
+    count — all corpus-shaped, no pair joins. Docs shorter than *n*
+    words emit n_shingles = 0 and NULL novelty (no basis to score).
+    Output: (id, n_shingles, n_novel, novelty).
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n=n, distinct=True)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__df") == 1, 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+            ).alias("novelty"),
+        )
+    )

@@ -128,20 +128,26 @@ _R04_WINDOW = [
     # outrank re-proof fill
     "sorted_neighborhood_dups",
     "ohlc_daily_bars",
-    "purged_fold_report",
     "bigram_logprob_scores",
     "ann_sq8_recall",
     "bpe_encode_stats",
-    # round-4d additions (PCA / PSI drift / association rules /
-    # triangles / target encoding / native session_window)
+    # round-4d additions (PCA / PSI drift / triangles / native
+    # session_window)
     "pca_top_component",
     "psi_value_drift",
-    "event_pair_rules",
     "nation_triangle_counts",
-    "segment_target_encoding",
     "native_session_rollup",
-    # fill to 50: the flagship re-proof (oldest green evidence)
-    "pricing_summary",
+    # round-4e additions (multi-probe ANN / novelty / robust stats /
+    # PR sweep)
+    "ann_multiprobe_recall",
+    "doc_novelty_scores",
+    "value_median_mad_by_type",
+    "quality_pr_curve",
+    # NOT in this round's 50-slot window (oracle-verified locally at
+    # sf0.001/0.01/0.1; queue for the r05 window): event_pair_rules,
+    # segment_target_encoding, purged_fold_report,
+    # window_toolbox_orders, source_temperature_mix — plus the
+    # r01-green fill re-proofs.
 ]
 
 
@@ -161,6 +167,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4b  # noqa: F401
     from . import round4c  # noqa: F401
     from . import round4d  # noqa: F401
+    from . import round4e  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

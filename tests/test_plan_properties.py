@@ -287,3 +287,26 @@ def test_round4d_plan_shapes(spark, sf_dir):
     # native session_window: ONE aggregate, no join, no self-window
     plan = _plan(spark, sf_dir, "native_session_rollup")
     assert "Join" not in plan
+
+
+def test_round4e_plan_shapes(spark, sf_dir):
+    """Audited shapes for the multi-probe / mix / novelty / robust
+    stats / PR-sweep batch."""
+    # multi-probe: probe fan-out joins corpus buckets as equi-joins
+    plan = _plan(spark, sf_dir, "ann_multiprobe_recall")
+    assert "CartesianProduct" not in plan
+    # novelty: shingle equi-join + per-doc agg, never pairs
+    plan = _plan(spark, sf_dir, "doc_novelty_scores")
+    assert "CartesianProduct" not in plan
+    # median/MAD: windows stay partitioned by the group key
+    plan = _plan(spark, sf_dir, "value_median_mad_by_type")
+    assert "SinglePartition" not in plan or "event_type" in plan
+    assert "CartesianProduct" not in plan
+    # PR sweep: 1-row span + 9-row spine broadcast over one scan
+    plan = _plan(spark, sf_dir, "quality_pr_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # window toolbox: both windows partitioned by customer
+    plan = _plan(spark, sf_dir, "window_toolbox_orders")
+    assert "SinglePartition" not in plan
+    assert "PushedFilters: [" in plan  # o_custkey < 200 reaches scan
