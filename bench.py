@@ -132,6 +132,10 @@ OPTIONAL = [
     "value_median_mad_by_type",
     "window_toolbox_orders",
     "quality_pr_curve",
+    # round-4f
+    "top3_per_segment_agg",
+    "value_quartiles_by_type",
+    "cube_order_counts",
 ]
 
 

@@ -225,3 +225,73 @@ def cms_estimate(
         .groupBy("token")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
+
+
+def grouped_topk(
+    df,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int = 3,
+    ascending: bool = False,
+):
+    """Top-*k* rows per group WITHOUT a window sort — the two-phase
+    aggregate idiom for giant groups.
+
+    The window formulation (`row_number() OVER (PARTITION BY g ORDER
+    BY v)`) shuffles every row of a group to one task and SORTS the
+    whole group to keep k rows. This instead: (1) a pre-aggregate
+    per (input-partition, group) keeps each partition's local top-k
+    — array-sort of a partition-bounded list, map-side, no shuffle;
+    (2) the global aggregate merges ≤ k·P candidate rows per group.
+    Shuffle volume drops from |group| to k·P rows per group — the
+    difference between sorting a hot key's billion rows and merging
+    32·k of them.
+
+    Ties break on *tiebreak_col* (must be unique per group). Output:
+    (group..., order_col, tiebreak_col, rn 1..k) — rejoin on the
+    tiebreak for full payloads.
+    """
+    from pyspark.sql import functions as F
+
+    # sort key: struct fields sort lexicographically in ONE
+    # direction, but the contract is (value asc|desc, tiebreak asc)
+    # — so descending negates the (numeric) value instead of
+    # reversing the whole struct order
+    v = F.col(order_col).cast("double")
+    key = v if ascending else -v
+    pair = F.struct(
+        key.alias("s"),
+        F.col(tiebreak_col).alias("t"),
+        F.col(order_col).alias("v"),
+    )
+    topk_arr = lambda: F.slice(  # noqa: E731
+        F.sort_array(F.collect_list("__p")), 1, k
+    )
+    local = (
+        df.select(
+            *[F.col(c) for c in group_cols],
+            F.spark_partition_id().alias("__pid"),
+            pair.alias("__p"),
+        )
+        .groupBy(*group_cols, "__pid")
+        .agg(topk_arr().alias("__l"))
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.explode("__l").alias("__p"),
+        )
+    )
+    merged = (
+        local.groupBy(*group_cols)
+        .agg(topk_arr().alias("__l"))
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.posexplode("__l").alias("__i", "__p"),
+        )
+    )
+    return merged.select(
+        *[F.col(c) for c in group_cols],
+        F.col("__p.v").alias(order_col),
+        F.col("__p.t").alias(tiebreak_col),
+        (F.col("__i") + 1).cast("int").alias("rn"),
+    )

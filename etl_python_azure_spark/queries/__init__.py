@@ -146,8 +146,9 @@ _R04_WINDOW = [
     # NOT in this round's 50-slot window (oracle-verified locally at
     # sf0.001/0.01/0.1; queue for the r05 window): event_pair_rules,
     # segment_target_encoding, purged_fold_report,
-    # window_toolbox_orders, source_temperature_mix — plus the
-    # r01-green fill re-proofs.
+    # window_toolbox_orders, source_temperature_mix,
+    # top3_per_segment_agg, value_quartiles_by_type,
+    # cube_order_counts — plus the r01-green fill re-proofs.
 ]
 
 
@@ -168,6 +169,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4c  # noqa: F401
     from . import round4d  # noqa: F401
     from . import round4e  # noqa: F401
+    from . import round4f  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

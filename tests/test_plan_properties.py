@@ -310,3 +310,19 @@ def test_round4e_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_toolbox_orders")
     assert "SinglePartition" not in plan
     assert "PushedFilters: [" in plan  # o_custkey < 200 reaches scan
+
+
+def test_round4f_plan_shapes(spark, sf_dir):
+    """Audited shapes for the agg-top-k / quartiles / CUBE batch."""
+    # agg top-k: no window sort anywhere — two hash aggregates; the
+    # window formulation it replaces would show a Window node
+    plan = _plan(spark, sf_dir, "top3_per_segment_agg")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    # quartiles: window stays partitioned by event_type
+    plan = _plan(spark, sf_dir, "value_quartiles_by_type")
+    assert "SinglePartition" not in plan
+    # CUBE: one Expand + one shuffle, no join
+    plan = _plan(spark, sf_dir, "cube_order_counts")
+    assert "Expand" in plan
+    assert "Join" not in plan

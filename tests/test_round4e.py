@@ -142,3 +142,42 @@ def test_pr_curve_perfect_separation(spark):
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
     # counts are consistent: tp+fn == total positives
     assert all(r["tp"] + r["fn"] == 5 for r in out)
+
+
+# ------------------------------------------------------------ grouped topk
+def test_grouped_topk_matches_window(spark):
+    from etl_python_azure_spark.operators.aggregates import grouped_topk
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float((i * 37) % 100), i) for i in range(500)],
+        "g string, v double, id long",
+    ).repartition(7)
+    agg = {
+        (r["g"], r["rn"]): (r["v"], r["id"])
+        for r in grouped_topk(df, ["g"], "v", "id", k=5).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    win = {
+        (r["g"], r["rn"]): (r["v"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    assert agg == win
+
+
+def test_grouped_topk_ascending_and_small_groups(spark):
+    from etl_python_azure_spark.operators.aggregates import grouped_topk
+
+    df = spark.createDataFrame(
+        [("a", 3.0, 1), ("a", 1.0, 2), ("b", 9.0, 3)],
+        "g string, v double, id long",
+    )
+    out = {
+        (r["g"], r["rn"]): r["v"]
+        for r in grouped_topk(
+            df, ["g"], "v", "id", k=2, ascending=True
+        ).collect()
+    }
+    assert out == {("a", 1): 1.0, ("a", 2): 3.0, ("b", 1): 9.0}

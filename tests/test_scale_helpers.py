@@ -133,3 +133,44 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # AQE's runtime answer to the hot key that salting handles
+    # statically: after execution, the skewed shuffle partition is
+    # split (SortMergeJoin(skew=true) + AQEShuffleRead in the FINAL
+    # adaptive plan). Thresholds lowered so local-mode volumes
+    # qualify; inspect the SAME DataFrame that executed — a .count()
+    # builds a different query execution and shows the initial plan.
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(200000).select(
+            F.lit(1).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(200).select(
+            (F.col("id") + 2).alias("k"), F.col("id").alias("v")
+        )
+        dim = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("d")
+        )
+        j = hot.unionByName(cold).join(dim, "k")
+        rows = j.collect()
+        assert len(rows) == 200000 + 200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
