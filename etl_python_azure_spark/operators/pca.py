@@ -108,6 +108,13 @@ def power_iteration_top_component(
     quotient vᵀCv (same on every row; the scalar certificate).
     """
     spark = cov.sparkSession
+    # NO persist() on cov, deliberately: the covariance subtree is
+    # embedded once per reference in the final lazy plan (86 scans
+    # in the PLANS.md text), but at runtime Spark dedupes them via
+    # ReusedExchange, so the aggregation executes once. Caching it
+    # instead was MEASURED 70% slower at sf0.1 (11.8 s vs 7.0 s) —
+    # the InMemoryRelation boundary blocks exchange reuse and adds
+    # materialization stages.
     v = spark.range(dim).select(
         F.col("id").cast("int").alias("i"),
         F.lit(1.0 / float(dim) ** 0.5).alias("v"),

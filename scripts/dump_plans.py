@@ -101,6 +101,28 @@ QUERIES = [
     "bpe_learned_merges",
     "ts_similarity_blocked_pairs",
     "hybrid_search_topk",
+    # round-4c .. 4f surface
+    "sorted_neighborhood_dups",
+    "ohlc_daily_bars",
+    "purged_fold_report",
+    "bigram_logprob_scores",
+    "ann_sq8_recall",
+    "bpe_encode_stats",
+    "pca_top_component",
+    "psi_value_drift",
+    "event_pair_rules",
+    "nation_triangle_counts",
+    "segment_target_encoding",
+    "native_session_rollup",
+    "ann_multiprobe_recall",
+    "source_temperature_mix",
+    "doc_novelty_scores",
+    "value_median_mad_by_type",
+    "window_toolbox_orders",
+    "quality_pr_curve",
+    "top3_per_segment_agg",
+    "value_quartiles_by_type",
+    "cube_order_counts",
 ]
 
 
@@ -135,9 +157,18 @@ def main() -> None:
         # Spark truncates long filter lists with "..." (no closing
         # bracket) — stay within the line
         pushed = re.findall(r"PushedFilters: \[([^\]\n]+?)[\]\n]", plan + "\n")
+        # iterative queries re-embed the same scan text per unrolled
+        # round — dedupe with multiplicities so the audit stays
+        # reviewable (the Notes section explains the inflation)
+        from collections import Counter
+
+        pc = Counter(
+            p.split(", ReadSchema")[0] for p in pushed if p.strip()
+        )
         pushed_str = (
             "; ".join(
-                p.split(", ReadSchema")[0] for p in pushed if p.strip()
+                f"{f} (×{n})" if n > 1 else f
+                for f, n in sorted(pc.items())
             )
             or "—"
         )
