@@ -136,6 +136,9 @@ OPTIONAL = [
     "top3_per_segment_agg",
     "value_quartiles_by_type",
     "cube_order_counts",
+    # round-4g
+    "source_signature_terms",
+    "label_projection_stats",
 ]
 
 

@@ -151,3 +151,35 @@ def power_iteration_top_component(
     return v.crossJoin(F.broadcast(lam)).select(
         "i", F.col("v").alias("loading"), "eigenvalue"
     )
+
+
+def project_onto_component(
+    corpus: DataFrame,
+    component: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto a component (d-row frame with
+    (i, loading)): (id, proj) with proj = Σ_i x_i·loading_i on the
+    1e-12 integer grid — the "apply the PCA" step (whitening checks,
+    anisotropy-per-label audits, 1-D visualization coordinates).
+    One explode + broadcast join + hash aggregate.
+    """
+    ex = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(id_col, "i", F.col("x").cast("double").alias("x"))
+    return (
+        ex.join(F.broadcast(component.select("i", "loading")), "i")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("x") * F.col("loading") * F.lit(_Q)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_Q)
+            ).alias("proj")
+        )
+    )

@@ -38,7 +38,10 @@ _PCA_DIM = 64
 _PCA_ITERS = 3
 
 
-def _pca_oracle(dim: int, iters: int) -> str:
+def _pca_cte_chain(dim: int, iters: int) -> tuple[list[str], str]:
+    """The CTE chain replaying covariance + power iteration; returns
+    (ctes, name of the final unit eigenvector CTE) so composing
+    oracles (`round4g.label_projection_stats`) can reuse it."""
     d1 = dim + 1
     bigsum = (
         "CAST(CAST(SUM(CAST(floor({expr} * CAST(1e12 AS DOUBLE))"
@@ -104,6 +107,11 @@ def _pca_oracle(dim: int, iters: int) -> str:
               / CAST(1e12 AS DOUBLE)) AS eigenvalue
       FROM uf JOIN {prev} v USING (i)
     )""")
+    return ctes, prev
+
+
+def _pca_oracle(dim: int, iters: int) -> str:
+    ctes, prev = _pca_cte_chain(dim, iters)
     return (
         "WITH "
         + ",\n    ".join(ctes)

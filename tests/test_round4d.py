@@ -161,3 +161,21 @@ def test_m_estimate_m_zero_is_plain_mean(spark):
     out = {r["cat"]: r for r in m_estimate_encode(df, "cat", "y", m=0.0).collect()}
     assert out["a"]["encoded"] == 2.0
     assert out["b"]["encoded"] == 5.0
+
+
+def test_project_onto_component_known_axis(spark):
+    from etl_python_azure_spark.operators.pca import project_onto_component
+
+    comp = spark.createDataFrame(
+        [(0, 1.0), (1, 0.0)], "i int, loading double"
+    )
+    df = spark.createDataFrame(
+        [(1, [3.0, 99.0]), (2, [-2.5, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in project_onto_component(df, comp).collect()
+    }
+    assert abs(out[1] - 3.0) < 1e-9
+    assert abs(out[2] - (-2.5)) < 1e-9
