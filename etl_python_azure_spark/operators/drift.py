@@ -6,9 +6,10 @@ PSI (population stability index) is the standard scorecard metric:
 bucket a numeric column on FIXED bins, compare the bucket shares of
 two populations, Σ (p_a − p_b)·ln(p_a/p_b). PSI < 0.1 is stable,
 0.1–0.25 drifting, > 0.25 action. Everything here is one scan +
-two hash aggregates; bins derive from the GLOBAL min/max (1-row
-broadcast) so the binning is identical for both populations and
-reproducible across engines.
+two hash aggregates; bins derive from each group's own min/max (a
+group-cardinality broadcast) so the binning is identical for both
+populations, adapted to each group's range, and reproducible
+across engines.
 """
 
 from __future__ import annotations
@@ -29,19 +30,24 @@ def psi_report(
     """PSI of *value_col* between population A (``is_b`` false) and
     population B (true), per *group_cols* group.
 
-    Equal-width bins over the global [min, max] (deterministic — no
-    quantile estimation), Laplace-smoothed shares so empty buckets
-    never divide by zero: p = (n_bin + 1) / (n_pop + n_bins). The
-    per-group sum folds over the sorted term list (n_bins values),
-    and each ln is floor-quantized to 1e-8, so the score is
+    Bins are equal-width over EACH GROUP'S [min, max] (review catch:
+    global bins flattened a narrow-ranged group into one bucket and
+    its PSI read ~0 under any drift), and every one of the n_bins
+    buckets contributes a term even when empty in both populations
+    (review catch: skipping both-empty bins understates PSI when
+    |A| ≠ |B|, because the Laplace terms (1/(t_a+n) − 1/(t_b+n))·
+    ln(·) are not negligible for unbalanced populations).
+    Laplace-smoothed shares p = (n_bin + 1) / (n_pop + n_bins) never
+    divide by zero; the per-group sum folds over the sorted term
+    list and each ln is floor-quantized to 1e-8, so the score is
     bit-identical on any engine/partitioning. Output:
     (group..., n_a, n_b, psi).
     """
     v = F.col(value_col).cast("double")
-    span = df.agg(
+    span = df.groupBy(*group_cols).agg(
         F.min(v).alias("__mn"), F.max(v).alias("__mx")
     )
-    binned = df.crossJoin(F.broadcast(span)).select(
+    binned = df.join(F.broadcast(span), group_cols).select(
         *[F.col(c) for c in group_cols],
         F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
         .otherwise(
@@ -64,6 +70,20 @@ def psi_report(
     tots = counts.groupBy(*group_cols).agg(
         F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
     )
+    spine = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("__bin")
+    )
+    dense = (
+        tots.crossJoin(F.broadcast(spine))
+        .join(counts, [*group_cols, "__bin"], "left")
+        .select(
+            *[F.col(c) for c in group_cols],
+            "__ta",
+            "__tb",
+            F.coalesce("__na", F.lit(0)).alias("__na"),
+            F.coalesce("__nb", F.lit(0)).alias("__nb"),
+        )
+    )
     pa = (F.col("__na") + F.lit(1.0)) / (
         F.col("__ta") + F.lit(float(n_bins))
     )
@@ -73,7 +93,7 @@ def psi_report(
     term = (pa - pb) * (
         F.floor(F.log(pa / pb) * F.lit(_LN_Q)) / F.lit(_LN_Q)
     )
-    per_bin = counts.join(tots, group_cols).select(
+    per_bin = dense.select(
         *[F.col(c) for c in group_cols],
         F.col("__ta"),
         F.col("__tb"),

@@ -728,6 +728,18 @@ def label_noise_candidates(
     )
 
 
+def probe_buckets(bucket: Column, num_planes: int) -> Column:
+    """The multi-probe lookup set for a bucket: itself plus its
+    *num_planes* single-bit-flip neighbors. The ONE definition of
+    the probe scheme — `multiprobe_lsh_topk` and the recall
+    certificate (`queries/round4e.ann_multiprobe_recall`) both use
+    it, so the certificate can never drift from the operator."""
+    return F.array(
+        bucket,
+        *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+    )
+
+
 def multiprobe_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -759,10 +771,7 @@ def multiprobe_lsh_topk(
         "bucket",
     )
     qb = lsh_buckets(queries, id_col, vec_col, num_planes, dim)
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
-    )
+    probes = probe_buckets(F.col("bucket"), num_planes)
     q = with_norm(qb, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__vq"),

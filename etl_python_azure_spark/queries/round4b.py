@@ -714,7 +714,7 @@ def _bpe_cte_chain(n_merges: int, apply_all: bool = False) -> list[str]:
              COALESCE(s.sym = b.a
                AND lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos)
                    = b.b, FALSE) AS m
-      FROM s{p} s CROSS JOIN best{r} b
+      FROM s{p} s LEFT JOIN best{r} b ON TRUE
     )""")
         ctes.append(f"""gr{r} AS (
       SELECT *, SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER (

@@ -146,12 +146,15 @@ _PSI_BINS = 10
 @register(
     "psi_value_drift",
     f"""
-    WITH span AS (
+    WITH tspan AS (
       SELECT MIN(CAST(ts AS DATE)) AS d0,
              date_diff('day', MIN(CAST(ts AS DATE)),
-                       MAX(CAST(ts AS DATE))) + 1 AS nd,
-             MIN(value) AS mn, MAX(value) AS mx
+                       MAX(CAST(ts AS DATE))) + 1 AS nd
       FROM events
+    ),
+    vspan AS (
+      SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+      FROM events GROUP BY event_type
     ),
     binned AS (
       SELECT e.event_type,
@@ -160,9 +163,9 @@ _PSI_BINS = 10
                     (e.value - s.mn) / (s.mx - s.mn)
                     * CAST({_PSI_BINS} AS DOUBLE)) AS INT)) AS INT)
              END AS bin,
-             CASE WHEN date_diff('day', s.d0, CAST(e.ts AS DATE)) * 2
-                       >= s.nd THEN 1 ELSE 0 END AS b
-      FROM events e CROSS JOIN span s
+             CASE WHEN date_diff('day', t.d0, CAST(e.ts AS DATE)) * 2
+                       >= t.nd THEN 1 ELSE 0 END AS b
+      FROM events e JOIN vspan s USING (event_type) CROSS JOIN tspan t
     ),
     counts AS (
       SELECT event_type, bin,
@@ -173,15 +176,24 @@ _PSI_BINS = 10
       SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb
       FROM counts GROUP BY event_type
     ),
+    dense AS (
+      SELECT t.event_type, t.ta, t.tb, sp.bin,
+             COALESCE(c.na, 0) AS na, COALESCE(c.nb, 0) AS nb
+      FROM tots t
+      CROSS JOIN (SELECT CAST(UNNEST(range(0, {_PSI_BINS})) AS INT)
+                    AS bin) sp
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.bin = sp.bin
+    ),
     terms AS (
-      SELECT c.event_type, t.ta, t.tb,
-             (((c.na + 1.0) / (t.ta + {_PSI_BINS}.0))
-              - ((c.nb + 1.0) / (t.tb + {_PSI_BINS}.0)))
-             * (floor(ln(((c.na + 1.0) / (t.ta + {_PSI_BINS}.0))
-                         / ((c.nb + 1.0) / (t.tb + {_PSI_BINS}.0)))
+      SELECT event_type, ta, tb,
+             (((na + 1.0) / (ta + {_PSI_BINS}.0))
+              - ((nb + 1.0) / (tb + {_PSI_BINS}.0)))
+             * (floor(ln(((na + 1.0) / (ta + {_PSI_BINS}.0))
+                         / ((nb + 1.0) / (tb + {_PSI_BINS}.0)))
                       * CAST(1e8 AS DOUBLE)) / CAST(1e8 AS DOUBLE))
                AS term
-      FROM counts c JOIN tots t USING (event_type)
+      FROM dense
     )
     SELECT event_type, CAST(MIN(ta) AS BIGINT) AS n_a,
            CAST(MIN(tb) AS BIGINT) AS n_b,
@@ -193,10 +205,10 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability index of the event value per event type
     between the observation window's first and second halves —
     the drift monitor a production feed runs before retraining.
-    Fixed equal-width bins from the GLOBAL min/max (no quantile
-    estimation), Laplace-smoothed shares, buckets empty in both
-    halves skipped (their smoothed term is O(1/n); the oracle
-    mirrors the same rule)."""
+    Fixed equal-width bins from EACH TYPE'S min/max (no quantile
+    estimation; a narrow-ranged type still spreads across all
+    bins), Laplace-smoothed shares, and every bin contributes a
+    term even when empty in both halves."""
     from ..operators.drift import psi_report
 
     e = load_tables(spark, sf_dir, "events")

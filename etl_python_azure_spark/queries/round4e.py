@@ -128,6 +128,7 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_buckets,
         lsh_topk,
         multiprobe_lsh_topk,
+        probe_buckets,
     )
 
     em = load_tables(spark, sf_dir, "embeddings")
@@ -143,10 +144,7 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), "bucket"
     )
     qb = lsh_buckets(q)
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(4)],
-    )
+    probes = probe_buckets(F.col("bucket"), 4)
     qp = qb.select(
         F.col("vec_id").alias("query_id"),
         F.explode(probes).alias("bucket"),

@@ -2,8 +2,8 @@
 surface completions.
 
 - top-3 per segment via the TWO-PHASE AGGREGATE top-k (same rows as
-  the window formulation `top3_orders_per_segment`, but shuffle
-  volume k·P per group instead of |group| — the hot-key-safe path)
+  the window formulation `top3_orders_per_segment`, but the hot
+  group parallelizes across P reducers instead of one task)
 - exact p25/p50/p75 quartiles per event type (type-1/lower
   quantiles at rn = ceil(q·n) — deterministic, no interpolating
   estimator)
@@ -37,10 +37,11 @@ from . import register
 def top3_per_segment_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same top-3-orders-per-segment result as the window
     formulation, computed by `grouped_topk`'s two-phase aggregate:
-    per-partition local top-k (map-side), then a merge of ≤ k·P
-    candidates per group — the idiom that survives a billion-row hot
-    group where the window sort cannot. The oracle is the window
-    semantics; matching it hash-exactly IS the equivalence proof."""
+    the hot group's rows spread across P reducers (per-partition
+    local top-k) and a merge pass keeps ≤ k·P candidates per group —
+    the idiom that survives a billion-row hot group the window sort
+    funnels into one task. The oracle is the window semantics;
+    matching it hash-exactly IS the equivalence proof."""
     from ..operators.aggregates import grouped_topk
 
     t = load_tables(spark, sf_dir, "orders", "customer")

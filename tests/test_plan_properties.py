@@ -300,7 +300,7 @@ def test_round4e_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # median/MAD: windows stay partitioned by the group key
     plan = _plan(spark, sf_dir, "value_median_mad_by_type")
-    assert "SinglePartition" not in plan or "event_type" in plan
+    assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     # PR sweep: 1-row span + 9-row spine broadcast over one scan
     plan = _plan(spark, sf_dir, "quality_pr_curve")

@@ -257,3 +257,14 @@ def test_bpe_encode_greedy_nonoverlap(spark):
         .collect()
     ]
     assert got == ["aa", "a"]
+
+
+def test_bpe_final_symbols_survives_merge_exhaustion(spark):
+    # review catch: when the vocabulary runs out of adjacent pairs
+    # before n_merges rounds, the merge round must be a no-op, not
+    # annihilate the symbol table (the old crossJoin with an empty
+    # best-pair frame returned 0 rows)
+    df = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    syms = bpe_final_symbols(df, n_merges=5).collect()
+    assert len(syms) == 1
+    assert syms[0]["sym"] == "ab" and syms[0]["f"] == 3

@@ -181,3 +181,36 @@ def test_grouped_topk_ascending_and_small_groups(spark):
         ).collect()
     }
     assert out == {("a", 1): 1.0, ("a", 2): 3.0, ("b", 1): 9.0}
+
+
+def test_grouped_topk_null_and_nan_match_window(spark):
+    from etl_python_azure_spark.operators.aggregates import grouped_topk
+    from pyspark.sql import Window
+
+    # review catch: NULL order values must rank like the window
+    # formulation (NULLS LAST under desc), NaN like Spark's ordering
+    # (above every double)
+    rows = [
+        ("g", None, 1),
+        ("g", 5.0, 2),
+        ("g", float("nan"), 3),
+        ("g", 3.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    for asc in (False, True):
+        agg = [
+            (r["rn"], r["id"])
+            for r in grouped_topk(df, ["g"], "v", "id", k=4, ascending=asc)
+            .orderBy("rn")
+            .collect()
+        ]
+        w = Window.partitionBy("g").orderBy(
+            (F.asc("v") if asc else F.desc("v")), F.asc("id")
+        )
+        win = [
+            (r["rn"], r["id"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .orderBy("rn")
+            .collect()
+        ]
+        assert agg == win, (asc, agg, win)
