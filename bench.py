@@ -139,6 +139,11 @@ OPTIONAL = [
     # round-4g
     "source_signature_terms",
     "label_projection_stats",
+    # round-4h
+    "lang_id_confusion",
+    "score_reliability_bins",
+    "cooccurrence_rec_hitrate",
+    "rank_normalized_value_by_type",
 ]
 
 

@@ -149,7 +149,10 @@ _R04_WINDOW = [
     # window_toolbox_orders, source_temperature_mix,
     # top3_per_segment_agg, value_quartiles_by_type,
     # cube_order_counts, source_signature_terms,
-    # label_projection_stats — plus the r01-green fill re-proofs.
+    # label_projection_stats, lang_id_confusion,
+    # score_reliability_bins, cooccurrence_rec_hitrate,
+    # rank_normalized_value_by_type — plus the r01-green fill
+    # re-proofs.
 ]
 
 
@@ -172,6 +175,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4e  # noqa: F401
     from . import round4f  # noqa: F401
     from . import round4g  # noqa: F401
+    from . import round4h  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -326,3 +326,25 @@ def test_round4f_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cube_order_counts")
     assert "Expand" in plan
     assert "Join" not in plan
+
+
+def test_round4h_plan_shapes(spark, sf_dir):
+    """Audited shapes for the evaluation/rank batch."""
+    # lang-id eval: stopword dim broadcasts, nothing cartesian
+    plan = _plan(spark, sf_dir, "lang_id_confusion")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # reliability: 1-row span broadcast over one scan
+    plan = _plan(spark, sf_dir, "score_reliability_bins")
+    assert "CartesianProduct" not in plan
+    # recommender eval: rule table broadcast; membership probes are
+    # LEFT SEMI/ANTI joins on the basket key
+    plan = _plan(spark, sf_dir, "cooccurrence_rec_hitrate")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # global rank transform: two-pass row number — the only
+    # SinglePartition exchange is the 1-row global count's final
+    # aggregate (bytes); the rank WINDOW itself stays partitioned
+    plan = _plan(spark, sf_dir, "rank_normalized_value_by_type")
+    assert plan.count("SinglePartition") <= 1
+    assert "Window" in plan and "__pid" in plan
