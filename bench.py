@@ -144,6 +144,8 @@ OPTIONAL = [
     "score_reliability_bins",
     "cooccurrence_rec_hitrate",
     "rank_normalized_value_by_type",
+    # round-4i
+    "pca_top2_components",
 ]
 
 

@@ -183,3 +183,37 @@ def project_onto_component(
             ).alias("proj")
         )
     )
+
+
+def deflate(cov: DataFrame, component: DataFrame) -> DataFrame:
+    """Deflate a covariance frame by a learned component:
+    C' = C − λ·v·vᵀ with each rank-1 term floor-quantized to the
+    1e-12 grid — power iteration on C' then yields the SECOND
+    principal component (Hotelling deflation), and so on down the
+    spectrum. *component* is the (i, loading, eigenvalue) frame
+    `power_iteration_top_component` returns.
+    """
+    vi = component.select("i", F.col("loading").alias("__vi"))
+    vj = component.select(
+        F.col("i").alias("j"), F.col("loading").alias("__vj")
+    )
+    lam = component.select("eigenvalue").distinct()
+    return (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("cov")
+                - F.floor(
+                    F.col("eigenvalue")
+                    * F.col("__vi")
+                    * F.col("__vj")
+                    * F.lit(_Q)
+                )
+                / F.lit(_Q)
+            ).alias("cov"),
+        )
+    )

@@ -41,12 +41,9 @@ _PCA_ITERS = 3
 def _pca_cte_chain(dim: int, iters: int) -> tuple[list[str], str]:
     """The CTE chain replaying covariance + power iteration; returns
     (ctes, name of the final unit eigenvector CTE) so composing
-    oracles (`round4g.label_projection_stats`) can reuse it."""
+    oracles (`round4g.label_projection_stats`,
+    `round4i.pca_top2_components`) can reuse it."""
     d1 = dim + 1
-    bigsum = (
-        "CAST(CAST(SUM(CAST(floor({expr} * CAST(1e12 AS DOUBLE))"
-        " AS BIGINT)) AS VARCHAR) AS DOUBLE)"
-    )
     ctes = [
         f"""ex AS (
       SELECT vec_id, CAST(u.i AS INT) - 1 AS i,
@@ -64,48 +61,65 @@ def _pca_cte_chain(dim: int, iters: int) -> tuple[list[str], str]:
       SELECT e.vec_id, e.i, e.x - m.mu AS xc
       FROM ex e JOIN mu m USING (i)
     )""",
-        f"""cov AS (
+        f"""cov AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j,
-             (({bigsum.format(expr="a.xc * b.xc")}
+             (({_BIGSUM.format(expr="a.xc * b.xc")}
                / CAST(1e12 AS DOUBLE)) / CAST(nv.n AS DOUBLE)) AS cov
       FROM cx a JOIN cx b ON a.vec_id = b.vec_id CROSS JOIN nv
       GROUP BY a.i, b.i, nv.n
     )""",
-        f"""v0 AS (
+    ]
+    power, prev = _power_ctes("cov", "", dim, iters)
+    return ctes + power, prev
+
+
+_BIGSUM = (
+    "CAST(CAST(SUM(CAST(floor({expr} * CAST(1e12 AS DOUBLE))"
+    " AS BIGINT)) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _power_ctes(
+    cov_name: str, sfx: str, dim: int, iters: int
+) -> tuple[list[str], str]:
+    """Power-iteration CTEs over an existing (i, j, cov) CTE named
+    *cov_name*; all intermediate names carry *sfx* so two chains
+    (e.g. first + deflated second component) coexist in one WITH."""
+    d1 = dim + 1
+    ctes = [f"""v0{sfx} AS (
       SELECT CAST(u.i AS INT) - 1 AS i,
              (CAST(1.0 AS DOUBLE) / sqrt(CAST({dim} AS DOUBLE))) AS v
       FROM UNNEST(range(1, {d1})) AS u(i)
-    )""",
-    ]
-    prev = "v0"
+    )"""]
+    prev = f"v0{sfx}"
     for r in range(1, iters + 1):
-        ctes.append(f"""u{r} AS (
+        ctes.append(f"""u{r}{sfx} AS (
       SELECT c.i,
-             ({bigsum.format(expr="c.cov * v.v")}
+             ({_BIGSUM.format(expr="c.cov * v.v")}
               / CAST(1e12 AS DOUBLE)) AS u
-      FROM cov c JOIN {prev} v ON c.j = v.i
+      FROM {cov_name} c JOIN {prev} v ON c.j = v.i
       GROUP BY c.i
     )""")
-        ctes.append(f"""nrm{r} AS (
-      SELECT sqrt({bigsum.format(expr="u * u")}
+        ctes.append(f"""nrm{r}{sfx} AS (
+      SELECT sqrt({_BIGSUM.format(expr="u * u")}
                   / CAST(1e12 AS DOUBLE)) AS nrm
-      FROM u{r}
+      FROM u{r}{sfx}
     )""")
-        ctes.append(f"""v{r} AS (
-      SELECT i, (u / nrm) AS v FROM u{r} CROSS JOIN nrm{r}
+        ctes.append(f"""v{r}{sfx} AS (
+      SELECT i, (u / nrm) AS v FROM u{r}{sfx} CROSS JOIN nrm{r}{sfx}
     )""")
-        prev = f"v{r}"
-    ctes.append(f"""uf AS (
+        prev = f"v{r}{sfx}"
+    ctes.append(f"""uf{sfx} AS (
       SELECT c.i,
-             ({bigsum.format(expr="c.cov * v.v")}
+             ({_BIGSUM.format(expr="c.cov * v.v")}
               / CAST(1e12 AS DOUBLE)) AS u
-      FROM cov c JOIN {prev} v ON c.j = v.i
+      FROM {cov_name} c JOIN {prev} v ON c.j = v.i
       GROUP BY c.i
     )""")
-    ctes.append(f"""lam AS (
-      SELECT ({bigsum.format(expr="uf.u * v.v")}
+    ctes.append(f"""lam{sfx} AS (
+      SELECT ({_BIGSUM.format(expr="uf.u * v.v")}
               / CAST(1e12 AS DOUBLE)) AS eigenvalue
-      FROM uf JOIN {prev} v USING (i)
+      FROM uf{sfx} uf JOIN {prev} v USING (i)
     )""")
     return ctes, prev
 

@@ -179,3 +179,41 @@ def test_project_onto_component_known_axis(spark):
     }
     assert abs(out[1] - 3.0) < 1e-9
     assert abs(out[2] - (-2.5)) < 1e-9
+
+
+def test_deflation_finds_second_axis(spark):
+    from etl_python_azure_spark.operators.pca import (
+        deflate,
+        project_onto_component,
+    )
+
+    # variance concentrated on x (strongest), then y, nothing on z
+    vecs = [
+        (0, [-4.0, 1.0, 0.0]),
+        (1, [-2.0, -1.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [2.0, -1.0, 0.0]),
+        (4, [4.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # localCheckpoint between stages, exactly as the registered query
+    # does: without it the second chain's lazy plan re-embeds the
+    # first chain per matvec and ANALYSIS time explodes
+    cov = covariance_matrix(df).localCheckpoint(eager=True)
+    c1 = power_iteration_top_component(cov, dim=3, n_iter=4).localCheckpoint(
+        eager=True
+    )
+    cov2 = deflate(cov, c1).localCheckpoint(eager=True)
+    c2 = power_iteration_top_component(cov2, dim=3, n_iter=4)
+    l1 = {r["i"]: r["loading"] for r in c1.collect()}
+    rows2 = c2.collect()
+    l2 = {r["i"]: r["loading"] for r in rows2}
+    assert abs(abs(l1[0]) - 1.0) < 0.05   # first: x-axis
+    assert abs(abs(l2[1]) - 1.0) < 0.05   # second: y-axis
+    assert abs(l2[0]) < 0.2 and abs(l2[2]) < 0.2
+    # eigenvalues ordered; orthogonality
+    lam1 = c1.first()["eigenvalue"]
+    lam2 = rows2[0]["eigenvalue"]
+    assert lam1 > lam2 > 0
+    dot = sum(l1[i] * l2[i] for i in range(3))
+    assert abs(dot) < 0.05
