@@ -123,6 +123,13 @@ QUERIES = [
     "top3_per_segment_agg",
     "value_quartiles_by_type",
     "cube_order_counts",
+    "source_signature_terms",
+    "label_projection_stats",
+    "lang_id_confusion",
+    "score_reliability_bins",
+    "cooccurrence_rec_hitrate",
+    "rank_normalized_value_by_type",
+    "pca_top2_components",
 ]
 
 
