@@ -20,6 +20,7 @@ def basket_pair_stats(
     df: DataFrame,
     basket_cols: list[str],
     item_col: str,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Association metrics for every unordered item pair.
 
@@ -40,7 +41,12 @@ def basket_pair_stats(
     # count stays a LAZY 1-row broadcast frame instead of a
     # driver-side .count() at construction time (review catch:
     # merely building the plan used to execute a full scan)
-    items = df.select(b, F.col(item_col).alias("__it")).distinct().persist()
+    items = df.select(b, F.col(item_col).alias("__it"))
+    if not assume_distinct:
+        # pass assume_distinct=True when the caller already
+        # deduplicated (user, basket, item) — skips a shuffle
+        items = items.distinct()
+    items = items.persist()
     nb1 = items.select("__bk").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

@@ -197,7 +197,9 @@ def deflate(cov: DataFrame, component: DataFrame) -> DataFrame:
     vj = component.select(
         F.col("i").alias("j"), F.col("loading").alias("__vj")
     )
-    lam = component.select("eigenvalue").distinct()
+    # every component row carries the same scalar; limit(1) avoids
+    # the hash-aggregate exchange distinct() would spend
+    lam = component.select("eigenvalue").limit(1)
     return (
         cov.join(F.broadcast(vi), "i")
         .join(F.broadcast(vj), "j")

@@ -81,6 +81,22 @@ def _plane_weights_expr(plane: int, dim: int) -> str:
     )
 
 
+def plane_projection(plane: int = 0, dim: int = 64,
+                     vec_col: str = "embedding"):
+    """Column: the signed projection of *vec_col* onto pseudo-random
+    hyperplane *plane* — the ONE definition of the deterministic
+    embedding scorer that `quality_pr_curve` sweeps and
+    `score_reliability_bins` calibrates (shared so the two can
+    never diverge; review catch)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, "
+        f"{_plane_weights_expr(plane, dim)}, "
+        f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

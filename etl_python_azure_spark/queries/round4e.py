@@ -460,13 +460,10 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     range; tp/fp/fn from one hash aggregate over a constant ×9
     fan-out."""
     from ..operators.features import pr_curve
-    from ..operators.similarity import _plane_weights_expr
+    from ..operators.similarity import plane_projection
 
     em = load_tables(spark, sf_dir, "embeddings")
-    proj = F.expr(
-        f"aggregate(zip_with(embedding, {_plane_weights_expr(0, 64)}, "
-        f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
-    )
+    proj = plane_projection(0, 64)
     scored = em.select(
         proj.alias("score"), (F.col("label") == 0).alias("pos")
     )

@@ -117,11 +117,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _CAL_BINS = 10
 
-_CAL_PROJ = """list_reduce(list_transform(range(1, 65),
-        d -> CAST(embedding[d] AS DOUBLE)
-             * ((ascii(substr(md5('p0_' || CAST(d AS VARCHAR)), 1, 1))
-                 % 2) * 2 - 1)),
-        (acc, v) -> acc + v)"""
+# the SAME scorer quality_pr_curve sweeps (shared SQL text + shared
+# Spark expression — review catch: a drifting copy would calibrate a
+# different scorer than the one being swept)
+from .round4e import _PR_PROJ as _CAL_PROJ  # noqa: E402
 
 
 @register(
@@ -160,12 +159,9 @@ def score_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic equal-width binning discipline as the PSI monitor;
     mean scores are fixed-point exact."""
     em = load_tables(spark, sf_dir, "embeddings")
-    from ..operators.similarity import _plane_weights_expr, fixed_point_mean
+    from ..operators.similarity import fixed_point_mean, plane_projection
 
-    proj = F.expr(
-        f"aggregate(zip_with(embedding, {_plane_weights_expr(0, 64)}, "
-        f"(x, w) -> CAST(x AS DOUBLE) * w), 0D, (acc, v) -> acc + v)"
-    )
+    proj = plane_projection(0, 64)
     base = em.select(
         proj.alias("s"),
         F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
@@ -270,7 +266,9 @@ def cooccurrence_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = e.select(
         "user_id", F.to_date("ts").alias("d"), "event_type"
     ).distinct()
-    stats = basket_pair_stats(items, ["user_id", "d"], "event_type")
+    stats = basket_pair_stats(
+        items, ["user_id", "d"], "event_type", assume_distinct=True
+    )
     rules = stats.select(
         F.col("item_a").alias("antecedent"),
         F.col("item_b").alias("rec"),
@@ -330,7 +328,8 @@ def cooccurrence_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rn AS (
       SELECT event_type,
              ROW_NUMBER() OVER (
-               ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+               ORDER BY CAST(value AS DOUBLE) NULLS FIRST, event_id)
+               AS rn,
              COUNT(*) OVER () AS n
       FROM events
     ),
@@ -368,7 +367,9 @@ def rank_normalized_value_by_type(
         "event_id",
     )
     rn = global_row_number(base, ["v", "event_id"], out_col="rn")
-    n1 = e.agg(F.count(F.lit(1)).alias("__n"))
+    # max(rn) == n, read from the frame global_row_number already
+    # persisted — not a second scan of the fact table (review catch)
+    n1 = rn.agg(F.max("rn").alias("__n"))
     q = rn.crossJoin(F.broadcast(n1)).select(
         "event_type",
         (
