@@ -146,6 +146,8 @@ OPTIONAL = [
     "rank_normalized_value_by_type",
     # round-4i
     "pca_top2_components",
+    # round-4j
+    "hll_source_overlap",
 ]
 
 

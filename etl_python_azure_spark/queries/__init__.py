@@ -151,8 +151,8 @@ _R04_WINDOW = [
     # cube_order_counts, source_signature_terms,
     # label_projection_stats, lang_id_confusion,
     # score_reliability_bins, cooccurrence_rec_hitrate,
-    # rank_normalized_value_by_type, pca_top2_components — plus the
-    # r01-green fill re-proofs.
+    # rank_normalized_value_by_type, pca_top2_components,
+    # hll_source_overlap — plus the r01-green fill re-proofs.
 ]
 
 
@@ -177,6 +177,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4g  # noqa: F401
     from . import round4h  # noqa: F401
     from . import round4i  # noqa: F401
+    from . import round4j  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
