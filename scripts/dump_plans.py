@@ -130,6 +130,7 @@ QUERIES = [
     "cooccurrence_rec_hitrate",
     "rank_normalized_value_by_type",
     "pca_top2_components",
+    "hll_source_overlap",
 ]
 
 
