@@ -60,3 +60,39 @@ def test_driver_window_invariants():
     assert all(n in reg for n in _R04_WINDOW)
     assert list(reg)[:50] == _R04_WINDOW
     assert all(spec.oracle is not None for spec in reg.values())
+
+
+def test_bench_and_plan_audit_names_resolve():
+    """Every query name bench.py times and dump_plans.py audits must
+    exist in the registry — a typo would silently shrink the bench
+    (names are filtered with `if q in reg`) or crash the audit."""
+    import importlib.util
+    import os
+    import sys
+
+    from etl_python_azure_spark.queries import registry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    reg = registry()
+
+    def _names(path, attrs):
+        spec = importlib.util.spec_from_file_location("m_", path)
+        mod = importlib.util.module_from_spec(spec)
+        # the modules import nothing at top level that needs Spark
+        sys.modules["m_"] = mod
+        spec.loader.exec_module(mod)
+        out = []
+        for a in attrs:
+            out += getattr(mod, a)
+        return out
+
+    bench_names = _names(
+        os.path.join(root, "bench.py"), ["HEADLINE", "OPTIONAL"]
+    )
+    missing = [n for n in bench_names if n not in reg]
+    assert not missing, f"bench.py names not in registry: {missing}"
+    plan_names = _names(
+        os.path.join(root, "scripts", "dump_plans.py"), ["QUERIES"]
+    )
+    missing = [n for n in plan_names if n not in reg]
+    assert not missing, f"dump_plans.py names not in registry: {missing}"
