@@ -148,6 +148,7 @@ OPTIONAL = [
     "pca_top2_components",
     # round-4j
     "hll_source_overlap",
+    "source_dup_health",
 ]
 
 

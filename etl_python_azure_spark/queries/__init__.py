@@ -152,7 +152,8 @@ _R04_WINDOW = [
     # label_projection_stats, lang_id_confusion,
     # score_reliability_bins, cooccurrence_rec_hitrate,
     # rank_normalized_value_by_type, pca_top2_components,
-    # hll_source_overlap — plus the r01-green fill re-proofs.
+    # hll_source_overlap, source_dup_health — plus the r01-green
+    # fill re-proofs.
 ]
 
 

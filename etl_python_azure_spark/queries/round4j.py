@@ -1,4 +1,4 @@
-"""Round-4j registry surface: sketched set-overlap between sources.
+"""Round-4j registry surface: cross-source corpus health.
 
 Cross-source vocabulary overlap via HLL inclusion–exclusion —
 |A∩B| ≈ est(A) + est(B) − est(A∪B) — the kilobyte-sketch way to
@@ -159,4 +159,82 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= F.lit(0.02) * F.col("__exact_union").cast("double")
         ).alias("overlap_within_2pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source duplication health.
+# --------------------------------------------------------------------------
+@register(
+    "source_dup_health",
+    """
+    WITH h AS (
+      SELECT source, md5(text) AS fp, doc_id FROM documents
+    ),
+    per_fp AS (
+      SELECT fp, source, COUNT(*) AS n_in_source FROM h
+      GROUP BY fp, source
+    ),
+    fp_sources AS (
+      SELECT fp, COUNT(*) AS n_sources FROM per_fp GROUP BY fp
+    ),
+    flagged AS (
+      SELECT h.source,
+             CASE WHEN p.n_in_source > 1 THEN 1 ELSE 0 END AS is_in_dup,
+             CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END AS is_x_dup
+      FROM h
+      JOIN per_fp p ON p.fp = h.fp AND p.source = h.source
+      JOIN fp_sources s ON s.fp = h.fp
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_in_dup) AS BIGINT) AS n_within_dup_docs,
+           CAST(SUM(is_x_dup) AS BIGINT) AS n_cross_source_docs,
+           (CAST(SUM(is_in_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS within_dup_rate,
+           (CAST(SUM(is_x_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             AS cross_source_rate
+    FROM flagged GROUP BY source
+    """,
+)
+def source_dup_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication health: the fraction of each
+    source's documents that are copies WITHIN the source (crawler
+    re-fetches, templates) vs copies that ALSO appear in another
+    source (syndication/mirroring — the rows cross-source dedup will
+    collapse). Two hash aggregates over content fingerprints; the
+    per-source report that decides which source needs its own dedup
+    pass before the corpus-wide one."""
+    d = load_tables(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("fp"), "doc_id")
+    per_fp = h.groupBy("fp", "source").agg(
+        F.count(F.lit(1)).alias("n_in_source")
+    )
+    fp_sources = per_fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    flagged = (
+        h.join(per_fp, ["fp", "source"])
+        .join(fp_sources, "fp")
+        .select(
+            "source",
+            F.when(F.col("n_in_source") > 1, 1).otherwise(0).alias(
+                "is_in_dup"
+            ),
+            F.when(F.col("n_sources") > 1, 1).otherwise(0).alias(
+                "is_x_dup"
+            ),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_in_dup").cast("long").alias("n_within_dup_docs"),
+        F.sum("is_x_dup").cast("long").alias("n_cross_source_docs"),
+        (
+            F.sum("is_in_dup").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("within_dup_rate"),
+        (
+            F.sum("is_x_dup").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cross_source_rate"),
     )
