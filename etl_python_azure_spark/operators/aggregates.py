@@ -251,10 +251,14 @@ def grouped_topk(
     bytes.
 
     Ties break on *tiebreak_col* (must be unique per group); NULL
-    and NaN order values rank exactly as the window formulation
-    (NULLS LAST under descending, NULLS FIRST ascending, NaN above
-    every double). Output: (group..., order_col, tiebreak_col,
-    rn 1..k) — rejoin on the tiebreak for full payloads.
+    and NaN order values rank as the window formulation (NULLS LAST
+    under descending, NULLS FIRST ascending, NaN above every double)
+    — EXCEPT in a group that mixes NaN with +Inf (desc) or -Inf
+    (asc): the negated-key encoding maps NaN onto the infinity's key
+    value, so their relative order falls to the tiebreak instead of
+    NaN ranking strictly outside ±Inf (see the key-domain comment
+    below). Output: (group..., order_col, tiebreak_col, rn 1..k) —
+    rejoin on the tiebreak for full payloads.
     """
     from pyspark.sql import functions as F
 

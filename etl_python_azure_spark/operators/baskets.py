@@ -40,7 +40,11 @@ def basket_pair_stats(
     # count, item counts, both self-join sides); and the basket
     # count stays a LAZY 1-row broadcast frame instead of a
     # driver-side .count() at construction time (review catch:
-    # merely building the plan used to execute a full scan)
+    # merely building the plan used to execute a full scan).
+    # Deliberately-leaked handle: the returned frame still lazily
+    # depends on it, so this function cannot unpersist; the caller's
+    # `spark.catalog.clearCache()` releases it (bench does so per
+    # query).
     items = df.select(b, F.col(item_col).alias("__it"))
     if not assume_distinct:
         # pass assume_distinct=True when the caller already

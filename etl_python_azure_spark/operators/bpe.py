@@ -155,6 +155,8 @@ def bpe_learn_merges(
     lexicographically, greedy application is exact (see module doc),
     counts are integer sums.
     """
+    # per-round persists are deliberately leaked handles — see the
+    # note in `bpe_final_symbols` (same chain-lineage constraint)
     syms = _initial_symbols(df, text_col).persist()
     out = None
     prev = [syms]
@@ -190,6 +192,15 @@ def bpe_final_symbols(
     corpus itself is touched once for word counts). Same loop, same
     determinism guarantees as the trainer.
     """
+    # Deliberately-leaked cache handles: each round's symbol table is
+    # referenced TWICE by the next round (pair scoring + rewrite), so
+    # the per-round persist halves runtime — but the returned frame
+    # still lazily depends on the whole chain, so nothing here can
+    # safely unpersist (an early unpersist would recompute the chain
+    # exponentially at the caller's action). The n_merges+1 cached
+    # tables (vocabulary-sized, not corpus-sized) are released by the
+    # caller's `spark.catalog.clearCache()` — the bench does this
+    # between queries; long-lived sessions should too.
     syms = _initial_symbols(df, text_col).persist()
     for _ in range(n_merges):
         best = _best_pair(syms)

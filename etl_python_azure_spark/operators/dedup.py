@@ -871,7 +871,10 @@ def global_row_number(
     # duplicating row numbers (caught by the sf0.1 sweep). One
     # materialization pins the boundaries; lost-partition recompute
     # reuses the cached RDD's lineage (same seed), so it stays
-    # consistent on executor loss.
+    # consistent on executor loss. The handle is deliberately leaked
+    # for the same reason it exists: the returned frame must keep
+    # reading THIS materialization — callers release it via
+    # `spark.catalog.clearCache()` once their action completes.
     sorted_df = (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)

@@ -59,7 +59,12 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         w.alias("w"),
     )
-    # out-weight per src, folded onto each edge once (reused each iter)
+    # out-weight per src, folded onto each edge once (reused each
+    # iter). This persist and the `nodes` one below are deliberately
+    # leaked handles: the returned ranks/in_degree frame still
+    # lazily depends on both, so unpersisting here would recompute
+    # the edge normalization per iteration at the caller's action —
+    # `spark.catalog.clearCache()` releases them (bench does so).
     tot = Window.partitionBy("src")
     e = e.select(
         "src", "dst", (F.col("w") / F.sum("w").over(tot)).alias("share")
@@ -131,6 +136,9 @@ def triangle_counts(
     approximates for free). Output: (node, n_triangles) for every
     node in the graph (0 if none).
     """
+    # deliberately-leaked handle (three self-join sides + node list
+    # read it; the result stays lazy on it) — released by the
+    # caller's clearCache(), see pagerank note above
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),

@@ -83,14 +83,21 @@ def es_score(key: Column | str, weight: Column | str) -> Column:
     """Efraimidis–Spirakis A-Res score ``ln(u)/w`` with u ∈ (0,1]
     drawn from md5 of the key — the scoring expression behind
     :func:`weighted_sample`, exposed so distribution tests can score
-    many salted trials in ONE job instead of k jobs."""
+    many salted trials in ONE job instead of k jobs.
+
+    ``ln(u)`` is floor-quantized to the 1e-8 fixed-point grid
+    (``floor(ln·1e8)/1e8``, the same convention as the BM25 idf in
+    :mod:`.search`) before the IEEE-exact division by the weight:
+    JVM ``Math.log`` and libm ``ln`` can disagree by 1 ulp, and an
+    unquantized score could flip near-tied top-k membership between
+    the engine and a DuckDB oracle replay."""
     c = F.col(key) if isinstance(key, str) else key
     w = F.col(weight) if isinstance(weight, str) else weight
     v = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
         "bigint"
     )
     u = (v + F.lit(1)) / F.lit(4294967296.0)
-    return F.log(u) / w
+    return F.floor(F.log(u) * F.lit(1e8)) / F.lit(1e8) / w
 
 
 def quota_sample(

@@ -73,13 +73,74 @@ def register(name: str, oracle: str | None):
 # The correctness driver records the FIRST 50 registry entries each
 # round, so ordering is load-bearing. r01 covered the relational
 # suite; r02 dedup/similarity/text/multimodal/corpus/streaming-equiv;
-# r03 the never-checked backlog plus the round-3 surface. The r04
-# window pins, in order: the six queries with no hash-green row in
-# r01∪r02∪r03 (the two former array-output rows now scalarized; the
-# k-means recall query now oracle-backed), the two queries whose
-# implementation changed this round (re-prove), the new round-4
-# queries, then re-proof fill from the r01-only greens (oldest
-# evidence first). Everything else keeps its existing green row.
+# r03 the never-checked backlog plus the round-3 surface; r04 the
+# then-never-green six plus the round-4 surface (50/50 green — but
+# registry growth outran the window, deferring 17 locally-verified
+# queries). The r05 window pins, in order: those 17 (never any
+# driver row — they MUST occupy slots 1–17, r04 verdict item 1),
+# the queries whose implementation changed this round (re-prove),
+# the new round-5 queries, then re-proof fill from the r01-only
+# greens (stalest evidence first). Everything else keeps its
+# existing green row; after r05 every registry query has a
+# driver-green row in r01∪…∪r05.
+_R05_WINDOW = [
+    # never driver-checked (deferred from the r04 window; slots 1–17)
+    "purged_fold_report",
+    "event_pair_rules",
+    "segment_target_encoding",
+    "source_temperature_mix",
+    "window_toolbox_orders",
+    "top3_per_segment_agg",
+    "value_quartiles_by_type",
+    "cube_order_counts",
+    "source_signature_terms",
+    "label_projection_stats",
+    "lang_id_confusion",
+    "score_reliability_bins",
+    "cooccurrence_rec_hitrate",
+    "rank_normalized_value_by_type",
+    "pca_top2_components",
+    "hll_source_overlap",
+    "source_dup_health",
+    # changed in round 5 — re-prove under the driver
+    "weighted_sample_docs",
+    "ann_pq_adc_recall",
+    "ann_pq_rerank_recall",
+    "ann_ivfpq_recall",
+    "pca_top_component",
+    # r01-only re-proof fill (stalest driver evidence; replaced
+    # from the END of this list as round-5 queries land)
+    "pricing_summary",
+    "filter_project_scale",
+    "left_join_enrich",
+    "customers_without_orders",
+    "union_with_drift",
+    "top100_orders",
+    "derived_surrogate_key",
+    "null_fill_cast",
+    "iso_split_and_parse",
+    "revenue_by_nation",
+    "top3_orders_per_segment",
+    "pivot_qty_by_status",
+    "running_customer_spend",
+    "outlier_orders_p95",
+    "null_safe_join",
+    "first_last_order_price",
+    "monthly_order_volume",
+    "argmax_order_per_status",
+    "trailing_week_revenue",
+    "order_value_quantiles",
+    "shipping_priority",
+    "sliding_window_refresh",
+    "grouping_sets_revenue",
+    "custdist_order_counts",
+    "large_volume_customers",
+    "nation_revenue_share",
+    "approx_distinct_certificate",
+    "approx_quantile_certificate",
+]
+
+# r04 window (kept for the historical record / CORRECTNESS_r04 rows)
 _R04_WINDOW = [
     # never hash-green in r01∪r02∪r03 (r03 verdict item 2)
     "positional_unnest_embeddings",
@@ -180,6 +241,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4i  # noqa: F401
     from . import round4j  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R04_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R05_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

@@ -606,8 +606,8 @@ def zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT doc_id, lang, source, n_chars,
-             ln(({_hash32_sql('doc_id')} + 1)
-                / 4294967296.0) / n_chars AS score
+             floor(ln(({_hash32_sql('doc_id')} + 1)
+                      / 4294967296.0) * 1e8) / 1e8 / n_chars AS score
       FROM documents
     )
     SELECT doc_id, lang, source, n_chars

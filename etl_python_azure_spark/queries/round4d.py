@@ -38,6 +38,46 @@ _PCA_DIM = 64
 _PCA_ITERS = 3
 
 
+def _pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-once covariance matrix for *sf_dir*'s embeddings (d²-row
+    frame, localCheckpoint-ed). The covariance subtree is the shared
+    ~2/3 of every PCA-family query (`pca_top_component`,
+    `pca_top2_components`, `label_projection_stats`); a real
+    pipeline fits it once and serves all consumers (r04 verdict
+    item 6). NOTE this does not contradict the pca.py:111 no-persist
+    rule — that rule is about persisting cov INSIDE one lazy plan
+    (where ReusedExchange already dedupes); this materializes once
+    ACROSS separate queries/jobs, where lineage re-execution is
+    real. See queries/_artifacts.py for the cache contract."""
+    from ..operators.pca import covariance_matrix
+    from ._artifacts import fit_once
+
+    def build():
+        em = load_tables(spark, sf_dir, "embeddings")
+        return covariance_matrix(em).localCheckpoint(eager=True)
+
+    return fit_once(spark, sf_dir, "pca_cov", build)
+
+
+def _pca_comp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-once top principal component (64-row frame: i, loading,
+    eigenvalue) derived from `_pca_cov`."""
+    from ..operators.pca import power_iteration_top_component
+    from ._artifacts import fit_once
+
+    def build():
+        return power_iteration_top_component(
+            _pca_cov(spark, sf_dir), dim=_PCA_DIM, n_iter=_PCA_ITERS
+        ).localCheckpoint(eager=True)
+
+    return fit_once(spark, sf_dir, "pca_comp1", build)
+
+
+from ._artifacts import register_prewarm as _register_prewarm  # noqa: E402
+
+_register_prewarm("pca_comp1", _pca_comp1)
+
+
 def _pca_cte_chain(dim: int, iters: int) -> tuple[list[str], str]:
     """The CTE chain replaying covariance + power iteration; returns
     (ctes, name of the final unit eigenvector CTE) so composing
@@ -143,12 +183,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     d²·partitions, never n·d²) + 3 power iterations on the d²-row
     covariance frame, every product 1e-12-quantized so the DuckDB
     oracle replays the full trajectory. `eigenvalue` is the Rayleigh
-    quotient — the top-axis variance an anisotropy check reads."""
-    from ..operators.pca import covariance_matrix, power_iteration_top_component
-
-    em = load_tables(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(em)
-    return power_iteration_top_component(cov, dim=_PCA_DIM, n_iter=_PCA_ITERS)
+    quotient — the top-axis variance an anisotropy check reads.
+    Fitted once per process via `_pca_comp1` (bit-identical to a
+    fresh fit; the first consumer trains for real)."""
+    return _pca_comp1(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------

@@ -151,18 +151,14 @@ def label_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus (labels whose projections separate cleanly on the
     top axis are what the label-noise scan exploits; overlapping
     ones say the dominant variance is label-independent). The oracle
-    replays training AND application end to end."""
-    from ..operators.pca import (
-        covariance_matrix,
-        power_iteration_top_component,
-        project_onto_component,
-    )
+    replays training AND application end to end; the Spark side
+    reuses the fit-once component (`round4d._pca_comp1`)."""
+    from ..operators.pca import project_onto_component
     from ..operators.similarity import fixed_point_mean
+    from .round4d import _pca_comp1
 
     em = load_tables(spark, sf_dir, "embeddings")
-    comp = power_iteration_top_component(
-        covariance_matrix(em), dim=_PCA_DIM, n_iter=_PCA_ITERS
-    )
+    comp = _pca_comp1(spark, sf_dir)
     proj = project_onto_component(em, comp)
     st = (
         proj.join(em.select("vec_id", "label"), "vec_id")

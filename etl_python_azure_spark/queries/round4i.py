@@ -66,17 +66,11 @@ def pca_top2_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed so the second trajectory's lazy plan doesn't
     re-embed the first one per matvec (the PageRank lineage-
     truncation recipe)."""
-    from ..operators.pca import (
-        covariance_matrix,
-        deflate,
-        power_iteration_top_component,
-    )
+    from ..operators.pca import deflate, power_iteration_top_component
+    from .round4d import _pca_comp1, _pca_cov
 
-    em = load_tables(spark, sf_dir, "embeddings")
-    cov = covariance_matrix(em)
-    comp1 = power_iteration_top_component(
-        cov, dim=_PCA_DIM, n_iter=_PCA_ITERS
-    ).localCheckpoint(eager=True)
+    cov = _pca_cov(spark, sf_dir)
+    comp1 = _pca_comp1(spark, sf_dir)
     cov2 = deflate(cov, comp1).localCheckpoint(eager=True)
     comp2 = power_iteration_top_component(
         cov2, dim=_PCA_DIM, n_iter=_PCA_ITERS

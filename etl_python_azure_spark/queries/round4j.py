@@ -56,7 +56,8 @@ _OV_LGK = 16
            (CAST(COALESCE(i.ov, 0) AS DOUBLE)
             / CAST(p.exact_a + p.exact_b - COALESCE(i.ov, 0) AS DOUBLE))
              AS exact_jaccard,
-           TRUE AS overlap_within_2pct
+           TRUE AS overlap_within_2pct,
+           TRUE AS overlap_within_10pct
     FROM pairs p
     LEFT JOIN inter i ON i.sa = p.source_a AND i.sb = p.source_b
     """,
@@ -78,6 +79,8 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
         .distinct()
+        # deliberately-leaked handle (sizes + sketch agg + the lazy
+        # result all read it); released by the caller's clearCache()
         .persist()
     )
     sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
@@ -159,6 +162,19 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= F.lit(0.02) * F.col("__exact_union").cast("double")
         ).alias("overlap_within_2pct"),
+        # coarse second certificate (same estimate, 5× looser bound,
+        # oracle also TRUE): if a future lgK / datasketches / SF
+        # change pushes the estimate past 2% of the union, the row
+        # pattern (2pct false, 10pct true) pinpoints sketch-accuracy
+        # drift instead of presenting as an opaque engine-parity
+        # mismatch (ADVICE r04). Both bounds are hash-deterministic
+        # per dataset and validated across the sf sweeps.
+        (
+            F.abs(
+                (est_overlap - F.col("exact_overlap")).cast("double")
+            )
+            <= F.lit(0.10) * F.col("__exact_union").cast("double")
+        ).alias("overlap_within_10pct"),
     )
 
 

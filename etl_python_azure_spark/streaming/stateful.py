@@ -258,7 +258,14 @@ def pandas_sessions_vectorized(
 
         # the concat is required: a session may span Arrow batch
         # boundaries, so the numpy pass needs the whole partition
-        # (bounded by shuffle partition sizing) in one frame
+        # in one frame. MEMORY CONTRACT: this materializes one full
+        # shuffle partition per task in Python-heap pandas — size
+        # `spark.sql.shuffle.partitions` (or let AQE coalesce) so a
+        # partition fits executor Python memory, the same sizing rule
+        # as any sort-based operator. A carry-over-state per-batch
+        # fold (keep only the open tail session between batches)
+        # would cap memory at one batch + one open session if a
+        # deployment ever needs partitions larger than RAM.
         pdf = pd.concat(list(batches), ignore_index=True)
         if pdf.empty:
             return
