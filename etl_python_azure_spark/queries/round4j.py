@@ -221,6 +221,14 @@ def source_dup_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source report that decides which source needs its own dedup
     pass before the corpus-wide one."""
     d = load_tables(spark, sf_dir, "documents")
+    return dup_health_report(d)
+
+
+def dup_health_report(d: DataFrame) -> DataFrame:
+    """The `source_dup_health` transformation on any (source, text,
+    doc_id) frame — factored out so property tests can drive it with
+    synthetic/permuted corpora (rates depend only on content
+    fingerprints and sources, never on doc_id assignment)."""
     h = d.select("source", F.md5("text").alias("fp"), "doc_id")
     per_fp = h.groupBy("fp", "source").agg(
         F.count(F.lit(1)).alias("n_in_source")
