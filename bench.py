@@ -149,6 +149,17 @@ OPTIONAL = [
     # round-4j
     "hll_source_overlap",
     "source_dup_health",
+    # round-5
+    "containment_dedup_pairs",
+    "split_leakage_report",
+    "gopher_quality_report",
+    "corpus_budget_coverage",
+    "embedding_norm_health",
+    "doc_length_auc_by_source",
+    "mase_seasonal_screen",
+    "adamic_adar_order_links",
+    "mmr_diversified_topk",
+    "unpivot_order_metrics",
 ]
 
 

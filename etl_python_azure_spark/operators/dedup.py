@@ -953,3 +953,67 @@ def sorted_neighborhood_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Document pairs where either side's shingle set is ≥
+    *threshold* CONTAINED in the other: containment(A→B) =
+    |A∩B| / |A|. Catches the subset-duplicates Jaccard misses —
+    a snippet quoted inside a longer page scores J = |A|/|B| (small)
+    but containment(A→B) = 1.0; the near-dup class boilerplate
+    stripping and syndication produce at scale.
+
+    Same shingle-equi-join shape as :func:`ngram_jaccard_pairs`
+    (cost ∝ shingle collisions, never corpus²; at 100 TB restrict
+    to LSH candidates exactly like the Jaccard verifier). All three
+    scores are one integer-ratio division each — engine-exact.
+    Output: (id_a, id_b, n_inter, sz_a, sz_b, containment_a_in_b,
+    containment_b_in_a, jaccard), id_a < id_b.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            (F.col("n_inter") / F.col("sz_a")).alias("containment_a_in_b"),
+            (F.col("n_inter") / F.col("sz_b")).alias("containment_b_in_a"),
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_a_in_b") >= F.lit(threshold))
+        | (F.col("containment_b_in_a") >= F.lit(threshold))
+    )

@@ -812,3 +812,106 @@ def multiprobe_lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the query's
+    *n_candidates* nearest neighbors, greedily select *k* that
+    balance relevance against redundancy::
+
+        mmr(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+
+    — the standard diversity re-rank for retrieval-augmented
+    pipelines (near-duplicate passages crowd out coverage when raw
+    top-k feeds a context window).
+
+    Scale shape: the expensive part is the candidate top-N (any ANN
+    tier — brute force here as the verifier); the greedy loop then
+    runs on a BOUNDED N×N candidate-similarity table (N=10 → 100
+    rows), localCheckpoint-ed once so the k driver-side rounds never
+    re-touch the corpus. All scores are IEEE-exact compositions of
+    index-ordered dot products (same both engines); ties break on
+    ascending id, and λ/(1−λ) are passed as literals so both engines
+    parse the identical double. Output: (rank, vec_id, relevance,
+    mmr_score) for the k selections, rank 1..k (rank 1's mmr_score
+    is its plain relevance).
+    """
+    q = corpus.filter(F.col(id_col) == query_id)
+    cand = (
+        cosine_topk(corpus, q, id_col, vec_col, k=n_candidates)
+        .select(F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel"))
+        .localCheckpoint(eager=True)  # bounded: n_candidates rows
+    )
+    cvecs = with_norm(corpus.select(id_col, vec_col), vec_col).join(
+        F.broadcast(cand.select(F.col("cid").alias(id_col))), id_col
+    )
+    a = cvecs.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = cvecs.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
+    csims = (
+        a.join(b, F.col("cid") != F.col("sid"))
+        .select(
+            "cid",
+            "sid",
+            (dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
+                "sim"
+            ),
+        )
+        .localCheckpoint(eager=True)  # bounded: N·(N−1) rows
+    )
+    lam_c, one_minus = F.lit(lam), F.lit(round(1.0 - lam, 12))
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            F.col("cid"),
+            F.col("rel"),
+            F.col("rel").alias("mmr_score"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        rem = cand.join(
+            selected.select(F.col("cid")), "cid", "left_anti"
+        )
+        pen = (
+            csims.join(
+                F.broadcast(selected.select(F.col("cid").alias("sid"))),
+                "sid",
+            )
+            .groupBy("cid")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = rem.join(pen, "cid").select(
+            "cid",
+            "rel",
+            (lam_c * F.col("rel") - one_minus * F.col("max_sim")).alias(
+                "mmr_score"
+            ),
+        )
+        pick = (
+            scored.orderBy(F.desc("mmr_score"), F.asc("cid"))
+            .limit(1)
+            .select(F.lit(r).alias("rank"), "cid", "rel", "mmr_score")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "rank", F.col("cid").alias(id_col), F.col("rel").alias("relevance"),
+        "mmr_score",
+    )

@@ -733,3 +733,75 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+# Gopher-style quality gate (Rae et al. 2021, "Scaling Language
+# Models", table A1 — the rule families, simplified to signals the
+# synthetic corpus carries). Stopword list: the classic most-frequent
+# English function words.
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "be")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_frac: float = 0.02,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Per-document booleans for the Gopher-style quality rules —
+    the standard pre-training filter family (word-count bounds,
+    mean word length bounds, stopword fraction, distinct-word
+    ratio). Output: (id, n_words, plus one boolean per rule and
+    `pass_all`).
+
+    Pure Column expressions over one tokenization (no second scan,
+    no UDFs); every rule is an integer-ratio comparison, so the
+    flags are engine-exact. Thresholds are keyword args — corpora
+    tune them; defaults suit the synthetic word-soup testdata (real
+    Gopher bounds: 50/100k words, 3–10 chars, 0.06 stopwords).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.size(toks).alias("n_words"),
+    )
+    nw = F.col("n_words").cast("double")
+    total_chars = F.aggregate(
+        F.transform("__t", F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    sw_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter("__t", lambda t: F.array_contains(sw_arr, t)))
+    n_distinct = F.size(F.array_distinct("__t"))
+    mean_len = total_chars.cast("double") / nw
+    out = d.select(
+        id_col,
+        "n_words",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "ok_word_count"
+        ),
+        (
+            (mean_len >= F.lit(min_mean_word_len))
+            & (mean_len <= F.lit(max_mean_word_len))
+        ).alias("ok_mean_word_len"),
+        (n_stop.cast("double") / nw >= F.lit(min_stopword_frac)).alias(
+            "ok_stopword_frac"
+        ),
+        (n_distinct.cast("double") / nw >= F.lit(min_distinct_ratio)).alias(
+            "ok_distinct_ratio"
+        ),
+    )
+    return out.withColumn(
+        "pass_all",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopword_frac")
+        & F.col("ok_distinct_ratio"),
+    )

@@ -382,3 +382,56 @@ def ohlc_bars(
         ).alias("close"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+def seasonal_mase(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    date_col: str = "day",
+    value_col: str = "total",
+    season_lag: int = 7,
+) -> DataFrame:
+    """MASE-style error of the SEASONAL-NAIVE forecast (value
+    *season_lag* rows back) against the one-step-naive baseline
+    (previous row) per group — the standard "is there weekly
+    seasonality worth modeling?" screen on a daily metric.
+
+    *daily* must be one row per (group, date); lags are over the
+    date ordering (missing days simply widen a step, the usual
+    operational simplification — run the spine/interpolation repair
+    first if exact calendar lags matter). Scores only rows where
+    BOTH forecasts exist, so the two MAEs cover the identical day
+    set and their ratio is meaningful.
+
+    Determinism: each |error| is floor-quantized to the 1e-8 grid
+    and integer-summed (order-free, SQL-replayable — the PageRank/
+    ADC discipline); `mase` is one double division of the two sums.
+    mase < 1 ⇒ the seasonal forecast beats naive ⇒ the seasonality
+    is real. Output: (group, n_scored_days, seasonal_mae, naive_mae,
+    mase).
+
+    One sort-once window per group — no shuffle beyond the
+    (group)-keyed exchange; group count bounds the state.
+    """
+    w = Window.partitionBy(group_col).orderBy(date_col)
+    v = F.col(value_col)
+    err_s = F.abs(v - F.lag(value_col, season_lag).over(w))
+    err_n = F.abs(v - F.lag(value_col, 1).over(w))
+    scored = daily.select(
+        group_col,
+        F.floor(err_s * F.lit(1e8)).cast("decimal(38,0)").alias("__qs"),
+        F.floor(err_n * F.lit(1e8)).cast("decimal(38,0)").alias("__qn"),
+    ).filter(F.col("__qs").isNotNull() & F.col("__qn").isNotNull())
+    agg = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_days"),
+        (F.sum("__qs").cast("double") / F.lit(1e8)).alias("__ss"),
+        (F.sum("__qn").cast("double") / F.lit(1e8)).alias("__sn"),
+    )
+    n = F.col("n_scored_days").cast("double")
+    return agg.select(
+        group_col,
+        "n_scored_days",
+        (F.col("__ss") / n).alias("seasonal_mae"),
+        (F.col("__sn") / n).alias("naive_mae"),
+        (F.col("__ss") / F.col("__sn")).alias("mase"),
+    )

@@ -108,6 +108,17 @@ _R05_WINDOW = [
     "ann_pq_rerank_recall",
     "ann_ivfpq_recall",
     "pca_top_component",
+    # new in round 5
+    "containment_dedup_pairs",
+    "split_leakage_report",
+    "gopher_quality_report",
+    "corpus_budget_coverage",
+    "embedding_norm_health",
+    "doc_length_auc_by_source",
+    "mase_seasonal_screen",
+    "adamic_adar_order_links",
+    "mmr_diversified_topk",
+    "unpivot_order_metrics",
     # r01-only re-proof fill (stalest driver evidence; replaced
     # from the END of this list as round-5 queries land)
     "pricing_summary",
@@ -128,16 +139,6 @@ _R05_WINDOW = [
     "first_last_order_price",
     "monthly_order_volume",
     "argmax_order_per_status",
-    "trailing_week_revenue",
-    "order_value_quantiles",
-    "shipping_priority",
-    "sliding_window_refresh",
-    "grouping_sets_revenue",
-    "custdist_order_counts",
-    "large_volume_customers",
-    "nation_revenue_share",
-    "approx_distinct_certificate",
-    "approx_quantile_certificate",
 ]
 
 # r04 window (kept for the historical record / CORRECTNESS_r04 rows)
@@ -240,6 +241,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4h  # noqa: F401
     from . import round4i  # noqa: F401
     from . import round4j  # noqa: F401
+    from . import round5  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R05_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

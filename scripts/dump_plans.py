@@ -131,6 +131,17 @@ QUERIES = [
     "rank_normalized_value_by_type",
     "pca_top2_components",
     "hll_source_overlap",
+    # round-5
+    "containment_dedup_pairs",
+    "split_leakage_report",
+    "gopher_quality_report",
+    "corpus_budget_coverage",
+    "embedding_norm_health",
+    "doc_length_auc_by_source",
+    "mase_seasonal_screen",
+    "adamic_adar_order_links",
+    "mmr_diversified_topk",
+    "unpivot_order_metrics",
 ]
 
 

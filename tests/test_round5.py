@@ -1,0 +1,173 @@
+"""Hand-computed cases for the round-5 operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_containment_catches_subset_dup(spark):
+    from etl_python_azure_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d"), (3, "x y z w")],
+        "id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in containment_pairs(df, "id", "text", n=3, threshold=0.8)
+        .collect()
+    }
+    # doc 2's shingles {abc, bcd} ⊂ doc 1's {abc,bcd,cde,def}
+    r = got[(1, 2)]
+    assert r["n_inter"] == 2 and r["sz_a"] == 4 and r["sz_b"] == 2
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] == 0.5
+    assert r["jaccard"] == 0.5  # the score that would MISS this dup
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_roc_auc_exact_hand_cases(spark):
+    from etl_python_azure_spark.operators.features import roc_auc_exact
+
+    df = spark.createDataFrame(
+        # g1: perfect separation -> 1.0
+        [("g1", 1.0, 0), ("g1", 2.0, 0), ("g1", 3.0, 1), ("g1", 4.0, 1)]
+        # g2: tie across classes -> midrank case, AUC = 0.75
+        + [("g2", 1.0, 0), ("g2", 1.0, 1), ("g2", 2.0, 1)]
+        # g3: anti-predictive -> 0.0
+        + [("g3", 5.0, 1), ("g3", 6.0, 0)]
+        # g4: single class -> NULL auc
+        + [("g4", 1.0, 1)],
+        "g string, s double, y int",
+    )
+    got = {
+        r["g"]: r.asDict()
+        for r in roc_auc_exact(df, "g", "s", "y").collect()
+    }
+    assert got["g1"]["auc"] == 1.0
+    assert got["g2"]["auc"] == 0.75
+    assert got["g3"]["auc"] == 0.0
+    assert got["g4"]["auc"] is None
+    assert got["g1"]["n_pos"] == 2 and got["g1"]["n_neg"] == 2
+
+
+def test_seasonal_mase_hand_series(spark):
+    from etl_python_azure_spark.operators.timeseries import seasonal_mase
+
+    # 14 days, exact weekly period 1,2,...,7,1,2,...,7: the seasonal
+    # forecast is perfect (mase = 0); naive errors are |Δ| = 1 or 6.
+    rows = [("a", d, float((d % 7) + 1)) for d in range(14)]
+    out = seasonal_mase(
+        spark.createDataFrame(rows, "g string, day int, v double"),
+        "g", "day", "v", season_lag=7,
+    ).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_scored_days"] == 7  # days 7..13
+    assert r["seasonal_mae"] == 0.0
+    # naive errors over days 7..13: |1-7|=6 then six 1s -> mean 12/7
+    assert abs(r["naive_mae"] - 12 / 7) < 1e-9
+    assert r["mase"] == 0.0
+
+
+def test_adamic_adar_hand_graph(spark):
+    from etl_python_azure_spark.operators.graph import adamic_adar_links
+
+    # square 1-3, 3-2, 2-4, 4-1 plus diagonal 3-4:
+    # non-edges: (1,2) via {3,4}, both deg 3 -> AA = 2/ln 3
+    edges = spark.createDataFrame(
+        [(1, 3), (3, 2), (2, 4), (4, 1), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["node_u"], r["node_v"]): r.asDict()
+        for r in adamic_adar_links(edges, k=10).collect()
+    }
+    assert set(got) == {(1, 2)}  # (3,4) is an edge; nothing else shares
+    r = got[(1, 2)]
+    assert r["n_common"] == 2
+    expected = 2 * math.floor(1e8 / math.log(3.0)) / 1e8
+    assert r["aa_score"] == expected
+
+
+def test_mmr_prefers_diversity(spark):
+    from etl_python_azure_spark.operators.similarity import mmr_topk
+
+    # query 0 at e1; candidates: 1 just above the axis, 2 a near-copy
+    # of 1, 3 well BELOW the axis (farther from 1 than from q, so its
+    # redundancy penalty is smaller than its relevance). Plain top-2
+    # picks {1, 2}; MMR picks {1, 3} because 2's penalty (sim to
+    # 1 ≈ 1) exceeds its relevance edge.
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = [
+        (0, v(1.0, 0.0)),
+        (1, v(0.99, 0.01)),
+        (2, v(0.99, 0.02)),
+        (3, v(0.8, -0.6)),
+    ]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = (
+        mmr_topk(em, query_id=0, n_candidates=3, k=2, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert out[0]["mmr_score"] == out[0]["relevance"]
+
+
+def test_gopher_flags_hand_doc(spark):
+    from etl_python_azure_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [
+            # 12 words, the+a stopwords, distinct-heavy -> passes all
+            (1, "the quick brown fox jumps over a lazy dog near my house"),
+            # word soup below min_words -> fails word count
+            (2, "tiny doc"),
+            # zero stopwords -> fails stopword rule
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, min_words=10).collect()
+    }
+    assert got[1]["pass_all"] is True
+    assert got[2]["ok_word_count"] is False and got[2]["pass_all"] is False
+    assert got[3]["ok_stopword_frac"] is False
+    assert got[3]["ok_word_count"] is True
+
+
+def test_artifact_cache_returns_same_object(spark):
+    from etl_python_azure_spark.queries._artifacts import fit_once
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).localCheckpoint(eager=True)
+
+    a = fit_once(spark, "/tmp/x", "t_round5", build)
+    b = fit_once(spark, "/tmp/x", "t_round5", build)
+    c = fit_once(spark, "/tmp/y", "t_round5", build)
+    assert a is b and a is not c
+    assert len(calls) == 2  # once per sf_dir
+
+
+def test_unpivot_long_counts(spark, sf_dir):
+    from etl_python_azure_spark.queries import registry
+
+    out = registry()["unpivot_order_metrics"].builder(spark, sf_dir)
+    rows = out.collect()
+    n_li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    )
+    # every metric contributes each lineitem row exactly once
+    assert sum(r["n"] for r in rows) == 4 * n_li
+    assert {r["metric"] for r in rows} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
