@@ -26,8 +26,12 @@ exactly — see ``scripts/oracle_check.py``):
   catches violations.
 - Transcendentals: JVM ``Math.exp`` and libm ``exp`` disagree by
   1 ulp on some inputs — never project ``exp()`` of a computed
-  double (``ln`` has matched empirically; keep it monitored by the
-  sf0.001/sf0.01 sweeps).
+  double. ``ln`` carries the same 1-ulp risk, so any ln that feeds
+  an ORDERING or an aggregate is floor-quantized to a fixed-point
+  grid first (``floor(ln·1e8)/1e8``: BM25 idf, the
+  Efraimidis–Spirakis sample score, Adamic–Adar degree weights);
+  a projected bare ``ln`` has matched empirically and stays
+  monitored by the sf sweeps.
 - NO array/map/struct columns in query output: the driver's pandas
   canonicalizer sorts rows before hashing and raises ``unhashable
   type: 'list'`` on nested cells (r03 red rows). Prove array ops
