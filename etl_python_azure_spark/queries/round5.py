@@ -590,19 +590,24 @@ _MMR_DOT = (
 
 def _mmr_oracle(n_cand: int, k: int) -> str:
     ctes = [
+        # MATERIALIZED: DuckDB inlines a CTE once PER REFERENCE, and
+        # cand/cs are referenced by every unrolled greedy round (the
+        # correlated penalty subquery re-evaluated the corpus-wide
+        # cosine scan per candidate row — 336 s at sf0.1; 0.4 s
+        # materialized)
         _MMR_NORM,
-        "q AS (SELECT * FROM n WHERE vec_id = 0)",
-        f"""sims AS (
+        "q AS MATERIALIZED (SELECT * FROM n WHERE vec_id = 0)",
+        f"""sims AS MATERIALIZED (
       SELECT c.vec_id AS cid, {_MMR_DOT.format(a='q', b='c')} AS rel
       FROM n c, q WHERE c.vec_id <> 0
     )""",
-        f"""cand AS (
+        f"""cand AS MATERIALIZED (
       SELECT cid, rel FROM (
         SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS r
         FROM sims
       ) WHERE r <= {n_cand}
     )""",
-        f"""cs AS (
+        f"""cs AS MATERIALIZED (
       SELECT a.vec_id AS cid, b.vec_id AS sid,
              {_MMR_DOT.format(a='a', b='b')} AS sim
       FROM n a JOIN cand ca ON ca.cid = a.vec_id
