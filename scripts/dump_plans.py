@@ -202,8 +202,16 @@ def main() -> None:
             f"- joins: {join_str}",
             f"- pushed filters: {pushed_str}",
             f"- columns read: {', '.join(cols_read) if cols_read else '—'}",
-            "",
         ]
+        if "ExistingRDD" in plan:
+            lines.append(
+                "- note: serves (at least partly) from a"
+                " localCheckpoint-ed train-once artifact"
+                " (queries/_artifacts.py) — the training pipeline runs"
+                " at fit time, once per process, so this audited plan"
+                " is the steady-state serving shape"
+            )
+        lines.append("")
 
     lines += [
         "## Notes",
