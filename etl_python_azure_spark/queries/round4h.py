@@ -292,21 +292,19 @@ def cooccurrence_rec_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(best),
         items.event_type == F.col("antecedent"),
     ).select("user_id", "d", "antecedent", "rec")
-    hits = impressions.join(
+    # one LEFT join replaces the former semi+anti pair (which probed
+    # the identical join twice): items is distinct on (user_id, d,
+    # event_type), so a match is unique and `hit` is its indicator
+    evald = impressions.join(
         items.select(
-            "user_id", "d", F.col("event_type").alias("rec")
+            "user_id",
+            "d",
+            F.col("event_type").alias("rec"),
+            F.lit(1).alias("__m"),
         ),
         ["user_id", "d", "rec"],
-        "left_semi",
-    ).withColumn("hit", F.lit(1))
-    misses = impressions.join(
-        items.select(
-            "user_id", "d", F.col("event_type").alias("rec")
-        ),
-        ["user_id", "d", "rec"],
-        "left_anti",
-    ).withColumn("hit", F.lit(0))
-    evald = hits.unionByName(misses)
+        "left",
+    ).withColumn("hit", F.coalesce("__m", F.lit(0)))
     return evald.groupBy(
         "antecedent", F.col("rec").alias("recommended")
     ).agg(
