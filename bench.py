@@ -269,9 +269,13 @@ def main() -> None:
         bench_sercom,
     )
 
+    from etl_python_azure_spark.plans.curation import bench_curation
+
     sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.01
     for name, fn in (("latinad_full_refresh", bench_latinad),
-                     ("sercom_incremental", bench_sercom)):
+                     ("sercom_incremental", bench_sercom),
+                     ("curation_pipeline_v2",
+                      lambda s, _sf, root: bench_curation(s, sf_dir, root))):
         if subset_names is not None and name not in subset_names:
             continue
         root = tempfile.mkdtemp(prefix=f"bench_{name}_")

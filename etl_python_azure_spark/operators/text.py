@@ -752,6 +752,7 @@ def gopher_quality_flags(
     max_mean_word_len: float = 10.0,
     min_stopword_frac: float = 0.02,
     min_distinct_ratio: float = 0.2,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document booleans for the Gopher-style quality rules —
     the standard pre-training filter family (word-count bounds,
@@ -765,9 +766,11 @@ def gopher_quality_flags(
     tune them; defaults suit the synthetic word-soup testdata (real
     Gopher bounds: 50/100k words, 3–10 chars, 0.06 stopwords).
     """
+    carry = carry_cols or []
     toks = F.split(F.lower(F.col(text_col)), " ")
     d = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         toks.alias("__t"),
         F.size(toks).alias("n_words"),
     )
@@ -783,6 +786,7 @@ def gopher_quality_flags(
     mean_len = total_chars.cast("double") / nw
     out = d.select(
         id_col,
+        *carry,
         "n_words",
         ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
             "ok_word_count"

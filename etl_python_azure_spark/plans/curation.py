@@ -1,0 +1,130 @@
+"""End-to-end corpus-curation pipeline v2 — the full pre-training
+data flow composed from the engine's operators, run as ONE Spark
+job DAG:
+
+    quality gate (Gopher rules)
+      → exact dedup (md5 fingerprint, keep-min-id)
+      → near-dedup (MinHash→LSH candidates, exact-Jaccard verify,
+        greedy higher-id drop)
+      → deterministic train/val/test hash split
+      → split-leakage audit (exact-dup fps crossing splits — MUST
+        be zero after the exact-dedup stage; surfaced as a metric,
+        the pipeline's own correctness gate)
+      → per-source quota cap on the train split
+      → partitioned parquet write of the train corpus
+
+Scale shape: every stage is a scan, hash aggregate, or banded
+candidate join — the only corpus-wide shuffles are the fingerprint
+window (exact dedup) and the LSH band join; text is shuffled once
+for the dedup window, and the leakage audit moves only (fp, split)
+pairs. This is the production composition the standalone registry
+queries (`gopher_quality_report`, `exact_dedup`,
+`minhash_dedup_pairs`, `split_leakage_report`, `quota_sample_sources`)
+each verify in isolation against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_pairs
+from ..operators.sampling import hash_bucket, quota_sample
+from ..operators.text import gopher_quality_flags
+from ..session import load_tables
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_root: str,
+    quota_per_source: int = 100_000,
+    near_dup_threshold: float = 0.8,
+) -> dict[str, int]:
+    """Run the curation flow over ``{sf_dir}/documents.parquet`` and
+    write the curated train split to ``{sink_root}/train``.
+
+    Returns the stage-count metrics a pipeline run logs:
+    (n_input, n_quality, n_exact, n_near, n_leaked_fps, n_train,
+    n_val, n_test, n_train_capped).
+    """
+    d = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    kept = gopher_quality_flags(d, carry_cols=["source", "text"]).filter(
+        F.col("pass_all")
+    ).select("doc_id", "source", "text")
+
+    # exact dedup: one window over the content fingerprint, keep the
+    # min doc_id (deterministic, unlike dropDuplicates)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    exact = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # near-dedup feeds THREE consumers (pair gen reads it twice via
+    # the LSH join, the anti-join reads it once) and sits above the
+    # dedup window shuffle — materialize once. Deliberately-leaked
+    # handle: released by the caller's clearCache() (bench does so).
+    exact = exact.persist()
+
+    # near-dedup: LSH candidates verified by exact Jaccard; greedy
+    # drop of the higher id in every confirmed pair (the standard
+    # keep-first policy; dedup_clusters gives the transitive version)
+    pairs = minhash_lsh_pairs(
+        exact, "doc_id", "text", threshold=near_dup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near = exact.join(drop, "doc_id", "left_anti")
+
+    # deterministic split + leakage audit (fp crossing splits).
+    # `tagged` sits above the LSH candidate join — persist it so the
+    # split counts, the audit, and the train write don't re-run the
+    # near-dedup (deliberately-leaked handle, as above).
+    b = hash_bucket("doc_id", 100)
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    tagged = near.withColumn("split", split).persist()
+    ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
+    leaked = (
+        ps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+
+    train = tagged.filter(F.col("split") == "train").drop("split")
+    capped = quota_sample(train, "source", "doc_id", quota_per_source).drop(
+        "rank_in_group"
+    )
+
+    out = os.path.join(sink_root, "train")
+    capped.write.mode("overwrite").partitionBy("source").parquet(out)
+
+    # ONE aggregation covers all three split counts (and their sum is
+    # the post-near-dedup count — no separate near.count() action)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in tagged.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {
+        "n_input": d.count(),
+        "n_quality": kept.count(),
+        "n_exact": exact.count(),
+        "n_near": sum(split_counts.values()),
+        "n_leaked_fps": leaked.count(),
+        "n_train": split_counts.get("train", 0),
+        "n_val": split_counts.get("val", 0),
+        "n_test": split_counts.get("test", 0),
+        "n_train_capped": spark.read.parquet(out).count(),
+    }
+    return counts
+
+
+def bench_curation(spark: SparkSession, sf_dir: str, sink_root: str) -> int:
+    """Bench entry: full curation flow; returns curated row count."""
+    return curate_corpus(spark, sf_dir, sink_root)["n_train_capped"]

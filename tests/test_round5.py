@@ -171,3 +171,43 @@ def test_unpivot_long_counts(spark, sf_dir):
     assert {r["metric"] for r in rows} == {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     }
+
+
+def test_artifact_served_query_stable_across_reruns(spark, sf_dir):
+    """Running an artifact-served query twice in one session (cache
+    miss then hit) must return the identical result — the driver and
+    bench both re-invoke builders within a process."""
+    from etl_python_azure_spark.queries import registry
+
+    b = registry()["pca_top_component"].builder
+    first = sorted(map(tuple, b(spark, sf_dir).collect()))
+    second = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert first == second and len(first) == 64
+
+
+def test_curation_pipeline_e2e(spark, sf_dir, tmp_path):
+    """The composed curation flow: counts are monotone through the
+    funnel, the leakage audit is ZERO after exact dedup (its whole
+    point), splits are disjoint and exhaustive, the written train
+    corpus respects the per-source quota, and re-running is
+    deterministic."""
+    from etl_python_azure_spark.plans.curation import curate_corpus
+
+    m = curate_corpus(
+        spark, sf_dir, str(tmp_path / "out"), quota_per_source=10
+    )
+    assert m["n_input"] >= m["n_quality"] >= m["n_exact"] >= m["n_near"]
+    assert m["n_quality"] > 0 and m["n_near"] > 0
+    assert m["n_leaked_fps"] == 0  # exact dedup precedes the split
+    assert m["n_train"] + m["n_val"] + m["n_test"] == m["n_near"]
+    assert m["n_train_capped"] <= m["n_train"]
+
+    out = spark.read.parquet(str(tmp_path / "out" / "train"))
+    per_source = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per_source)
+
+    spark.catalog.clearCache()
+    m2 = curate_corpus(
+        spark, sf_dir, str(tmp_path / "out2"), quota_per_source=10
+    )
+    assert m2 == m
