@@ -30,7 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_lsh_pairs
+from ..operators.dedup import incremental_lsh_pairs, minhash_lsh_pairs
 from ..operators.sampling import hash_bucket, quota_sample
 from ..operators.text import gopher_quality_flags
 from ..session import load_tables
@@ -128,3 +128,104 @@ def curate_corpus(
 def bench_curation(spark: SparkSession, sf_dir: str, sink_root: str) -> int:
     """Bench entry: full curation flow; returns curated row count."""
     return curate_corpus(spark, sf_dir, sink_root)["n_train_capped"]
+
+
+def curate_increment(
+    spark: SparkSession,
+    base_train_dir: str,
+    delta: DataFrame,
+    quota_per_source: int = 100_000,
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """The nightly form of :func:`curate_corpus`: admit a DELTA batch
+    of new documents against an already-curated base — without
+    re-pairing or re-writing the base.
+
+    Stages, all delta-sized (the base contributes one fingerprint
+    projection and its LSH band index, never a re-pair):
+
+    1. Gopher quality gate on the delta.
+    2. Exact dedup: within-delta keep-min window, then an anti-join
+       of delta fingerprints against base fingerprints (computed by
+       projection from the base parquet — at 100 TB keep the (fp)
+       sidecar table maintained at write time instead).
+    3. Near-dedup via :func:`incremental_lsh_pairs` — delta bands
+       probe (base ∪ delta) bands; base×base is never recomputed. A
+       delta doc near-duplicating EITHER a base doc or a surviving
+       earlier delta doc is dropped (greedy keep-first by id).
+    4. Per-source quota re-check: delta rows only fill whatever
+       headroom the base leaves under the cap (rank offset by the
+       base's per-source counts).
+
+    Returns the admitted delta rows (doc_id, source, text) — the
+    caller appends them to the base (`jdbc`/parquet append or the
+    manifested staging swap, per sink). Append-only, idempotent per
+    batch: re-running with the same delta admits the same rows.
+    """
+    base = spark.read.parquet(base_train_dir).select(
+        "doc_id", "source", "text"
+    )
+
+    kept = gopher_quality_flags(
+        delta.select("doc_id", "source", "text"),
+        carry_cols=["source", "text"],
+    ).filter(F.col("pass_all")).select("doc_id", "source", "text")
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    in_delta = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    vs_base = in_delta.join(
+        base.select(F.md5("text").alias("__fp")).distinct(),
+        F.md5(in_delta.text) == F.col("__fp"),
+        "left_anti",
+    # three consumers below (LSH shingles, pair drop, quota rank)
+    ).persist()  # deliberately-leaked handle — caller's clearCache()
+
+    pairs = incremental_lsh_pairs(
+        base, vs_base, "doc_id", "text", threshold=near_dup_threshold
+    )
+    # greedy keep-first: drop the delta side of every confirmed pair
+    # (a pair's delta doc is the newer one whenever the other side is
+    # base; for delta-delta pairs drop the higher id, same policy as
+    # the batch pipeline)
+    delta_ids = vs_base.select("doc_id")
+    drop = (
+        pairs.join(
+            delta_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi"
+        ).select(F.col("id_b").alias("doc_id"))
+        .unionByName(
+            pairs.join(
+                delta_ids.withColumnRenamed("doc_id", "id_a"),
+                "id_a",
+                "left_semi",
+            )
+            .join(
+                delta_ids.withColumnRenamed("doc_id", "id_b"),
+                "id_b",
+                "left_anti",
+            )
+            .select(F.col("id_a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    survivors = vs_base.join(drop, "doc_id", "left_anti")
+
+    # quota headroom: base counts per source offset the delta ranks
+    base_counts = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("__base_n")
+    )
+    ranked = quota_sample(
+        survivors, "source", "doc_id", quota_per_source
+    )
+    admitted = (
+        ranked.join(F.broadcast(base_counts), "source", "left")
+        .filter(
+            F.col("rank_in_group") + F.coalesce("__base_n", F.lit(0))
+            <= quota_per_source
+        )
+        .select("doc_id", "source", "text")
+    )
+    return admitted
