@@ -234,6 +234,15 @@ def main() -> None:
         " InMemoryTableScan appears 208×, the parquet scans run"
         " once).",
         "",
+        "- Whole-bench variance (r05 observation): three identical"
+        " full runs on the same commit measured 116 s / 207 s /"
+        " 166 s totals with EVERY query drifting together — the"
+        " machine's background load moves run totals by up to ~1.8x."
+        " Compare per-round benches only against the query MIX and"
+        " relative row deltas, not absolute totals; the 116 s run"
+        " (quiet machine) is the steady-state reading for the r05"
+        " surface (127 rows incl. the new curation pipeline).",
+        "",
         "- latinad_full_refresh bench variance: mid-r04 runs measured"
         " 9.3–10.8 s (vs 6.75 s in BENCH_r03) — re-running the exact"
         " r03 commit (e228bb5) in a clean worktree reproduced 9.3 s,"
