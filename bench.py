@@ -210,14 +210,12 @@ def main() -> None:
     # driver's process builds the artifact).
     from etl_python_azure_spark.queries._artifacts import prewarm
 
-    artifact_consumers = {
-        "ann_pq_adc_recall", "ann_pq_rerank_recall", "ann_ivfpq_recall",
-        "pca_top_component", "pca_top2_components",
-        "label_projection_stats",
-    }
-    if artifact_consumers & set(names):
-        t0 = time.time()
-        warmed = prewarm(spark, sf_dir)
+    t0 = time.time()
+    # prewarm() reads each artifact's registered consumer set, so a
+    # subset run only pays the training its queries actually serve
+    # from (no second hand-maintained consumer list to drift)
+    warmed = prewarm(spark, sf_dir, queries=set(names))
+    if warmed:
         print(
             f"artifact prewarm ({', '.join(warmed)}): "
             f"{round(time.time() - t0, 1)}s",
@@ -300,20 +298,8 @@ def main() -> None:
     # the round's bench gate recorded "parsed": null. Keep the final
     # line under ~2 KB: totals plus the 20 slowest queries. The full
     # per-query map goes to BENCH_DETAIL.json next to this script.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
-    )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "n_queries": len(timings),
-            "queries": slowest,
-            "sf": sf_val,
-        }
-    )
-    assert len(line.encode()) <= 2048, f"bench line too long: {len(line)}B"
+    # write the full map FIRST so a malformed summary line can never
+    # discard a completed (multi-minute) run's timings
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -329,6 +315,23 @@ def main() -> None:
             fh,
             indent=1,
         )
+    # shrink the slowest-map until the line fits the tail-capture
+    # budget (never assert-after-the-fact: the line ALWAYS prints)
+    top = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    while True:
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": dict(top),
+                "sf": sf_val,
+            }
+        )
+        if len(line.encode()) <= 2048 or not top:
+            break
+        top = top[:-1]
     print(line)
 
 

@@ -54,9 +54,10 @@ def curate_corpus(
         "doc_id", "source", "text"
     )
 
-    kept = gopher_quality_flags(d, carry_cols=["source", "text"]).filter(
-        F.col("pass_all")
-    ).select("doc_id", "source", "text")
+    flags = gopher_quality_flags(d, carry_cols=["source", "text"])
+    kept = flags.filter(F.col("pass_all")).select(
+        "doc_id", "source", "text"
+    )
 
     # exact dedup: one window over the content fingerprint, keep the
     # min doc_id (deterministic, unlike dropDuplicates)
@@ -111,9 +112,16 @@ def curate_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # n_input and n_quality come from ONE aggregation over the flags
+    # frame (review catch: d.count() + kept.count() paid a separate
+    # input scan plus a full re-run of the Gopher tokenization)
+    in_q = flags.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_q"),
+    ).first()
     counts = {
-        "n_input": d.count(),
-        "n_quality": kept.count(),
+        "n_input": in_q["n_in"],
+        "n_quality": in_q["n_q"],
         "n_exact": exact.count(),
         "n_near": sum(split_counts.values()),
         "n_leaked_fps": leaked.count(),

@@ -27,11 +27,12 @@ exactly — see ``scripts/oracle_check.py``):
 - Transcendentals: JVM ``Math.exp`` and libm ``exp`` disagree by
   1 ulp on some inputs — never project ``exp()`` of a computed
   double. ``ln`` carries the same 1-ulp risk, so any ln that feeds
-  an ORDERING or an aggregate is floor-quantized to a fixed-point
-  grid first (``floor(ln·1e8)/1e8``: BM25 idf, the
-  Efraimidis–Spirakis sample score, Adamic–Adar degree weights);
-  a projected bare ``ln`` has matched empirically and stays
-  monitored by the sf sweeps.
+  an ORDERING is floor-quantized to a fixed-point grid first
+  (``floor(ln·1e8)/1e8``: BM25 idf, the Efraimidis–Spirakis sample
+  score, Adamic–Adar degree weights). Exceptions that SUM bare ln
+  values (the unigram/bigram log-prob scores, via sorted-order
+  folds) rely on JVM/libm ln having matched empirically — they are
+  the monitored residual risk, validated by every sf sweep.
 - NO array/map/struct columns in query output: the driver's pandas
   canonicalizer sorts rows before hashing and raises ``unhashable
   type: 'list'`` on nested cells (r03 red rows). Prove array ops

@@ -35,9 +35,14 @@ from pyspark.sql import SparkSession
 
 _CACHE: dict[tuple[str, str, str], object] = {}
 
-# name -> builder(spark, sf_dir); bench.py prewarms these so timed
-# rows measure steady-state search, not training
-_PREWARM: dict[str, Callable[[SparkSession, str], object]] = {}
+# name -> (builder(spark, sf_dir), consumer query names); bench.py
+# prewarms these so timed rows measure steady-state search, not
+# training, and the consumer sets are THE registry for who serves
+# from an artifact (bench prewarm selection and the PLANS.md
+# annotation both read it — no second hand-maintained list to drift)
+_PREWARM: dict[
+    str, tuple[Callable[[SparkSession, str], object], frozenset[str]]
+] = {}
 
 
 def fit_once(
@@ -55,13 +60,33 @@ def fit_once(
 
 
 def register_prewarm(
-    name: str, fn: Callable[[SparkSession, str], object]
+    name: str,
+    fn: Callable[[SparkSession, str], object],
+    consumers: set[str] | frozenset[str] = frozenset(),
 ) -> None:
-    _PREWARM[name] = fn
+    _PREWARM[name] = (fn, frozenset(consumers))
 
 
-def prewarm(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Train every registered artifact for *sf_dir* (idempotent)."""
-    for fn in _PREWARM.values():
+def artifact_consumers() -> frozenset[str]:
+    """All query names that serve from some train-once artifact."""
+    out: set[str] = set()
+    for _fn, consumers in _PREWARM.values():
+        out |= consumers
+    return frozenset(out)
+
+
+def prewarm(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: set[str] | None = None,
+) -> list[str]:
+    """Train registered artifacts for *sf_dir* (idempotent). With
+    *queries* given, train only artifacts one of those queries
+    consumes — a bench subset never pays training it won't use."""
+    warmed = []
+    for name, (fn, consumers) in _PREWARM.items():
+        if queries is not None and not (consumers & queries):
+            continue
         fn(spark, sf_dir)
-    return sorted(_PREWARM)
+        warmed.append(name)
+    return sorted(warmed)

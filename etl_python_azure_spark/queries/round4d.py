@@ -75,7 +75,14 @@ def _pca_comp1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ._artifacts import register_prewarm as _register_prewarm  # noqa: E402
 
-_register_prewarm("pca_comp1", _pca_comp1)
+_register_prewarm(
+    "pca_comp1",
+    _pca_comp1,
+    consumers={
+        "pca_top_component", "pca_top2_components",
+        "label_projection_stats",
+    },
+)
 
 
 def _pca_cte_chain(dim: int, iters: int) -> tuple[list[str], str]:

@@ -46,9 +46,10 @@ _HASH32 = (
 @register(
     "containment_dedup_pairs",
     """
-    WITH base AS (SELECT doc_id, text FROM documents),
+    WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+    base AS (SELECT doc_id, text FROM documents),
     snip AS (
-      SELECT doc_id + 20000 AS doc_id,
+      SELECT doc_id + (SELECT o FROM off) AS doc_id,
              array_to_string(
                t[1:greatest(len(t) // 2, 3)], ' ') AS text
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -95,9 +96,15 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
+    # snippet ids must clear the REAL id range at any scale factor
+    # (a fixed +20000 collided with genuine doc_ids at the sf1
+    # rehearsal, merging two documents' shingle sets under one id);
+    # one bounded scalar to the driver, mirrored by the oracle's
+    # MAX(doc_id)+1 subquery
+    off = d.agg(F.max("doc_id")).first()[0] + 1
     w = F.split(F.col("text"), " ")
     snip = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
         F.concat_ws(
             " ",
             F.slice(
@@ -129,8 +136,9 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 30000 AS doc_id, text FROM documents
-        WHERE doc_id % 11 = 0
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents)
+                 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 0
       )
     ),
     ps AS (SELECT DISTINCT fp, split FROM h)
@@ -152,8 +160,12 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     d = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    # fresh ids must clear the real range at any SF (see the
+    # containment query's offset note); bounded scalar + oracle
+    # MAX(doc_id)+1 subquery
+    off = d.agg(F.max("doc_id")).first()[0] + 1
     reingest = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
     )
     corpus = d.unionByName(reingest)
     b = hash_bucket("doc_id", 100)
@@ -225,9 +237,10 @@ def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import gopher_quality_flags
 
     d = load_tables(spark, sf_dir, "documents")
-    flags = gopher_quality_flags(d).join(
-        d.select("doc_id", "source"), "doc_id"
-    )
+    # carry_cols rides `source` through the flag pass — one scan, no
+    # join back (review catch: the join form paid a second documents
+    # scan plus a doc_id shuffle)
+    flags = gopher_quality_flags(d, carry_cols=["source"])
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("ok_word_count").cast("int")).cast("long").alias(

@@ -626,7 +626,13 @@ def _pq_index(spark: SparkSession, sf_dir: str):
 
 from ._artifacts import register_prewarm as _register_prewarm  # noqa: E402
 
-_register_prewarm("pq_index", _pq_index)
+_register_prewarm(
+    "pq_index",
+    _pq_index,
+    consumers={
+        "ann_pq_adc_recall", "ann_pq_rerank_recall", "ann_ivfpq_recall",
+    },
+)
 
 
 def _pq_oracle_sql(

@@ -149,9 +149,14 @@ def main() -> None:
     from etl_python_azure_spark.queries import registry
     from etl_python_azure_spark.session import get_spark
 
+    from etl_python_azure_spark.queries._artifacts import (
+        artifact_consumers,
+    )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan-dump")
     reg = registry()
+    artifact_served = artifact_consumers()
 
     lines = [
         "# PLANS — physical-plan audit (auto-generated)",
@@ -203,13 +208,20 @@ def main() -> None:
             f"- pushed filters: {pushed_str}",
             f"- columns read: {', '.join(cols_read) if cols_read else '—'}",
         ]
-        if "ExistingRDD" in plan:
+        if name in artifact_served:
             lines.append(
                 "- note: serves (at least partly) from a"
                 " localCheckpoint-ed train-once artifact"
                 " (queries/_artifacts.py) — the training pipeline runs"
                 " at fit time, once per process, so this audited plan"
                 " is the steady-state serving shape"
+            )
+        elif "ExistingRDD" in plan:
+            lines.append(
+                "- note: plan includes a per-query localCheckpoint"
+                " (bounded intermediate materialized within this"
+                " query's own run — lineage truncation, not the"
+                " train-once artifact cache)"
             )
         lines.append("")
 

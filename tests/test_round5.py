@@ -239,7 +239,7 @@ def test_curate_increment_admits_only_novel(spark, tmp_path):
             (11, "s1", "a totally different base document about the theme"),
             # novel -> admitted
             (12, "s1", "the brand new crawl is a fresh document in s1"),
-            # novel in s2, but quota headroom is 0 -> rejected
+            # novel in s2, admitted into its one open quota slot
             (13, "s2", "the novel second source document is a new one indeed"),
             # fails the quality gate (too short)
             (14, "s1", "tiny doc"),
@@ -251,11 +251,10 @@ def test_curate_increment_admits_only_novel(spark, tmp_path):
         near_dup_threshold=0.5,
     )
     got = sorted(r["doc_id"] for r in admitted.collect())
-    # s1 base has 2 docs = quota -> wait, quota 2 leaves 0 headroom in
-    # s1 too; use the rows to pin exactly what survives each stage:
-    # 10 exact-dup, 11 near-dup, 14 quality — 12 and 13 reach the
-    # quota stage, where s1 (2 base) and s2 (1 base) leave 0 and 1
-    # slots respectively under quota 2 -> only 13 is admitted.
+    # one rejection per stage: 10 exact-dup, 11 near-dup, 14 quality
+    # — 12 and 13 reach the quota stage, where s1 (2 base docs) and
+    # s2 (1 base doc) leave 0 and 1 slots respectively under quota 2,
+    # so only 13 is admitted.
     assert got == [13]
 
     spark.catalog.clearCache()
