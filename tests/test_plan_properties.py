@@ -337,11 +337,14 @@ def test_round4h_plan_shapes(spark, sf_dir):
     # reliability: 1-row span broadcast over one scan
     plan = _plan(spark, sf_dir, "score_reliability_bins")
     assert "CartesianProduct" not in plan
-    # recommender eval: rule table broadcast; membership probes are
-    # LEFT SEMI/ANTI joins on the basket key
+    # recommender eval: rule table broadcast; the hit membership
+    # probe is ONE LeftOuter join with a match indicator (r05 review
+    # catch: the former semi+anti pair probed the identical join
+    # twice)
     plan = _plan(spark, sf_dir, "cooccurrence_rec_hitrate")
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     # global rank transform: two-pass row number — the only
     # SinglePartition exchange is the 1-row global count's final
     # aggregate (bytes); the rank WINDOW itself stays partitioned
