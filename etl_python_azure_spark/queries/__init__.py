@@ -144,6 +144,21 @@ _R05_WINDOW = [
     "first_last_order_price",
     "monthly_order_volume",
     "argmax_order_per_status",
+    # r06 window queue (keep new-query growth inside the 50-slot
+    # verification budget, r04 verdict item 4): lead with any queries
+    # changed in r06, then candidates — RM3 pseudo-relevance-feedback
+    # BM25 expansion, MinHash estimate-vs-exact Jaccard calibration
+    # report (sketch-certificate family), trigram LM scoring,
+    # connected-component cluster sizes as an oracle query, Heaps'
+    # law vocabulary-growth fit, an IVF-tier MMR variant — then
+    # re-proof fill from the remaining r01-only greens
+    # (dropna_after_left_join, drop_all_null_columns_q,
+    # string_length_gate, string_toolbox, iso/json/scalar toolboxes,
+    # rollup_quantity, distinct_cardinalities, cube_order_stats,
+    # filter_variety, acctbal_dominance, orders_with_large_items,
+    # brand_price_stats, order_rank_stats,
+    # promo_revenue_by_supp_nation, corr_regression_qty_price,
+    # rich_inactive_customers, customer_set_ops, top100_orders ...).
 ]
 
 # r04 window (kept for the historical record / CORRECTNESS_r04 rows)

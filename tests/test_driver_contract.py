@@ -120,3 +120,17 @@ def test_bench_and_plan_audit_names_resolve():
     )
     missing = [n for n in plan_names if n not in reg]
     assert not missing, f"dump_plans.py names not in registry: {missing}"
+
+
+def test_artifact_consumer_names_resolve():
+    """Every query name registered as a train-once artifact consumer
+    must exist in the registry — a typo would silently skip prewarm
+    for a real consumer (bench re-times training) or annotate a
+    nonexistent query in the plan audit."""
+    from etl_python_azure_spark.queries import registry
+    from etl_python_azure_spark.queries._artifacts import (
+        artifact_consumers,
+    )
+
+    missing = artifact_consumers() - set(registry())
+    assert not missing, missing
