@@ -973,6 +973,13 @@ def containment_pairs(
     (cost ∝ shingle collisions, never corpus²; at 100 TB restrict
     to LSH candidates exactly like the Jaccard verifier). All three
     scores are one integer-ratio division each — engine-exact.
+
+    The shingle table is deliberately NOT persisted despite its
+    three consumers (sizes + both self-join sides): everything sits
+    in ONE lazy plan, where ReusedExchange dedupes the distinct
+    shuffle at runtime — persisting measured ~20% SLOWER at sf0.1
+    (cache materialization overhead; the same measured rule as the
+    PCA covariance, pca.py:111).
     Output: (id_a, id_b, n_inter, sz_a, sz_b, containment_a_in_b,
     containment_b_in_a, jaccard), id_a < id_b.
     """
