@@ -143,10 +143,20 @@ def cms_build(
 
     Estimates (`cms_estimate`) are biased UP only: est ≥ true always,
     and P[est > true + (e/width)·N] < e^-depth per query.
+
+    Cost shape: the stream first collapses to (token, count) — ONE
+    hash aggregate over occurrences — and only the VOCABULARY pays
+    the depth× md5 explode (r05: hashing per occurrence measured 6.5×
+    the work of hashing per distinct token at sf1; cell table and
+    every estimate are bit-identical since a cell's count is just
+    Σ counts of the tokens hashing into it).
     """
     seeds = F.array(*[F.lit(s) for s in range(depth)])
-    cells = df.select(
-        F.col(token_col).alias("__t"), F.explode(seeds).alias("seed")
+    counts = df.groupBy(F.col(token_col).alias("__t")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cells = counts.select(
+        "__t", "__c", F.explode(seeds).alias("seed")
     ).select(
         "seed",
         (
@@ -165,9 +175,10 @@ def cms_build(
             ).cast("bigint")
             % width
         ).alias("bucket"),
+        "__c",
     )
     return cells.groupBy("seed", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("__c").alias("cnt")
     )
 
 
