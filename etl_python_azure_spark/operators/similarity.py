@@ -822,6 +822,7 @@ def mmr_topk(
     n_candidates: int = 10,
     k: int = 5,
     lam: float = 0.7,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: from the query's
     *n_candidates* nearest neighbors, greedily select *k* that
@@ -834,10 +835,13 @@ def mmr_topk(
     top-k feeds a context window).
 
     Scale shape: the expensive part is the candidate top-N (any ANN
-    tier — brute force here as the verifier); the greedy loop then
-    runs on a BOUNDED N×N candidate-similarity table (N=10 → 100
-    rows), localCheckpoint-ed once so the k driver-side rounds never
-    re-touch the corpus. All scores are IEEE-exact compositions of
+    tier — brute-force cosine by default as the verifier; pass
+    *candidates* as a (cid, rel) frame from an IVF/LSH/PQ search to
+    swap in the sublinear tier without touching the greedy loop);
+    the greedy loop then runs on a BOUNDED N×N candidate-similarity
+    table (N=10 → 100 rows), localCheckpoint-ed once so the k
+    driver-side rounds never re-touch the corpus. All scores are
+    IEEE-exact compositions of
     index-ordered dot products (same both engines); ties break on
     ascending id, and λ/(1−λ) are passed as literals so both engines
     parse the identical double. Output: (rank, vec_id, relevance,
@@ -845,11 +849,14 @@ def mmr_topk(
     is its plain relevance).
     """
     q = corpus.filter(F.col(id_col) == query_id)
-    cand = (
-        cosine_topk(corpus, q, id_col, vec_col, k=n_candidates)
-        .select(F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel"))
-        .localCheckpoint(eager=True)  # bounded: n_candidates rows
-    )
+    if candidates is None:
+        candidates = cosine_topk(
+            corpus, q, id_col, vec_col, k=n_candidates
+        ).select(
+            F.col("neighbor_id").alias("cid"),
+            F.col("cosine").alias("rel"),
+        )
+    cand = candidates.localCheckpoint(eager=True)  # bounded: N rows
     cvecs = with_norm(corpus.select(id_col, vec_col), vec_col).join(
         F.broadcast(cand.select(F.col("cid").alias(id_col))), id_col
     )

@@ -266,3 +266,36 @@ def test_curate_increment_admits_only_novel(spark, tmp_path):
         ).collect()
     )
     assert again == got
+
+
+def test_mmr_accepts_injected_candidate_tier(spark):
+    """The greedy loop composes with any ANN tier: injecting the
+    brute-force candidates explicitly must reproduce the default
+    path exactly (the contract an IVF/LSH candidate source relies
+    on)."""
+    from etl_python_azure_spark.operators.dedup import dot_expr, with_norm
+    from etl_python_azure_spark.operators.similarity import (
+        cosine_topk,
+        mmr_topk,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    em = spark.createDataFrame(
+        [
+            (i, [float(rng.uniform(-1, 1)) for _ in range(64)])
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    default = mmr_topk(em, query_id=0, n_candidates=6, k=3).collect()
+    injected_cand = cosine_topk(
+        em, em.filter("vec_id = 0"), k=6
+    ).select(
+        F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel")
+    )
+    injected = mmr_topk(
+        em, query_id=0, n_candidates=6, k=3, candidates=injected_cand
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, injected))
