@@ -299,9 +299,16 @@ def main() -> None:
     # line under ~2 KB: totals plus the 20 slowest queries. The full
     # per-query map goes to BENCH_DETAIL.json next to this script.
     # write the full map FIRST so a malformed summary line can never
-    # discard a completed (multi-minute) run's timings
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # discard a completed (multi-minute) run's timings.
+    # SPARK_GRAFT_BENCH_DETAIL redirects it (the contract test and
+    # scale rehearsals use temp paths so they never clobber the
+    # committed sf0.1 artifact)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_DETAIL.json",
+        ),
     )
     with open(detail_path, "w") as fh:
         json.dump(

@@ -30,8 +30,13 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns
 
 
-def test_bench_emits_one_json_line(sf_dir):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+def test_bench_emits_one_json_line(sf_dir, tmp_path):
+    detail = str(tmp_path / "detail.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_DETAIL=detail,
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -50,10 +55,10 @@ def test_bench_emits_one_json_line(sf_dir):
     assert payload["unit"] == "sec" and payload["queries"]
     assert payload["value"] > 0
     assert payload["n_queries"] >= len(payload["queries"])
-    # full per-query map lands in BENCH_DETAIL.json
-    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
-    assert len(detail["queries"]) == payload["n_queries"]
-    assert detail["value"] == payload["value"]
+    # full per-query map lands in the (redirected) detail file
+    d = json.load(open(detail))
+    assert len(d["queries"]) == payload["n_queries"]
+    assert d["value"] == payload["value"]
 
 
 def test_driver_window_invariants():
