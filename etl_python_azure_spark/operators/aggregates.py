@@ -262,14 +262,11 @@ def grouped_topk(
     bytes.
 
     Ties break on *tiebreak_col* (must be unique per group); NULL
-    and NaN order values rank as the window formulation (NULLS LAST
-    under descending, NULLS FIRST ascending, NaN above every double)
-    — EXCEPT in a group that mixes NaN with +Inf (desc) or -Inf
-    (asc): the negated-key encoding maps NaN onto the infinity's key
-    value, so their relative order falls to the tiebreak instead of
-    NaN ranking strictly outside ±Inf (see the key-domain comment
-    below). Output: (group..., order_col, tiebreak_col, rn 1..k) —
-    rejoin on the tiebreak for full payloads.
+    and NaN order values rank exactly as the window formulation
+    (NULLS LAST under descending, NULLS FIRST ascending, NaN
+    strictly above every double including +Inf). Output: (group...,
+    order_col, tiebreak_col, rn 1..k) — rejoin on the tiebreak for
+    full payloads.
     """
     from pyspark.sql import functions as F
 
@@ -279,20 +276,25 @@ def grouped_topk(
     # reversing the whole struct order. NULL/NaN must ALSO match the
     # window formulation (review catch: plain -v ranked NULLs first
     # under desc, the window ranks them last): a null flag replicates
-    # Spark's NULLS LAST (desc) / NULLS FIRST (asc), and NaN maps to
-    # the extreme of the key domain because Spark orders NaN above
-    # every double. (Corner: a group containing BOTH NaN and the
-    # infinity NaN maps onto ties on the key and falls to the
-    # tiebreak; the window orders NaN strictly outside ±Inf.)
+    # Spark's NULLS LAST (desc) / NULLS FIRST (asc), and a SECOND
+    # NaN flag ranks NaN strictly outside every double — Spark
+    # orders NaN above +Inf, which no finite key encoding can
+    # express after negation, so NaN rows get a dedicated struct
+    # field (r05 verdict item 6; the negated-key-only form tied NaN
+    # with the infinity and fell to the tiebreak).
     v = F.col(order_col).cast("double")
+    is_nan = F.isnan(v)
     if ascending:
         null_flag = v.isNotNull().cast("int")  # NULLS FIRST
-        key = F.when(F.isnan(v), F.lit(float("inf"))).otherwise(v)
+        nan_flag = is_nan.cast("int")  # NaN above +Inf → last
+        key = F.when(is_nan, F.lit(0.0)).otherwise(v)
     else:
         null_flag = v.isNull().cast("int")  # NULLS LAST
-        key = F.when(F.isnan(v), F.lit(float("-inf"))).otherwise(-v)
+        nan_flag = (~is_nan).cast("int")  # NaN above +Inf → first
+        key = F.when(is_nan, F.lit(0.0)).otherwise(-v)
     pair = F.struct(
         null_flag.alias("nf"),
+        nan_flag.alias("xf"),
         key.alias("s"),
         F.col(tiebreak_col).alias("t"),
         F.col(order_col).alias("v"),

@@ -114,13 +114,18 @@ def _jaccard_on_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_inter"))
         )
+    # `sizes` is corpus-cardinality (one row per input doc, computed
+    # BEFORE any candidate restriction) — no broadcast hint: a forced
+    # broadcast of a corpus-sized frame would hit Spark's 8 GB limit
+    # at 100 TB. AQE broadcasts it when it is actually small and
+    # falls back to shuffle joins when it is not.
     return (
         inter.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))),
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))),
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
             "id_b",
         )
         .select(
@@ -993,17 +998,16 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # No broadcast hint on `sizes` (corpus-cardinality): AQE
+    # broadcasts when small, shuffle-joins when not — a forced hint
+    # here is a 100 TB scale hazard (see _jaccard_on_pairs).
     out = (
         inter.join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-            ),
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-            ),
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
             "id_b",
         )
         .select(

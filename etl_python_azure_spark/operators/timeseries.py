@@ -433,5 +433,10 @@ def seasonal_mase(
         "n_scored_days",
         (F.col("__ss") / n).alias("seasonal_mae"),
         (F.col("__sn") / n).alias("naive_mae"),
-        (F.col("__ss") / F.col("__sn")).alias("mase"),
+        # NULL when the naive-error sum is zero (flat series): under
+        # ANSI mode a bare division would throw DIVIDE_BY_ZERO, and
+        # the oracle's CASE WHEN SUM(qn) <> 0 returns NULL there.
+        F.when(F.col("__sn") != 0, F.col("__ss") / F.col("__sn")).alias(
+            "mase"
+        ),
     )

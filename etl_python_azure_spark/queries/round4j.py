@@ -57,7 +57,8 @@ _OV_LGK = 16
             / CAST(p.exact_a + p.exact_b - COALESCE(i.ov, 0) AS DOUBLE))
              AS exact_jaccard,
            TRUE AS overlap_within_2pct,
-           TRUE AS overlap_within_10pct
+           TRUE AS overlap_within_10pct,
+           CAST(0 AS BIGINT) AS est_rel_err_band
     FROM pairs p
     LEFT JOIN inter i ON i.sa = p.source_a AND i.sb = p.source_b
     """,
@@ -175,6 +176,27 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= F.lit(0.10) * F.col("__exact_union").cast("double")
         ).alias("overlap_within_10pct"),
+        # |est − exact| / union in 2%-wide integer bands (capped at
+        # 50): band 0 ⟺ the 2pct certificate above, so it is green
+        # exactly where the boolean is — but a future breach shows
+        # its MAGNITUDE (band 1 = 2–4%, 3 = 6–8%, …) instead of an
+        # opaque hash mismatch (r05 verdict item 5).
+        F.least(
+            F.floor(
+                F.abs(
+                    (est_overlap - F.col("exact_overlap")).cast(
+                        "double"
+                    )
+                )
+                / (
+                    F.lit(0.02)
+                    * F.col("__exact_union").cast("double")
+                )
+            ),
+            F.lit(50),
+        )
+        .cast("long")
+        .alias("est_rel_err_band"),
     )
 
 

@@ -581,6 +581,10 @@ def adamic_adar_order_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_N = 10
 _MMR_K = 5
+# shared by the oracle SQL and the mmr_topk call so a fixture-dim or
+# λ change can't silently desynchronize engine and oracle
+_MMR_DIM = 64
+_MMR_LAM = 0.7
 
 _MMR_NORM = """
   n AS (
@@ -594,7 +598,7 @@ _MMR_NORM = """
 """
 
 _MMR_DOT = (
-    "list_reduce(list_transform(range(1, 65), "
+    f"list_reduce(list_transform(range(1, {_MMR_DIM + 1}), "
     "i -> CAST({a}.embedding[i] AS DOUBLE) "
     "* CAST({b}.embedding[i] AS DOUBLE)), (acc, v) -> acc + v) "
     "/ ({a}.nrm * {b}.nrm)"
@@ -602,6 +606,10 @@ _MMR_DOT = (
 
 
 def _mmr_oracle(n_cand: int, k: int) -> str:
+    # identical literals to the engine side (mmr_topk uses F.lit(lam)
+    # and F.lit(round(1.0 - lam, 12))) so the scores replay exactly
+    lam = repr(_MMR_LAM)
+    one_minus_lam = repr(round(1.0 - _MMR_LAM, 12))
     ctes = [
         # MATERIALIZED: DuckDB inlines a CTE once PER REFERENCE, and
         # cand/cs are referenced by every unrolled greedy round (the
@@ -637,7 +645,7 @@ def _mmr_oracle(n_cand: int, k: int) -> str:
         ctes.append(f"""sel{r} AS (
       SELECT {r} AS rank, cid, rel, mmr AS mmr_score FROM (
         SELECT c.cid, c.rel,
-               0.7 * c.rel - 0.3 * (
+               {lam} * c.rel - {one_minus_lam} * (
                  SELECT MAX(s.sim) FROM cs s
                  WHERE s.cid = c.cid
                    AND s.sid IN (SELECT cid FROM all{r - 1})
@@ -673,7 +681,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_tables(spark, sf_dir, "embeddings")
     return mmr_topk(
-        em, query_id=0, n_candidates=_MMR_N, k=_MMR_K, lam=0.7
+        em, query_id=0, n_candidates=_MMR_N, k=_MMR_K, lam=_MMR_LAM
     )
 
 

@@ -56,13 +56,15 @@ def streaming_curated_ingest(
     """
     from ..plans.curation import curate_increment
 
-    stream = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .format("parquet")
-        .option(
-            "maxFilesPerTrigger",
-            str(max_files_per_trigger or 1),
+    reader = spark.readStream.schema(DOC_SCHEMA).format("parquet")
+    # None means NO per-trigger file cap (the file source's own
+    # default), not a cap of 1 — only set the option when given.
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
         )
+    stream = (
+        reader
         # producers typically land each delivery as its own
         # subdirectory of part files; without this the file source
         # lists only the top level and silently sees no data

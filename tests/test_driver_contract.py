@@ -137,5 +137,11 @@ def test_artifact_consumer_names_resolve():
         artifact_consumers,
     )
 
-    missing = artifact_consumers() - set(registry())
+    # registry() first: it imports the query modules that populate
+    # the consumer set — the reverse order passes vacuously on an
+    # empty set when this test runs standalone.
+    reg = set(registry())
+    consumers = artifact_consumers()
+    assert consumers, "artifact consumer set is empty"
+    missing = consumers - reg
     assert not missing, missing

@@ -214,3 +214,45 @@ def test_grouped_topk_null_and_nan_match_window(spark):
             .collect()
         ]
         assert agg == win, (asc, agg, win)
+
+
+def test_grouped_topk_nan_with_infinities_match_window(spark):
+    from etl_python_azure_spark.operators.aggregates import grouped_topk
+    from pyspark.sql import Window
+
+    # r05 verdict item 6: a group mixing NaN with ±Inf must STILL
+    # match the window ordering (NaN strictly above +Inf) — the
+    # negated-key-only encoding collapsed NaN onto the infinity and
+    # fell to the tiebreak. Tiebreak ids are chosen ADVERSARIALLY
+    # (the NaN row's id sorts after the Inf row's) so a tie on the
+    # sort key would produce the wrong order, not a lucky pass.
+    rows = [
+        ("g", float("inf"), 1),
+        ("g", float("nan"), 2),
+        ("g", float("-inf"), 3),
+        ("g", float("nan"), 4),
+        ("g", 7.0, 5),
+        ("g", None, 6),
+        ("h", float("-inf"), 7),
+        ("h", float("nan"), 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, v double, id long"
+    ).repartition(5)
+    for asc in (False, True):
+        agg = sorted(
+            (r["g"], r["rn"], r["id"])
+            for r in grouped_topk(
+                df, ["g"], "v", "id", k=8, ascending=asc
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(
+            (F.asc("v") if asc else F.desc("v")), F.asc("id")
+        )
+        win = sorted(
+            (r["g"], r["rn"], r["id"])
+            for r in df.withColumn(
+                "rn", F.row_number().over(w)
+            ).collect()
+        )
+        assert agg == win, (asc, agg, win)

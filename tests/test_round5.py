@@ -72,6 +72,29 @@ def test_seasonal_mase_hand_series(spark):
     assert r["mase"] == 0.0
 
 
+def test_seasonal_mase_flat_series_null_not_divide_by_zero(spark):
+    from etl_python_azure_spark.operators.timeseries import seasonal_mase
+
+    # A perfectly flat series: both error sums are 0, so under ANSI
+    # mode a bare __ss/__sn division throws DIVIDE_BY_ZERO — the
+    # guard must return NULL, mirroring the oracle's CASE WHEN
+    # SUM(qn) <> 0 (ADVICE r05, medium).
+    rows = [("flat", d, 5.0) for d in range(14)] + [
+        ("a", d, float((d % 7) + 1)) for d in range(14)
+    ]
+    got = {
+        r["g"]: r.asDict()
+        for r in seasonal_mase(
+            spark.createDataFrame(rows, "g string, day int, v double"),
+            "g", "day", "v", season_lag=7,
+        ).collect()
+    }
+    assert got["flat"]["mase"] is None
+    assert got["flat"]["seasonal_mae"] == 0.0
+    assert got["flat"]["naive_mae"] == 0.0
+    assert got["a"]["mase"] == 0.0  # non-flat group unaffected
+
+
 def test_adamic_adar_hand_graph(spark):
     from etl_python_azure_spark.operators.graph import adamic_adar_links
 
