@@ -160,6 +160,14 @@ OPTIONAL = [
     "adamic_adar_order_links",
     "mmr_diversified_topk",
     "unpivot_order_metrics",
+    # round-6
+    "rm3_expanded_bm25",
+    "minhash_jaccard_calibration",
+    "trigram_lm_scores",
+    "cc_cluster_sizes",
+    "heaps_law_vocab_fit",
+    "mmr_ivf_topk",
+    "curation_counts_report",
 ]
 
 

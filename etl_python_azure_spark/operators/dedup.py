@@ -1028,3 +1028,93 @@ def containment_pairs(
         (F.col("containment_a_in_b") >= F.lit(threshold))
         | (F.col("containment_b_in_a") >= F.lit(threshold))
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Estimator-accuracy report: MinHash-estimated Jaccard
+    (matching signature slots / k) vs EXACT Jaccard on the LSH
+    candidate pairs — the calibration table that justifies a chosen
+    (k, band) configuration before trusting the sketch at scale
+    (E[est] = J, σ = sqrt(J(1−J)/k); with k=8 the estimate is a
+    coarse 1/8 grid, which is the point of surfacing it).
+
+    Grouped by the estimate's grid value: (est_jaccard, n_pairs,
+    mean_exact_jaccard, mean_abs_err). Means are 1e-8-quantized
+    integer sums divided out at the end (order-free, SQL-exact);
+    est and each |err| are single IEEE ops on exact ratios.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` — band-bucket
+    candidate join, exact verify restricted to candidates, then a
+    9-row-bounded aggregate. Nothing new shuffles.
+    """
+    sh = word_shingles(df, id_col, text_col, n, distinct=False).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    bands = band_assignments(sh, id_col, num_hashes, band_size)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids, id_col, "left_semi").distinct()
+    exact = _jaccard_on_pairs(sh_cand, id_col, cand)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{s}").alias(f"__a{s}") for s in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{s}").alias(f"__b{s}") for s in range(num_hashes)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"__a{s}") == F.col(f"__b{s}"), 1).otherwise(0)
+            for s in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    per_pair = (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            est.alias("est_jaccard"),
+            F.floor(F.col("jaccard") * F.lit(1e8))
+            .cast("decimal(38,0)")
+            .alias("__qj"),
+            F.floor(F.abs(est - F.col("jaccard")) * F.lit(1e8))
+            .cast("decimal(38,0)")
+            .alias("__qe"),
+        )
+    )
+    n_pairs = F.count(F.lit(1))
+    return (
+        per_pair.groupBy("est_jaccard")
+        .agg(
+            n_pairs.cast("long").alias("n_pairs"),
+            (
+                (F.sum("__qj").cast("double") / F.lit(1e8))
+                / n_pairs.cast("double")
+            ).alias("mean_exact_jaccard"),
+            (
+                (F.sum("__qe").cast("double") / F.lit(1e8))
+                / n_pairs.cast("double")
+            ).alias("mean_abs_err"),
+        )
+    )

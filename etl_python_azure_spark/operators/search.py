@@ -344,3 +344,125 @@ def rrf_fuse(
         )
         .filter(F.col("fused_rank") <= top)
     )
+
+
+def rm3_bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_fb: int = 5,
+    m_expansion: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback retrieval: run BM25, mine
+    expansion terms from the top-*n_fb* feedback documents, re-rank
+    with the expanded term set — the classic recall-boosting second
+    pass (query "join" also surfaces docs that say "merge" when the
+    feedback docs use both).
+
+    Expansion-term weight: rel(t) = Σ_{d ∈ FB} (tf(t,d)/dl(d)) ·
+    score(d) — the relevance-model estimate P(t|R) with the BM25
+    score as the document weight. Each contribution is 1e-8
+    floor-quantized and INTEGER-summed (order-free), so term
+    selection replays exactly in SQL; the top-*m_expansion* terms by
+    (weight desc, term asc), excluding the original query terms,
+    join the query.
+
+    Pass 2 scores the expanded set with the same quantized-idf BM25
+    formula, but per-doc accumulation cannot pivot a literal term
+    list (the set is data-dependent) — instead each per-term score
+    is 1e-8 floor-quantized and integer-summed, the same order-free
+    discipline.
+
+    Scale shape: pass 1 touches only the query terms' posting lists;
+    the feedback set is *n_fb* rows (broadcast); term mining scans
+    the feedback docs' postings only (semi-join on the FB ids); pass
+    2 touches (|Q| + m) posting lists. Nothing corpus-wide moves
+    except the one posting-list/doc-length build both passes share.
+    Output: (doc_id, score, n_terms_hit) — top-k, ties on id.
+    """
+    terms = sorted(set(query_terms))
+    fb = bm25_topk(df, terms, k=n_fb, id_col=id_col,
+                   text_col=text_col, k1=k1, b=b).select(
+        id_col, F.col("score").alias("__fbs")
+    )
+    idx = inverted_index(df, id_col, text_col)
+    dls = doc_lengths(df, id_col, text_col).filter(F.col("dl") > 0)
+    # expansion-term mining over the feedback docs' postings only
+    rel = (
+        idx.join(F.broadcast(fb), id_col)
+        .join(dls, id_col)
+        .filter(~F.col("token").isin(terms))
+        .select(
+            "token",
+            F.floor(
+                (
+                    (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                    * F.col("__fbs")
+                )
+                * F.lit(1e8)
+            ).cast("decimal(38,0)").alias("__q"),
+        )
+        .groupBy("token")
+        .agg(F.sum("__q").alias("__relq"))
+    )
+    wexp = Window.orderBy(F.desc("__relq"), F.asc("token"))
+    expansion = (
+        # bounded window: the candidate term table is FB-vocabulary
+        # sized (n_fb docs' distinct tokens), not corpus-sized
+        rel.withColumn("__r", F.row_number().over(wexp))
+        .filter(F.col("__r") <= m_expansion)
+        .select("token")
+    )
+    term_set = expansion.unionByName(
+        df.sparkSession.createDataFrame(
+            [(t,) for t in terms], "token string"
+        )
+    )
+    # pass 2: same BM25 formula over the expanded set; per-doc sums
+    # are quantized + integer-summed (order-free, data-dependent set)
+    idx2 = idx.join(F.broadcast(term_set), "token")
+    stats = dls.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfreq = idx2.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df_t")
+    )
+    posts = (
+        idx2.join(F.broadcast(dfreq), "token")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    raw_idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs").cast("double")
+             - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        )
+    )
+    idf = F.floor(raw_idf * F.lit(1e8)).cast("double") / F.lit(1e8)
+    tf = F.col("tf").cast("double")
+    norm = tf * F.lit(k1 + 1.0) / (
+        tf
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    )
+    per_doc = (
+        posts.select(
+            F.col(id_col),
+            F.floor((idf * norm) * F.lit(1e8))
+            .cast("decimal(38,0)")
+            .alias("__sq"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum("__sq").cast("double") / F.lit(1e8)).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

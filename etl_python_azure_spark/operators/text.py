@@ -809,3 +809,199 @@ def gopher_quality_flags(
         & F.col("ok_stopword_frac")
         & F.col("ok_distinct_ratio"),
     )
+
+
+def trigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document average trigram log-probability under an add-k
+    smoothed trigram model trained on the corpus itself — the
+    third-order member of the unigram/bigram fluency family
+    (:func:`unigram_logprob_scores`, :func:`bigram_logprob_scores`).
+    Higher order = sharper word-salad discrimination: shuffled text
+    keeps its unigram mix and much of its bigram mass, but almost no
+    trigrams.
+
+    Model: lp(w3|w1,w2) = ln((c(w1,w2,w3) + k) / (c(w1,w2) + k·V)),
+    V = unigram vocabulary size. Training is two hash aggregates
+    over one positional token explode (trigram counts are bounded by
+    corpus trigram occurrences, far below corpus text volume);
+    scoring is a shuffle equi-join on the (w1,w2,w3) key — NOT a
+    broadcast (the trigram table outgrows broadcast at corpus
+    scale); only the 1-row vocabulary size broadcasts. ln is
+    1e-8 floor-quantized (the BM25-idf discipline) and the per-doc
+    sum folds over the sorted log-prob list — bit-identical on any
+    partitioning and engine. Output: (id, n_trigrams,
+    avg_trigram_lp).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri = toks.select(
+        F.col(id_col),
+        F.col("token"),
+        F.lead("token", 1).over(w).alias("mid"),
+        F.lead("token", 2).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c3 = tri.groupBy("token", "mid", "nxt").agg(
+        F.count(F.lit(1)).alias("__c3")
+    )
+    # context count c(w1,w2) over ALL bigram occurrences (including
+    # document-final ones) — the standard add-k denominator base
+    big = toks.select(
+        F.col(id_col),
+        F.col("token"),
+        F.lead("token", 1).over(w).alias("mid"),
+    ).filter(F.col("mid").isNotNull())
+    c2 = big.groupBy("token", "mid").agg(F.count(F.lit(1)).alias("__c2"))
+    vocab = toks.agg(F.countDistinct("token").alias("__v"))
+    model = (
+        c3.join(c2, ["token", "mid"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "mid",
+            "nxt",
+            (
+                F.floor(
+                    F.log(
+                        (F.col("__c3") + F.lit(add_k))
+                        / (F.col("__c2") + F.lit(add_k) * F.col("__v"))
+                    )
+                    * F.lit(1e8)
+                )
+                / F.lit(1e8)
+            ).alias("__lp"),
+        )
+    )
+    per_doc = (
+        tri.join(model, ["token", "mid", "nxt"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.expr(
+                "aggregate(sort_array(collect_list(__lp)), 0D,"
+                " (acc, v) -> acc + v)"
+            ).alias("__sum_lp"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_trigrams",
+        (F.col("__sum_lp") / F.col("n_trigrams")).alias("avg_trigram_lp"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_prefixes: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β over ingestion
+    order — the corpus-health curve that says how much NEW vocabulary
+    further crawling buys (β ≈ 0.7–0.8 for natural text; β near 1
+    flags synthetic/ID-heavy text, β near 0 a saturated corpus).
+
+    The corpus is cut into *n_prefixes* id-ordered slices via integer
+    arithmetic on the id (floor(id·P/(max+1)) — NO global-sort
+    window: a single-partition NTILE would funnel the doc table
+    through one task at 100 TB). Prefix p's token count is the
+    cumulative slice total; its vocabulary is the number of distinct
+    tokens whose FIRST slice ≤ p (one min-aggregate per token — the
+    corpus never rescans per prefix). The log-log least-squares fit
+    runs over *n_prefixes* bounded rows: each ln is 1e-8
+    floor-quantized and every regression sum is an exact integer sum
+    of 1e-8-quantized terms, so β replays bit-for-bit in SQL.
+
+    Output (1 row): (n_points, total_tokens, total_vocab,
+    heaps_beta, heaps_ln_k).
+    """
+    mx = df.agg(F.max(F.col(id_col))).first()[0]  # bounded scalar
+    bucket = F.least(
+        F.floor(
+            F.col(id_col).cast("bigint") * n_prefixes / F.lit(int(mx) + 1)
+        ).cast("int"),
+        F.lit(n_prefixes - 1),
+    )
+    toks = df.select(
+        bucket.alias("__b"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    slice_counts = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    first_slice = toks.groupBy("token").agg(F.min("__b").alias("__b"))
+    new_vocab = first_slice.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    # cumulative over n_prefixes rows — a bounded window, not a
+    # corpus-wide single-partition sort
+    wc = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        slice_counts.join(new_vocab, "__b", "left")
+        .select(
+            "__b",
+            F.sum("__nt").over(wc).alias("__ctok"),
+            F.sum(F.coalesce("__nv", F.lit(0))).over(wc).alias("__cvoc"),
+        )
+    )
+    q8 = lambda c: F.floor(c * F.lit(1e8))  # noqa: E731
+    terms = pts.select(
+        (q8(F.log(F.col("__ctok").cast("double"))) / F.lit(1e8)).alias(
+            "__x"
+        ),
+        (q8(F.log(F.col("__cvoc").cast("double"))) / F.lit(1e8)).alias(
+            "__y"
+        ),
+        F.col("__ctok"),
+        F.col("__cvoc"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("__p"),
+        (
+            F.sum(q8(F.col("__x")).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e8)
+        ).alias("__sx"),
+        (
+            F.sum(q8(F.col("__y")).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e8)
+        ).alias("__sy"),
+        (
+            F.sum(
+                q8(F.col("__x") * F.col("__y")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("__sxy"),
+        (
+            F.sum(
+                q8(F.col("__x") * F.col("__x")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("__sxx"),
+        F.max("__ctok").cast("long").alias("total_tokens"),
+        F.max("__cvoc").cast("long").alias("total_vocab"),
+    )
+    beta = (
+        F.col("__p") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (
+        F.col("__p") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return sums.select(
+        F.col("__p").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        beta.alias("heaps_beta"),
+        ((F.col("__sy") - beta * F.col("__sx")) / F.col("__p")).alias(
+            "heaps_ln_k"
+        ),
+    )

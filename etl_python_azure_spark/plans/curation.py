@@ -169,6 +169,18 @@ def curate_increment(
     caller appends them to the base (`jdbc`/parquet append or the
     manifested staging swap, per sink). Append-only, idempotent per
     batch: re-running with the same delta admits the same rows.
+
+    Batch equivalence (pinned by
+    ``test_incremental_curation_equivalent_to_batch``):
+    ``base_train ∪ admitted == curate_corpus(base ∪ delta)``'s train
+    set whenever (a) delta ids exceed base ids — the nightly append
+    shape, making the greedy drop-higher-id policy coincide with
+    "delta loses to base", (b) the admitted ids hash to the train
+    split, and (c) the quota doesn't bind. Outside (c) the policies
+    deliberately DIVERGE on ties: the batch pipeline ranks all train
+    rows by (md5(id), id) and may evict a base row in favor of a
+    lower-hashing delta row, while the incremental path never evicts
+    an already-admitted base row — delta rows only fill headroom.
     """
     base = spark.read.parquet(base_train_dir).select(
         "doc_id", "source", "text"

@@ -88,6 +88,77 @@ def register(name: str, oracle: str | None):
 # greens (stalest evidence first). Everything else keeps its
 # existing green row; after r05 every registry query has a
 # driver-green row in r01∪…∪r05.
+# The r06 window drains the plan queued below at _R05_WINDOW's tail:
+# slots 1–10 re-prove every query whose plan or oracle changed this
+# round (the dedup-verifier broadcast removal touched all six
+# Jaccard-family queries; the grouped_topk NaN-flag struct touched
+# top3_per_segment_agg; seasonal_mase gained the zero guard; the MMR
+# oracle now derives λ/dim from shared constants; hll_source_overlap
+# grew the est_rel_err_band column), slots 11–17 are the new round-6
+# queries, and the rest drains ALL 32 remaining r01-only re-proofs
+# plus the stalest r02-only query — after r06 no query's newest
+# driver evidence predates r03 except the r02 cohort.
+_R06_WINDOW = [
+    # changed in round 6 — re-prove under the driver
+    "containment_dedup_pairs",
+    "ngram_jaccard_pairs",
+    "prefix_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "near_dup_clusters",
+    "incremental_dedup_pairs",
+    "mase_seasonal_screen",
+    "mmr_diversified_topk",
+    "hll_source_overlap",
+    "top3_per_segment_agg",
+    # new in round 6
+    "rm3_expanded_bm25",
+    "minhash_jaccard_calibration",
+    "trigram_lm_scores",
+    "cc_cluster_sizes",
+    "heaps_law_vocab_fit",
+    "mmr_ivf_topk",
+    "curation_counts_report",
+    # r01-only re-proof fill (ALL 32 remaining; drained this round)
+    "acctbal_dominance",
+    "approx_distinct_certificate",
+    "approx_quantile_certificate",
+    "brand_price_stats",
+    "cdc_split_new",
+    "cdc_split_updated",
+    "corr_regression_qty_price",
+    "cube_order_stats",
+    "custdist_order_counts",
+    "customer_set_ops",
+    "customers_with_big_order",
+    "distinct_cardinalities",
+    "drift_tolerant_select",
+    "drop_all_null_columns_q",
+    "dropna_after_left_join",
+    "filter_variety",
+    "grouping_sets_revenue",
+    "json_flatten_props",
+    "large_volume_customers",
+    "nation_revenue_share",
+    "order_rank_stats",
+    "order_value_quantiles",
+    "orders_with_large_items",
+    "promo_revenue_by_supp_nation",
+    "rich_inactive_customers",
+    "rollup_quantity",
+    "scalar_null_toolbox",
+    "shipping_priority",
+    "sliding_window_refresh",
+    "string_length_gate",
+    "string_toolbox",
+    "trailing_week_revenue",
+    # stalest r02-only re-proof (slot 50; the IVF tier mmr_ivf_topk
+    # composes with)
+    "ann_ivf_topk",
+    # r07 window queue: lead with any queries changed in r07, then
+    # candidates from the remaining r02-only cohort (46 queries —
+    # ann_* recalls, asof/funnel/session families), stalest first.
+]
+
 _R05_WINDOW = [
     # never driver-checked (deferred from the r04 window; slots 1–17)
     "purged_fold_report",
@@ -262,7 +333,8 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4i  # noqa: F401
     from . import round4j  # noqa: F401
     from . import round5  # noqa: F401
+    from . import round6  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R05_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R06_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

@@ -605,11 +605,27 @@ _MMR_DOT = (
 )
 
 
-def _mmr_oracle(n_cand: int, k: int) -> str:
+def _mmr_oracle(
+    n_cand: int, k: int, cand_ctes: list[str] | None = None
+) -> str:
     # identical literals to the engine side (mmr_topk uses F.lit(lam)
     # and F.lit(round(1.0 - lam, 12))) so the scores replay exactly
     lam = repr(_MMR_LAM)
     one_minus_lam = repr(round(1.0 - _MMR_LAM, 12))
+    if cand_ctes is None:
+        # default candidate tier: brute-force cosine top-N
+        cand_ctes = [
+            f"""sims AS MATERIALIZED (
+      SELECT c.vec_id AS cid, {_MMR_DOT.format(a='q', b='c')} AS rel
+      FROM n c, q WHERE c.vec_id <> 0
+    )""",
+            f"""cand AS MATERIALIZED (
+      SELECT cid, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS r
+        FROM sims
+      ) WHERE r <= {n_cand}
+    )""",
+        ]
     ctes = [
         # MATERIALIZED: DuckDB inlines a CTE once PER REFERENCE, and
         # cand/cs are referenced by every unrolled greedy round (the
@@ -618,16 +634,7 @@ def _mmr_oracle(n_cand: int, k: int) -> str:
         # materialized)
         _MMR_NORM,
         "q AS MATERIALIZED (SELECT * FROM n WHERE vec_id = 0)",
-        f"""sims AS MATERIALIZED (
-      SELECT c.vec_id AS cid, {_MMR_DOT.format(a='q', b='c')} AS rel
-      FROM n c, q WHERE c.vec_id <> 0
-    )""",
-        f"""cand AS MATERIALIZED (
-      SELECT cid, rel FROM (
-        SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS r
-        FROM sims
-      ) WHERE r <= {n_cand}
-    )""",
+        *cand_ctes,
         f"""cs AS MATERIALIZED (
       SELECT a.vec_id AS cid, b.vec_id AS sid,
              {_MMR_DOT.format(a='a', b='b')} AS sim
