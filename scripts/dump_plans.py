@@ -142,6 +142,19 @@ QUERIES = [
     "adamic_adar_order_links",
     "mmr_diversified_topk",
     "unpivot_order_metrics",
+    # round-6 (curation_counts_report is omitted: its builder RUNS
+    # the curate_corpus pipeline and returns a one-row count frame,
+    # so its plan is a LocalRelation — the pipeline's plan facts are
+    # audited via corpus_curation_pipeline above)
+    "rm3_expanded_bm25",
+    "minhash_jaccard_calibration",
+    "trigram_lm_scores",
+    "cc_cluster_sizes",
+    "heaps_law_vocab_fit",
+    "mmr_ivf_topk",
+    # r06: the Jaccard-family verifiers after the forced-broadcast
+    # removal (re-audited — `sizes` joins are now AQE-chosen)
+    "ngram_jaccard_pairs",
 ]
 
 
@@ -254,6 +267,24 @@ def main() -> None:
         " relative row deltas, not absolute totals; the 116 s run"
         " (quiet machine) is the steady-state reading for the r05"
         " surface (127 rows incl. the new curation pipeline).",
+        "",
+        "- Jaccard/containment verifier joins (r05 verdict item 1,"
+        " fixed r06): ngram_jaccard_pairs / containment_pairs /"
+        " the minhash & prefix verify tiers no longer FORCE-broadcast"
+        " the corpus-cardinality per-document `sizes` frame — the"
+        " hint is gone from operators/dedup.py, so any"
+        " BroadcastHashJoin still shown for those queries above is"
+        " AQE/size-estimate-chosen at this SF and degrades to a"
+        " shuffle join when `sizes` outgrows the threshold, instead"
+        " of dying at Spark's 8 GB broadcast hard limit at 100 TB.",
+        "",
+        "- Bench artifacts are load-aware as of r06: bench.py times a"
+        " fixed CPU kernel before/after the query loop and records it"
+        " as `calib_sec` in both the summary line and"
+        " BENCH_DETAIL.json (quiet-machine reference ~0.08 s);"
+        " SPARK_GRAFT_BENCH_REPEATS=N additionally stores per-query"
+        " run lists and keeps the min. Compare calib_sec first,"
+        " per-query rows second.",
         "",
         "- latinad_full_refresh bench variance: mid-r04 runs measured"
         " 9.3–10.8 s (vs 6.75 s in BENCH_r03) — re-running the exact"

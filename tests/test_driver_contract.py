@@ -67,28 +67,32 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R05_WINDOW, registry
+    from etl_python_azure_spark.queries import _R06_WINDOW, registry
 
     reg = registry()
-    assert len(_R05_WINDOW) == 50
-    assert len(set(_R05_WINDOW)) == 50
-    assert all(n in reg for n in _R05_WINDOW)
-    assert list(reg)[:50] == _R05_WINDOW
+    assert len(_R06_WINDOW) == 50
+    assert len(set(_R06_WINDOW)) == 50
+    assert all(n in reg for n in _R06_WINDOW)
+    assert list(reg)[:50] == _R06_WINDOW
     assert all(spec.oracle is not None for spec in reg.values())
-    # r05 mandate: slots 1-17 are the 17 queries with no driver row
-    # in CORRECTNESS_r01..r04 (r04 verdict item 1)
-    deferred = [
-        "purged_fold_report", "event_pair_rules",
-        "segment_target_encoding", "source_temperature_mix",
-        "window_toolbox_orders", "top3_per_segment_agg",
-        "value_quartiles_by_type", "cube_order_counts",
-        "source_signature_terms", "label_projection_stats",
-        "lang_id_confusion", "score_reliability_bins",
-        "cooccurrence_rec_hitrate", "rank_normalized_value_by_type",
-        "pca_top2_components", "hll_source_overlap",
-        "source_dup_health",
+    # r06 mandate (r05 verdict items 1-2): slots 1-10 re-prove every
+    # query whose plan or oracle changed this round; slots 11-17 are
+    # the new round-6 queries
+    changed = [
+        "containment_dedup_pairs", "ngram_jaccard_pairs",
+        "prefix_jaccard_pairs", "minhash_dedup_pairs",
+        "near_dup_clusters", "incremental_dedup_pairs",
+        "mase_seasonal_screen", "mmr_diversified_topk",
+        "hll_source_overlap", "top3_per_segment_agg",
     ]
-    assert _R05_WINDOW[:17] == deferred
+    new_r06 = [
+        "rm3_expanded_bm25", "minhash_jaccard_calibration",
+        "trigram_lm_scores", "cc_cluster_sizes",
+        "heaps_law_vocab_fit", "mmr_ivf_topk",
+        "curation_counts_report",
+    ]
+    assert _R06_WINDOW[:10] == changed
+    assert _R06_WINDOW[10:17] == new_r06
 
 
 def test_bench_and_plan_audit_names_resolve():
