@@ -168,6 +168,12 @@ OPTIONAL = [
     "heaps_law_vocab_fit",
     "mmr_ivf_topk",
     "curation_counts_report",
+    # round-6b
+    "semdedup_cluster_pairs",
+    "ivf_probe_recall_sweep",
+    "heavy_hitter_tokens",
+    "readability_by_source",
+    "cusum_value_changepoints",
 ]
 
 

@@ -329,3 +329,62 @@ def grouped_topk(
         F.col("__p.t").alias(tiebreak_col),
         (F.col("__i") + 1).cast("int").alias("rn"),
     )
+
+
+def cms_heavy_hitters(
+    tokens: DataFrame,
+    phi: float = 0.01,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Heavy hitters (φ-frequent items) via the count-min sketch with
+    an exact verify pass — the FIND-all companion to
+    :func:`cms_estimate`'s point queries.
+
+    CMS estimates only ever OVER-count, so ``estimate ≥ ⌈φ·N⌉`` is a
+    superset of the true φ-heavy set: the sketch gates the candidate
+    set down from |vocab| to ~1/φ tokens, then ONE exact count join
+    scoped to those candidates labels each candidate
+    (``is_true_hh``) — false positives are visible, false negatives
+    impossible. At 100 TB the cell table stays depth×width regardless
+    of corpus size (mergeable partials, map-side combined), the probe
+    pass is vocabulary-sized (the r05 CMS lesson: hash the vocab,
+    not the occurrence stream), and the exact join touches only
+    candidate tokens.
+
+    Output: (token, cms_estimate, exact_count, hh_threshold,
+    is_true_hh).
+    """
+    n = tokens.agg(F.count(F.lit(1)).alias("__n_tok"))
+    vocab = tokens.select(token_col).distinct()
+    sketch = cms_build(tokens, token_col, depth, width)
+    est = cms_estimate(sketch, vocab, token_col, depth, width)
+    thresh = F.ceil(F.lit(phi) * F.col("__n_tok").cast("double")).cast(
+        "long"
+    )
+    cand = (
+        est.crossJoin(F.broadcast(n))
+        .withColumn("__thresh", thresh)
+        .filter(F.col("cms_estimate") >= F.col("__thresh"))
+    )
+    # exact pass scoped to the candidates (≤ ~1/phi tokens, broadcast)
+    exact = (
+        tokens.join(
+            F.broadcast(cand.select(F.col("token").alias(token_col))),
+            token_col,
+        )
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumnRenamed(token_col, "token")
+    )
+    return (
+        cand.join(exact, "token")
+        .select(
+            "token",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            F.col("__c").cast("long").alias("exact_count"),
+            F.col("__thresh").alias("hh_threshold"),
+            (F.col("__c") >= F.col("__thresh")).alias("is_true_hh"),
+        )
+    )

@@ -922,3 +922,58 @@ def mmr_topk(
         "rank", F.col("cid").alias(id_col), F.col("rel").alias("relevance"),
         "mmr_score",
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: bucket every
+    vector by a FROZEN coarse quantizer (:func:`ivf_assign` against
+    *centroids*, typically :func:`kmeans_centroids` output), then run
+    exact cosine only WITHIN a cell — near-duplicates land in the
+    same cell with high probability, so the O(n²) verify collapses
+    to Σ|cell|², the same candidate-restriction trick the MinHash
+    tier plays for text (SemDeDup, Abbas et al. 2023).
+
+    Scale contract: pick ``num_centroids ≈ √n`` when training the
+    quantizer so expected cell size stays √n and the per-cell pair
+    join stays subquadratic; the cell equi-join shuffles each vector
+    ONCE (keyed by cell), never the pair space. Recall is bounded by
+    cell purity — pairs split across cells are missed, exactly the
+    tradeoff :func:`..operators.dedup.embedding_cosine_pairs` (the
+    brute-force verifier) exists to audit on samples.
+
+    Output: (id_a, id_b, cell, cosine), id_a < id_b,
+    cosine ≥ *threshold*.
+    """
+    from .dedup import dot_expr
+
+    asg = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = asg.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("__vc").alias("__va"),
+        F.col("__nc").alias("__na"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("__vc").alias("__vb"),
+        F.col("__nc").alias("__nb"),
+        "cell",
+    )
+    cos = dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cell").cast("long").alias("cell"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -1005,3 +1005,46 @@ def heaps_law_fit(
             "heaps_ln_k"
         ),
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch reading-ease score from cheap lexical
+    proxies: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words), with syllables ≈ vowel-group count and sentences ≈
+    terminal-punctuation runs (min 1). The readability axis of the
+    quality-scoring family — one Column expression pass, no shuffle,
+    no UDF; the constants and operation ORDER are pinned so a SQL
+    oracle reproduces the double bit-for-bit.
+
+    Output: (id_col, n_words, n_sentences, n_syllables, flesch);
+    empty/whitespace-only docs (0 words) are dropped rather than
+    dividing by zero under ANSI mode.
+    """
+    words = F.size(F.split(F.lower(F.col(text_col)), " "))
+    syll = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+    )
+    out = df.select(
+        id_col,
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wps = out["n_words"].cast("double") / out["n_sentences"].cast("double")
+    spw = out["n_syllables"].cast("double") / out["n_words"].cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    return out.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

@@ -440,3 +440,79 @@ def seasonal_mase(
             "mase"
         ),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    scale: float = 1e8,
+) -> DataFrame:
+    """Single-changepoint estimate per group via the classic CUSUM
+    statistic: S_t = Σ_{i≤t}(x_i − x̄); the estimated change time is
+    argmax_t |S_t| (earliest time on ties) — the screening pass that
+    flags WHERE a level shift happened before a model is fit.
+
+    Determinism across engines: values are floor-quantized to
+    1e-8 integers up front, the running sum and total are EXACT
+    integer window sums, and the only doubles are μ = Q/n and
+    S_t = (cum_t − t·μ)/scale — the same IEEE ops in both engines,
+    so the argmax ordering can't diverge. Per-group windows sort one
+    partition per key (series length = days per group — bounded);
+    nothing crosses groups, no driver state.
+
+    Output: (group_col, n_points, cp_time, cusum_at_cp, mean_before,
+    mean_after); mean_after is NULL when the argmax lands on the last
+    point.
+    """
+    q = F.floor(F.col(value_col).cast("double") * F.lit(scale)).cast(
+        "long"
+    )
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    staged = df.select(
+        group_col,
+        time_col,
+        q.alias("__q"),
+    ).select(
+        group_col,
+        time_col,
+        F.sum("__q").over(w_ord).alias("__cq"),
+        F.row_number()
+        .over(Window.partitionBy(group_col).orderBy(time_col))
+        .alias("__t"),
+        F.sum("__q").over(w_all).alias("__tot"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    mu = F.col("__tot").cast("double") / F.col("__n").cast("double")
+    s = (
+        F.col("__cq").cast("double") - F.col("__t").cast("double") * mu
+    ) / F.lit(scale)
+    scored = staged.withColumn("__s", s)
+    pick = Window.partitionBy(group_col).orderBy(
+        F.desc(F.abs(F.col("__s"))), F.asc(time_col)
+    )
+    top = scored.withColumn("__rk", F.row_number().over(pick)).filter(
+        F.col("__rk") == 1
+    )
+    mean_before = F.col("__cq").cast("double") / (
+        F.col("__t").cast("double") * F.lit(scale)
+    )
+    mean_after = F.when(
+        F.col("__n") > F.col("__t"),
+        (F.col("__tot") - F.col("__cq")).cast("double")
+        / ((F.col("__n") - F.col("__t")).cast("double") * F.lit(scale)),
+    )
+    return top.select(
+        group_col,
+        F.col("__n").cast("long").alias("n_points"),
+        F.col(time_col).alias("cp_time"),
+        F.col("__s").alias("cusum_at_cp"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+    )

@@ -154,9 +154,16 @@ _R06_WINDOW = [
     # stalest r02-only re-proof (slot 50; the IVF tier mmr_ivf_topk
     # composes with)
     "ann_ivf_topk",
-    # r07 window queue: lead with any queries changed in r07, then
-    # candidates from the remaining r02-only cohort (46 queries —
-    # ann_* recalls, asof/funnel/session families), stalest first.
+    # r07 window queue (already known as of r06): slots 1-6 must be
+    # ann_ivf_kmeans_recall (now serves centroids from the
+    # km_centroids train-once artifact — plan changed, oracle
+    # unchanged) plus the five round-6b queries
+    # (semdedup_cluster_pairs, ivf_probe_recall_sweep,
+    # heavy_hitter_tokens, readability_by_source,
+    # cusum_value_changepoints — new, driver-unproven); then any
+    # queries changed in r07 itself; then re-proof fill from the
+    # r02-only cohort (46 queries — ann_* recalls, asof/funnel/
+    # session families), stalest first.
 ]
 
 _R05_WINDOW = [
@@ -334,6 +341,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round4j  # noqa: F401
     from . import round5  # noqa: F401
     from . import round6  # noqa: F401
+    from . import round6b  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R06_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -1,0 +1,405 @@
+"""Round-6b registry surface: the embedding-space dedup scale tier,
+ANN tuning sweeps, sketch-gated heavy hitters, readability scoring,
+and changepoint screening.
+
+- SemDeDup-style clustered semantic dedup (k-means cells restrict
+  the exact-cosine verify — the embedding twin of the MinHash
+  candidate-join, Abbas et al. 2023 pattern)
+- IVF nprobe recall sweep (recall@5 at nprobe ∈ {1,2,4,8} in one
+  report — the tuning table that picks the probe budget before an
+  index ships)
+- CMS-gated heavy hitters with exact verification (find-all
+  φ-frequent tokens; sketch candidates, one scoped exact join)
+- Flesch reading-ease per source (readability axis of the
+  quality-scoring family)
+- CUSUM changepoint screen over per-type daily value series (where
+  did the level shift happen)
+
+Determinism: the standing registry rules — floor-quantized fixed
+point for any data-dependent float accumulation, sequential-fold
+dot products (identical IEEE op order both engines), unique
+tiebreakers in every top-k / argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from . import register
+from .round4b import _CMS_BUCKET, _CMS_DEPTH, _CMS_WIDTH
+from .similarity import _COS, _KM_FINAL, _KM_ROUNDS, _NORM_CTE, _km_index, _lloyd_oracle_sql
+
+# --------------------------------------------------------------------------
+# SemDeDup: clustered semantic near-dup pairs.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.46
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_NORM_CTE},
+    {_lloyd_oracle_sql(_KM_ROUNDS)},
+    asg AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT v.vec_id AS id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, 65), i ->
+                     CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]),
+                     (acc, x) -> acc + x) / (v.nrm * c.cnorm) DESC,
+                   c.cid ASC) AS rnk
+        FROM n v CROSS JOIN {_KM_FINAL} c
+      ) WHERE rnk = 1
+    ),
+    pairs AS (
+      SELECT aa.id AS id_a, ab.id AS id_b, aa.cell,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+      FROM asg aa
+      JOIN asg ab ON aa.cell = ab.cell AND aa.id < ab.id
+      JOIN n a ON a.vec_id = aa.id
+      JOIN n b ON b.vec_id = ab.id
+    )
+    SELECT id_a, id_b, CAST(cell AS BIGINT) AS cell, cosine
+    FROM pairs WHERE cosine >= {_SEMDEDUP_TAU}
+    """
+
+
+@register("semdedup_cluster_pairs", _SEMDEDUP_ORACLE)
+def semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-shaped: the frozen
+    k-means quantizer (the train-once ``km_centroids`` artifact the
+    IVF recall query also serves from) buckets every vector, and
+    exact cosine runs only within a cell — the candidate-restricted
+    scale path whose recall the brute-force
+    ``embedding_cosine_pairs`` verifier audits. The oracle replays
+    the full Lloyd training plus the cell-restricted pair join."""
+    from ..operators.similarity import semdedup_pairs
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return semdedup_pairs(
+        em, _km_index(spark, sf_dir), threshold=_SEMDEDUP_TAU
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe recall sweep.
+# --------------------------------------------------------------------------
+
+_SWEEP_PROBES = [1, 2, 4, 8]
+_SWEEP_K = 5
+_SWEEP_NQ = 10
+
+
+def _sweep_oracle() -> str:
+    branches = []
+    for np_ in _SWEEP_PROBES:
+        branches.append(
+            f"""isims{np_} AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM probe_all p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id AND p.rnk <= {np_}
+    ),
+    ivf{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM isims{np_}
+      ) WHERE rank <= {_SWEEP_K}
+    ),
+    hits{np_} AS (
+      SELECT {np_} AS nprobe, COUNT(*) AS n_hits
+      FROM bf JOIN ivf{np_} USING (query_id, neighbor_id)
+    )"""
+        )
+        # noqa: E501
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM hits{np_}" for np_ in _SWEEP_PROBES
+    )
+    denom = _SWEEP_K * _SWEEP_NQ
+    return f"""
+    WITH {_NORM_CTE},
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe_all AS MATERIALIZED (
+      SELECT qid, cell, rnk FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < {_SWEEP_NQ}
+      ) WHERE rnk <= {max(_SWEEP_PROBES)}
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+      FROM n q JOIN n c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {_SWEEP_NQ}
+    ),
+    bf AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM sims
+      ) WHERE rank <= {_SWEEP_K}
+    ),
+    {",".join(branches)}
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits AS DOUBLE) / CAST({denom} AS DOUBLE)
+             AS recall_at_{_SWEEP_K}
+    FROM ({union})
+    """
+
+
+@register("ivf_probe_recall_sweep", _sweep_oracle())
+def ivf_probe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the lowest-id-centroid IVF tier at nprobe ∈
+    {1,2,4,8} in ONE report — the tuning sweep that picks the probe
+    budget (recall vs cells-scanned) before an index configuration
+    ships. Brute-force truth is computed once; each sweep point is a
+    candidate-restricted rank join, so the whole table costs ~the
+    sum of its points, not a fresh corpus scan per point."""
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < _SWEEP_NQ)
+    bf = cosine_topk(em, q, k=_SWEEP_K).select("query_id", "neighbor_id")
+    denom = float(_SWEEP_K * _SWEEP_NQ)
+    parts = []
+    for np_ in _SWEEP_PROBES:
+        iv = ivf_topk(
+            em, q, k=_SWEEP_K, num_centroids=16, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        parts.append(
+            bf.join(iv, ["query_id", "neighbor_id"]).agg(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_hits"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "nprobe",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(denom)).alias(
+            f"recall_at_{_SWEEP_K}"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# CMS-gated heavy hitters with exact verification.
+# --------------------------------------------------------------------------
+
+_HH_PHI = "0.005"
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT t.token FROM documents,
+        UNNEST(string_split(lower(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_tok FROM toks),
+    cells AS MATERIALIZED (
+      SELECT seed, {_CMS_BUCKET.format(t="token")} AS bucket,
+             COUNT(*) AS cnt
+      FROM toks, UNNEST(range(0, {_CMS_DEPTH})) AS s(seed)
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT token FROM toks),
+    probes AS (
+      SELECT v.token, s.seed, {_CMS_BUCKET.format(t="v.token")} AS bucket
+      FROM vocab v, UNNEST(range(0, {_CMS_DEPTH})) AS s(seed)
+    ),
+    est AS (
+      SELECT token, MIN(COALESCE(cnt, 0)) AS e FROM probes
+      LEFT JOIN cells USING (seed, bucket) GROUP BY token
+    ),
+    thresh AS (
+      SELECT CAST(ceil(CAST({_HH_PHI} AS DOUBLE)
+                       * CAST(n_tok AS DOUBLE)) AS BIGINT) AS th
+      FROM n
+    ),
+    cand AS (SELECT token, e FROM est, thresh WHERE e >= th),
+    exact AS (
+      SELECT token, COUNT(*) AS c FROM toks
+      WHERE token IN (SELECT token FROM cand) GROUP BY token
+    )
+    SELECT cand.token,
+           CAST(cand.e AS BIGINT) AS cms_estimate,
+           CAST(exact.c AS BIGINT) AS exact_count,
+           thresh.th AS hh_threshold,
+           exact.c >= thresh.th AS is_true_hh
+    FROM cand JOIN exact USING (token), thresh
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find-ALL φ-frequent tokens (φ = 0.5%) with the count-min
+    sketch as the candidate gate and one exact count join scoped to
+    the candidates — CMS only over-counts, so the candidate set is a
+    superset of the true heavy set and ``is_true_hh`` exposes the
+    sketch's false positives. The companion to
+    ``cms_token_frequency``'s point queries: same depth×width
+    mergeable cell table, vocabulary-sized probe pass, candidate-
+    bounded exact pass."""
+    from ..operators.aggregates import cms_heavy_hitters
+
+    d = load_tables(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return cms_heavy_hitters(
+        toks, phi=float(_HH_PHI), depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading ease per source.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "readability_by_source",
+    """
+    WITH f AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) AS w,
+             len(regexp_extract_all(lower(text), '[aeiou]+')) AS sy,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             (CAST(206.835 AS DOUBLE)
+              - CAST(1.015 AS DOUBLE)
+                * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)))
+              - CAST(84.6 AS DOUBLE)
+                * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch
+      FROM f WHERE w > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(floor(flesch * CAST(1e8 AS DOUBLE)) AS BIGINT))
+                AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(1e8 AS DOUBLE))
+             AS mean_flesch
+    FROM scored GROUP BY source
+    """,
+)
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Flesch reading-ease per source — the readability axis of
+    the quality-score family (vowel-group syllables, terminal-
+    punctuation sentences). One Column-expression scan, one hash
+    aggregate; the per-source mean is an exact integer sum of
+    1e-8-quantized per-doc scores, so the float never depends on
+    aggregation order."""
+    from ..operators.text import flesch_reading_ease
+
+    d = load_tables(spark, sf_dir, "documents")
+    per_doc = flesch_reading_ease(
+        d.select("source", "doc_id", "text"), id_col="source"
+    )
+    q = F.floor(F.col("flesch") * F.lit(1e8)).cast("long")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(q).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e8))
+        ).alias("mean_flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint screen over per-type daily value series.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cusum_value_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT event_type, day,
+             CAST(floor(v * CAST(1e8 AS DOUBLE)) AS BIGINT) AS qv
+      FROM daily
+    ),
+    staged AS (
+      SELECT event_type, day,
+             SUM(qv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cq,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS t,
+             SUM(qv) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    scored AS (
+      SELECT *,
+             (CAST(cq AS DOUBLE)
+              - CAST(t AS DOUBLE)
+                * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(1e8 AS DOUBLE) AS s
+      FROM staged
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY abs(s) DESC, day ASC
+        ) AS rk FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           day AS cp_time,
+           s AS cusum_at_cp,
+           CAST(cq AS DOUBLE)
+             / (CAST(t AS DOUBLE) * CAST(1e8 AS DOUBLE)) AS mean_before,
+           CASE WHEN n > t THEN
+             CAST(tot - cq AS DOUBLE)
+               / (CAST(n - t AS DOUBLE) * CAST(1e8 AS DOUBLE))
+           END AS mean_after
+    FROM top
+    """,
+)
+def cusum_value_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM changepoint screen over the daily value
+    series: S_t = Σ(x−x̄), change day = argmax |S_t| — flags WHERE
+    the level shifted before anyone fits a model. Daily sums are
+    exact decimal, the CUSUM works on 1e-8 fixed-point integers, and
+    the only doubles (μ, S_t) use identical IEEE ops in both engines
+    so the argmax can't diverge. One window sort per type, nothing
+    crosses groups."""
+    from ..operators.timeseries import cusum_changepoint
+
+    e = load_tables(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    return cusum_changepoint(daily, "event_type", "day", "v")

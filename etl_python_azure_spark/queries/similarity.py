@@ -550,6 +550,25 @@ _KMEANS_RECALL_ORACLE = f"""
     """
 
 
+def _km_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once spherical k-means centroids (16 cells,
+    ``_KM_ROUNDS`` rounds, ``tol=0``), localCheckpoint-ed: the first
+    consumer in a process pays the Lloyd training (the path every
+    consumer's oracle replays as unrolled SQL), later consumers —
+    the IVF recall query and the SemDeDup cell-restricted dedup —
+    serve from the frozen quantizer. See queries/_artifacts.py."""
+    from ..operators.similarity import kmeans_centroids
+    from ._artifacts import fit_once
+
+    def build():
+        em = load_tables(spark, sf_dir, "embeddings")
+        return kmeans_centroids(
+            em, num_centroids=16, max_iter=_KM_ROUNDS, tol=0.0
+        ).localCheckpoint(eager=True)
+
+    return fit_once(spark, sf_dir, "km_centroids", build)
+
+
 @register("ann_ivf_kmeans_recall", _KMEANS_RECALL_ORACLE)
 def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF probing with a TRAINED (spherical k-means)
@@ -561,12 +580,10 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled SQL CTEs (:func:`_lloyd_oracle_sql`) — the one former
     ``oracle: None`` registry entry is now hash-checked end to end.
     """
-    from ..operators.similarity import ivf_topk, kmeans_centroids
+    from ..operators.similarity import ivf_topk
 
     em = load_tables(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(
-        em, num_centroids=16, max_iter=_KM_ROUNDS, tol=0.0
-    )
+    cents = _km_index(spark, sf_dir)
     q = em.filter(F.col("vec_id") < 10)
     bf = cosine_topk(em, q, k=5).select("query_id", "neighbor_id")
     ivf = ivf_topk(em, q, k=5, nprobe=4, centroids=cents).select(
@@ -632,6 +649,12 @@ _register_prewarm(
     consumers={
         "ann_pq_adc_recall", "ann_pq_rerank_recall", "ann_ivfpq_recall",
     },
+)
+
+_register_prewarm(
+    "km_centroids",
+    _km_index,
+    consumers={"ann_ivf_kmeans_recall", "semdedup_cluster_pairs"},
 )
 
 

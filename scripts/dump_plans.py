@@ -155,6 +155,14 @@ QUERIES = [
     # r06: the Jaccard-family verifiers after the forced-broadcast
     # removal (re-audited — `sizes` joins are now AQE-chosen)
     "ngram_jaccard_pairs",
+    # round-6b
+    "semdedup_cluster_pairs",
+    "ivf_probe_recall_sweep",
+    "heavy_hitter_tokens",
+    "readability_by_source",
+    "cusum_value_changepoints",
+    # r06b: re-audited after the km_centroids train-once artifact
+    "ann_ivf_kmeans_recall",
 ]
 
 
