@@ -174,6 +174,7 @@ OPTIONAL = [
     "heavy_hitter_tokens",
     "readability_by_source",
     "cusum_value_changepoints",
+    "lsh_band_sweep",
 ]
 
 

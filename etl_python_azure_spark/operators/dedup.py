@@ -1118,3 +1118,106 @@ def minhash_calibration(
             ).alias("mean_abs_err"),
         )
     )
+
+
+def _mult_chain(x: Column, p: int) -> Column:
+    """x**p for p in {1,2,4,8} via an explicit multiplication chain
+    (x2=x*x, x4=x2*x2, ...) — bit-identical in any engine, unlike
+    libm pow whose last-ulp rounding differs across runtimes."""
+    assert p in (1, 2, 4, 8)
+    y = x
+    while p > 1:
+        y = y * y
+        p //= 2
+    return y
+
+
+def lsh_band_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_sizes: tuple[int, ...] = (1, 2, 4),
+    j_floor: float = 0.2,
+) -> DataFrame:
+    """Banding s-curve sweep: for each (bands, rows-per-band) split
+    of the k-hash MinHash signature, the DETECTION RATE over true
+    Jaccard pairs (J ≥ *j_floor*), bucketed by 0.2-wide Jaccard
+    bins, next to the classic s-curve reference 1−(1−J^r)^b — the
+    table that picks the banding before the sketch gates a corpus
+    (steep curve past the dedup threshold, flat below it).
+
+    Ground truth is the exact co-shingle pair join (the brute tier —
+    this is a run-occasionally CALIBRATION audit; at 100 TB run it
+    on a sampled stratum, the per-config candidate joins themselves
+    stay banded/linear). The truth table and shingles are computed
+    once and persisted across the per-config branches. The reference
+    curve uses explicit multiplication chains (see
+    :func:`_mult_chain`), so a SQL oracle reproduces every double
+    bit-for-bit; detection joins use the same min‖max band
+    fingerprint as :func:`band_assignments`.
+
+    Output: (bands, rows_per_band, j_bin5, n_pairs, n_detected,
+    detect_rate, mean_theory_detect); j_bin5 = floor(J·5).
+    """
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    truth = (
+        _jaccard_on_pairs(sh, id_col, None)
+        .filter(F.col("jaccard") >= F.lit(j_floor))
+        .persist()
+    )
+    parts = []
+    for r in band_sizes:
+        n_bands = num_hashes // r
+        bands = band_assignments(sh, id_col, num_hashes, r)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "band_sig"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        jr = _mult_chain(F.col("jaccard"), r)
+        miss = _mult_chain(F.lit(1.0) - jr, n_bands)
+        theory = F.lit(1.0) - miss
+        qth = F.floor(theory * F.lit(1e8)).cast("long")
+        flagged = truth.join(cand, ["id_a", "id_b"], "left")
+        parts.append(
+            flagged.groupBy(
+                F.floor(F.col("jaccard") * F.lit(5.0))
+                .cast("long")
+                .alias("j_bin5")
+            ).agg(
+                F.lit(n_bands).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.coalesce("__hit", F.lit(0)))
+                .cast("long")
+                .alias("n_detected"),
+                (
+                    F.sum(F.coalesce("__hit", F.lit(0))).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("detect_rate"),
+                (
+                    (F.sum(qth).cast("double") / F.lit(1e8))
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("mean_theory_detect"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "j_bin5",
+        "n_pairs",
+        "n_detected",
+        "detect_rate",
+        "mean_theory_detect",
+    )

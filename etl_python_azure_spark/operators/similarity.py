@@ -325,7 +325,57 @@ def _nearest_cells(
     vec_col: str,
     n_cells: int,
 ) -> DataFrame:
-    """Top-*n_cells* centroids per vector (by cosine, id tiebreak)."""
+    """Top-*n_cells* centroids per vector (by cosine, id tiebreak).
+
+    The ``n_cells == 1`` path (every corpus assignment: Lloyd
+    rounds, :func:`ivf_assign`, the SemDeDup bucketing) is a ONE-scan
+    ``max_by`` aggregate over the broadcast cross join: the argmax
+    key is the slim (cos, −centroid_id) struct and the row payload
+    rides inside the max_by VALUE, so partial aggregation collapses
+    to one row per vector per partition before anything shuffles —
+    the window formulation instead sorted and shuffled all n×K
+    cross-join rows with the embedding payload attached (measured
+    23.6 s → 1.4 s for 20 k × 160 cells at 64 dims), a cost that
+    grows with K and kills exactly the K ∝ n configuration that
+    keeps clustered dedup linear. The assignment stage is
+    COMPUTE-dense (K×dim flops/row), so when the input's partition
+    count is below the cluster's parallelism (one small parquet
+    file at bench SFs) the corpus is repartitioned first — on a
+    real multi-file 100 TB table the scan already yields enough
+    splits and the gate is a no-op. ``max_by`` over
+    (cos, −centroid_id) picks the identical winner the window's
+    ORDER BY cos DESC, centroid_id ASC does.
+    """
+    if n_cells == 1:
+        src = with_norm_df
+        target = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+        slim = src.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__norm"),
+            F.col("centroid_id"),
+            (
+                dot_expr(vec_col, "__cvec")
+                / (F.col("__norm") * F.col("__cnorm"))
+            ).alias("__ccos"),
+        )
+        return (
+            slim.groupBy(id_col)
+            .agg(
+                F.expr(
+                    f"max_by(struct({vec_col}, __norm, centroid_id),"
+                    " struct(__ccos, -centroid_id))"
+                ).alias("__b")
+            )
+            .select(
+                id_col,
+                F.col(f"__b.{vec_col}").alias(vec_col),
+                F.col("__b.__norm").alias("__norm"),
+                F.col("__b.centroid_id").alias("cell"),
+            )
+        )
     sims = with_norm_df.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),

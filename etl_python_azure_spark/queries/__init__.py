@@ -154,16 +154,22 @@ _R06_WINDOW = [
     # stalest r02-only re-proof (slot 50; the IVF tier mmr_ivf_topk
     # composes with)
     "ann_ivf_topk",
-    # r07 window queue (already known as of r06): slots 1-6 must be
-    # ann_ivf_kmeans_recall (now serves centroids from the
-    # km_centroids train-once artifact — plan changed, oracle
-    # unchanged) plus the five round-6b queries
-    # (semdedup_cluster_pairs, ivf_probe_recall_sweep,
+    # r07 window queue (already known as of r06): slots 1-9 must be
+    # the queries whose plans changed in r06 after the driver window
+    # was frozen — ann_ivf_topk, ann_ivf_recall, ann_ivfpq_recall,
+    # ann_ivf_kmeans_recall (the _nearest_cells corpus assignment is
+    # now a one-scan max_by instead of an n×K payload window, and
+    # the kmeans recall additionally serves centroids from the
+    # km_centroids train-once artifact) — plus the five round-6b
+    # queries (semdedup_cluster_pairs, ivf_probe_recall_sweep,
     # heavy_hitter_tokens, readability_by_source,
-    # cusum_value_changepoints — new, driver-unproven); then any
-    # queries changed in r07 itself; then re-proof fill from the
-    # r02-only cohort (46 queries — ann_* recalls, asof/funnel/
-    # session families), stalest first.
+    # cusum_value_changepoints, lsh_band_sweep — new,
+    # driver-unproven; the first
+    # two also ride the new assignment path). mmr_ivf_topk rides it
+    # too but sits in the r06 window, so the r06 driver run proves
+    # it on the final code. Then any queries changed in r07 itself,
+    # then re-proof fill from the r02-only cohort (46 queries —
+    # ann_* recalls, asof/funnel/session families), stalest first.
 ]
 
 _R05_WINDOW = [

@@ -14,6 +14,9 @@ and changepoint screening.
   quality-scoring family)
 - CUSUM changepoint screen over per-type daily value series (where
   did the level shift happen)
+- LSH banding s-curve sweep (per-(bands,rows) detection rate vs
+  exact Jaccard bin, next to the 1−(1−J^r)^b reference — the
+  false-positive-cost vs recall table that picks the banding)
 
 Determinism: the standing registry rules — floor-quantized fixed
 point for any data-dependent float accumulation, sequential-fold
@@ -403,3 +406,122 @@ def cusum_value_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v")
     )
     return cusum_changepoint(daily, "event_type", "day", "v")
+
+
+# --------------------------------------------------------------------------
+# LSH banding s-curve sweep.
+# --------------------------------------------------------------------------
+
+_SWEEP_BAND_SIZES = (1, 2, 4)
+_SWEEP_NUM_HASHES = 8
+# floor 0: keep EVERY co-shingle pair, so the report shows both ends
+# of the s-curve — the low-J bins measure the candidate
+# false-positive cost of a banding, the high-J bins its recall (the
+# synthetic corpus is bimodal: ~11.5k near-zero-J pairs vs 25 true
+# dups at sf0.01, which is exactly the shape a dedup corpus has)
+_SWEEP_J_FLOOR = "0.0"
+
+
+def _pow_chain_sql(x: str, p: int) -> str:
+    """Mirror of operators.dedup._mult_chain: explicit multiply tree."""
+    y = x
+    while p > 1:
+        y = f"({y} * {y})"
+        p //= 2
+    return y
+
+
+def _band_sweep_oracle() -> str:
+    from .dedup import _SHINGLES_CTE
+
+    ctes = [
+        "seeds AS (SELECT UNNEST(range(0, 8)) AS seed)",
+        """sig AS MATERIALIZED (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, seeds GROUP BY doc_id, seed
+    )""",
+        """inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )""",
+        f"""ex AS MATERIALIZED (
+      SELECT i.id_a, i.id_b,
+             i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) AS j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter)
+            >= CAST({_SWEEP_J_FLOOR} AS DOUBLE)
+    )""",
+    ]
+    branches = []
+    for r in _SWEEP_BAND_SIZES:
+        n_bands = _SWEEP_NUM_HASHES // r
+        jr = _pow_chain_sql("e.j", r)
+        miss = _pow_chain_sql(f"(CAST(1.0 AS DOUBLE) - {jr})", n_bands)
+        theory = f"(CAST(1.0 AS DOUBLE) - {miss})"
+        ctes += [
+            f"""bands{r} AS (
+      SELECT doc_id, seed // {r} AS band,
+             md5(MIN(sig) || MAX(sig)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // {r}
+    )""",
+            f"""cand{r} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands{r} a
+      JOIN bands{r} b ON a.band = b.band AND a.band_sig = b.band_sig
+                      AND a.doc_id < b.doc_id
+    )""",
+            f"""per{r} AS (
+      SELECT CAST({n_bands} AS BIGINT) AS bands,
+             CAST({r} AS BIGINT) AS rows_per_band,
+             CAST(floor(e.j * CAST(5.0 AS DOUBLE)) AS BIGINT) AS j_bin5,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_detected,
+             CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS detect_rate,
+             (CAST(SUM(CAST(floor({theory} * CAST(1e8 AS DOUBLE))
+                            AS BIGINT)) AS DOUBLE)
+              / CAST(1e8 AS DOUBLE))
+               / CAST(COUNT(*) AS DOUBLE) AS mean_theory_detect
+      FROM ex e
+      LEFT JOIN cand{r} c ON c.id_a = e.id_a AND c.id_b = e.id_b
+      GROUP BY 3
+    )""",
+        ]
+        branches.append(f"SELECT * FROM per{r}")
+    return (
+        "\n    WITH "
+        + _SHINGLES_CTE
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(branches)
+    )
+
+
+@register("lsh_band_sweep", _band_sweep_oracle())
+def lsh_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding s-curve calibration: detection rate of each
+    (bands, rows) split of the 8-hash MinHash signature over the
+    true Jaccard pairs (J ≥ 0.2), per 0.2-wide Jaccard bin, next to
+    the classic 1−(1−J^r)^b reference — the table that picks the
+    banding configuration before the sketch gates a corpus. Truth
+    tier is the exact co-shingle join (run-occasionally audit; at
+    100 TB run on a sampled stratum); powers are explicit multiply
+    chains so the reference column hashes identically."""
+    from ..operators.dedup import lsh_band_sweep
+
+    d = load_tables(spark, sf_dir, "documents")
+    return lsh_band_sweep(
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=_SWEEP_NUM_HASHES,
+        band_sizes=_SWEEP_BAND_SIZES,
+        j_floor=float(_SWEEP_J_FLOOR),
+    )

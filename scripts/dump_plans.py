@@ -161,8 +161,12 @@ QUERIES = [
     "heavy_hitter_tokens",
     "readability_by_source",
     "cusum_value_changepoints",
+    "lsh_band_sweep",
     # r06b: re-audited after the km_centroids train-once artifact
     "ann_ivf_kmeans_recall",
+    # r06b: re-audited after the one-scan max_by corpus assignment
+    "ann_ivf_recall",
+    "ann_ivfpq_recall",
 ]
 
 
@@ -285,6 +289,22 @@ def main() -> None:
         " AQE/size-estimate-chosen at this SF and degrades to a"
         " shuffle join when `sizes` outgrows the threshold, instead"
         " of dying at Spark's 8 GB broadcast hard limit at 100 TB.",
+        "",
+        "- IVF corpus assignment (r06): `_nearest_cells`' rank-1"
+        " path — Lloyd rounds, ivf_assign, the SemDeDup bucketing —"
+        " is a one-scan max_by hash aggregate over the broadcast"
+        " cross join (partial aggregation collapses to one row per"
+        " vector per partition before anything shuffles), replacing"
+        " a window that sorted all n×K cross-join rows with the"
+        " embedding payload attached; plus a compute-parallelism"
+        " repartition gate for single-file bench scans. Identical"
+        " winner (max_by key = (cos, -centroid_id) ≡ ORDER BY cos"
+        " DESC, centroid_id ASC); 23.6 s → 1.4 s at 20 k × 160"
+        " cells, and the K ∝ n SemDeDup configuration becomes"
+        " sublinear (SCALING.md round-6 rows). Affected plans above:"
+        " ann_ivf_topk/recall/kmeans_recall/ivfpq_recall,"
+        " mmr_ivf_topk, semdedup_cluster_pairs,"
+        " ivf_probe_recall_sweep.",
         "",
         "- Bench artifacts are load-aware as of r06: bench.py times a"
         " fixed CPU kernel before/after the query loop and records it"

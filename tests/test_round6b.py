@@ -160,3 +160,44 @@ def test_ivf_recall_sweep_monotone(spark):
     assert all(0.0 <= x <= 1.0 for x in rec)
     for r in rows.values():
         assert r.n_hits == pytest.approx(r.recall_at_5 * 50.0)
+
+
+# --------------------------------------------------- LSH band sweep
+def test_lsh_band_sweep_tradeoff(spark):
+    """More rows per band => fewer false-positive candidates at low
+    J; identical docs are detected by every banding."""
+    from etl_python_azure_spark.operators.dedup import lsh_band_sweep
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # J = 1
+        (3, "alpha beta gamma completely different tail here now"),
+        (4, "unrelated words that share nothing with the others x"),
+        (5, "another disjoint document full of its own vocabulary y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_band_sweep(df, "doc_id", "text", j_floor=0.0).collect()
+    by_cfg = {}
+    for r in out:
+        by_cfg.setdefault((r.bands, r.rows_per_band), {})[r.j_bin5] = r
+    for cfg, bins in by_cfg.items():
+        top = bins[max(bins)]
+        assert top.detect_rate == 1.0  # the identical pair always found
+    for r in out:
+        assert 0.0 <= r.mean_theory_detect <= 1.0
+        assert r.n_detected <= r.n_pairs
+
+
+def test_mult_chain_matches_pow(spark):
+    import math
+
+    from etl_python_azure_spark.operators.dedup import _mult_chain
+
+    df = spark.createDataFrame([(0.37,)], "x double")
+    got = df.select(
+        *[_mult_chain(F.col("x"), p).alias(f"p{p}") for p in (1, 2, 4, 8)]
+    ).collect()[0]
+    assert got.p1 == 0.37
+    assert got.p2 == 0.37 * 0.37
+    assert got.p4 == (0.37 * 0.37) * (0.37 * 0.37)
+    assert math.isclose(got.p8, 0.37**8, rel_tol=1e-12)

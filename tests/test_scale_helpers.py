@@ -174,3 +174,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """The rank-1 corpus assignment (Lloyd rounds, ivf_assign, the
+    SemDeDup bucketing) must plan as a map-side-combinable max_by
+    hash aggregate, never as a window that sorts all n x K
+    cross-join rows with the embedding payload attached (the r06
+    scale fix: 23.6 s -> 1.4 s at 20k x 160 cells)."""
+    from etl_python_azure_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    em = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    asg = ivf_assign(em, ivf_centroids(em, num_centroids=4))
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:2000]
+    assert "max_by" in plan
+    # the probe path (n_cells > 1) keeps the window formulation —
+    # query-side rows are few and need all top-n cells
+    from etl_python_azure_spark.operators.dedup import with_norm
+    from etl_python_azure_spark.operators.similarity import _nearest_cells
+
+    cn = with_norm(em.select("vec_id", "embedding"))
+    probes = _nearest_cells(
+        cn, ivf_centroids(em, num_centroids=4), "vec_id", "embedding", 2
+    )
+    assert probes.groupBy("vec_id").count().filter("count != 2").count() == 0
