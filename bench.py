@@ -175,6 +175,8 @@ OPTIONAL = [
     "readability_by_source",
     "cusum_value_changepoints",
     "lsh_band_sweep",
+    "semdedup_recall_audit",
+    "ann_ivf_incremental",
 ]
 
 

@@ -163,9 +163,10 @@ _R06_WINDOW = [
     # km_centroids train-once artifact) — plus the five round-6b
     # queries (semdedup_cluster_pairs, ivf_probe_recall_sweep,
     # heavy_hitter_tokens, readability_by_source,
-    # cusum_value_changepoints, lsh_band_sweep — new,
-    # driver-unproven; the first
-    # two also ride the new assignment path). mmr_ivf_topk rides it
+    # cusum_value_changepoints, lsh_band_sweep,
+    # semdedup_recall_audit, ann_ivf_incremental — new,
+    # driver-unproven; several ride the new assignment path too).
+    # mmr_ivf_topk rides it
     # too but sits in the r06 window, so the r06 driver run proves
     # it on the final code. Then any queries changed in r07 itself,
     # then re-proof fill from the r02-only cohort (46 queries —

@@ -17,6 +17,17 @@ and changepoint screening.
 - LSH banding s-curve sweep (per-(bands,rows) detection rate vs
   exact Jaccard bin, next to the 1−(1−J^r)^b reference — the
   false-positive-cost vs recall table that picks the banding)
+- SemDeDup recall audit (cell-restriction detection rate vs the
+  brute-force cosine verifier, per cosine bin — the embedding twin
+  of the banding sweep)
+- incremental IVF index maintenance (delta batch assigned against
+  the frozen quantizer, unioned, searched — the ANN twin of the
+  CDC/merge family)
+
+With these, every candidate-restricted tier in the engine carries
+its own calibration/audit query: MinHash → estimate-vs-exact
+calibration, banding → s-curve sweep, CMS → heavy-hitter FP flags,
+IVF → nprobe recall sweep, SemDeDup cells → recall audit.
 
 Determinism: the standing registry rules — floor-quantized fixed
 point for any data-dependent float accumulation, sequential-fold
@@ -525,3 +536,201 @@ def lsh_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_sizes=_SWEEP_BAND_SIZES,
         j_floor=float(_SWEEP_J_FLOOR),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup recall audit: cell-restriction detection rate vs the
+# brute-force verifier, per cosine bin.
+# --------------------------------------------------------------------------
+
+# the truth tier is brute-force (quadratic BY DESIGN — it is the
+# audit); the query runs it on a FIXED-SIZE deterministic stratum
+# (the first 600 ids), so audit cost is CONSTANT in corpus size —
+# exactly how the audit runs against a 100 TB corpus. Centroids
+# stay trained on the FULL corpus; only the pair space is sampled.
+_AUDIT_N = 600
+
+_BRUTE_PAIRS_CTE = f"""
+    n3 AS (SELECT * FROM n WHERE vec_id < {_AUDIT_N}),
+    bpairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+      FROM n3 a JOIN n3 b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(range(1, 65), i ->
+                CAST(a.embedding[i] AS DOUBLE)
+                * CAST(b.embedding[i] AS DOUBLE)),
+              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {_SEMDEDUP_TAU}
+    )"""
+
+
+@register(
+    "semdedup_recall_audit",
+    f"""
+    WITH {_NORM_CTE},
+    {_lloyd_oracle_sql(_KM_ROUNDS)},
+    asg AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT v.vec_id AS id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_reduce(list_transform(range(1, 65), i ->
+                     CAST(v.embedding[i] AS DOUBLE) * c.cvec[i]),
+                     (acc, x) -> acc + x) / (v.nrm * c.cnorm) DESC,
+                   c.cid ASC) AS rnk
+        FROM n v CROSS JOIN {_KM_FINAL} c
+      ) WHERE rnk = 1
+    ),
+    {_BRUTE_PAIRS_CTE},
+    spairs AS (
+      SELECT b.id_a, b.id_b
+      FROM bpairs b
+      JOIN asg aa ON aa.id = b.id_a
+      JOIN asg ab ON ab.id = b.id_b AND ab.cell = aa.cell
+    )
+    SELECT CAST(floor(b.cosine * CAST(10.0 AS DOUBLE)) AS BIGINT)
+             AS cos_bin10,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_detected,
+           CAST(SUM(CASE WHEN s.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS detect_rate
+    FROM bpairs b
+    LEFT JOIN spairs s ON s.id_a = b.id_a AND s.id_b = b.id_b
+    GROUP BY 1
+    """,
+)
+def semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall audit every candidate-restricted tier carries
+    here: which fraction of the BRUTE-FORCE cosine pairs (τ ≥ 0.46)
+    the SemDeDup cell restriction actually finds, per 0.1-wide
+    cosine bin — pairs split across cells are the misses, and they
+    concentrate near the threshold. The embedding twin of
+    `lsh_band_sweep` / `minhash_jaccard_calibration`. The truth tier
+    is brute-force by definition, so the audit runs on a FIXED-SIZE
+    deterministic stratum (first 600 ids — quadratic in the SAMPLE,
+    constant in the corpus) against centroids trained on the full
+    corpus — the exact shape this audit has at 100 TB."""
+    from ..operators.dedup import embedding_cosine_pairs
+    from ..operators.similarity import semdedup_pairs
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    stratum = em.filter(F.col("vec_id") < _AUDIT_N)
+    brute = embedding_cosine_pairs(stratum, threshold=_SEMDEDUP_TAU)
+    sem = (
+        semdedup_pairs(
+            stratum, _km_index(spark, sf_dir), threshold=_SEMDEDUP_TAU
+        )
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    flagged = brute.join(sem, ["id_a", "id_b"], "left")
+    return flagged.groupBy(
+        F.floor(F.col("cosine") * F.lit(10.0)).cast("long").alias("cos_bin10")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_detected"),
+        (
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("detect_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance: assign a delta batch against
+# the FROZEN quantizer, search the unioned inverted file.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_incremental",
+    f"""
+    WITH {_NORM_CTE},
+    corpus2 AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings)
+               AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 7 = 0
+    ),
+    n2 AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM corpus2
+    ),
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS MATERIALIZED (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_transform(range(1, 65), i ->
+                       CAST(q.embedding[i] AS DOUBLE)
+                       * CAST(c.embedding[i] AS DOUBLE)),
+                     (acc, x) -> acc + x) / (q.nrm * c.nrm) DESC,
+                   c.vec_id
+               ) AS rnk
+        FROM n2 q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    isims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65), i ->
+                 CAST(q.embedding[i] AS DOUBLE)
+                 * CAST(c.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n2 c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM isims
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-file maintenance: a delta batch (every
+    7th vector re-ingested under a MAX(id)+1-offset id) is assigned
+    against the FROZEN lowest-id quantizer and UNIONED onto the
+    existing index — the existing corpus is never re-read or
+    re-shuffled — then queries search the combined file via
+    `ivf_topk_from_index`. The ANN twin of the CDC/merge family:
+    index maintenance is an append, retraining is a separate,
+    drift-triggered decision. The oracle replays assignment over
+    base ∪ delta with base-only centroids."""
+    from ..operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_from_index,
+    )
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    off = em.agg(F.max("vec_id")).first()[0] + 1
+    delta = em.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+    cents = ivf_centroids(em, num_centroids=16)
+    index = ivf_assign(em, cents).unionByName(ivf_assign(delta, cents))
+    q = em.filter(F.col("vec_id") < 10)
+    return ivf_topk_from_index(index, q, cents, k=5, nprobe=4)

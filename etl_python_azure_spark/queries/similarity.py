@@ -654,7 +654,11 @@ _register_prewarm(
 _register_prewarm(
     "km_centroids",
     _km_index,
-    consumers={"ann_ivf_kmeans_recall", "semdedup_cluster_pairs"},
+    consumers={
+        "ann_ivf_kmeans_recall",
+        "semdedup_cluster_pairs",
+        "semdedup_recall_audit",
+    },
 )
 
 

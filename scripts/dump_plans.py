@@ -162,6 +162,8 @@ QUERIES = [
     "readability_by_source",
     "cusum_value_changepoints",
     "lsh_band_sweep",
+    "semdedup_recall_audit",
+    "ann_ivf_incremental",
     # r06b: re-audited after the km_centroids train-once artifact
     "ann_ivf_kmeans_recall",
     # r06b: re-audited after the one-scan max_by corpus assignment

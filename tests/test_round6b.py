@@ -201,3 +201,52 @@ def test_mult_chain_matches_pow(spark):
     assert got.p2 == 0.37 * 0.37
     assert got.p4 == (0.37 * 0.37) * (0.37 * 0.37)
     assert math.isclose(got.p8, 0.37**8, rel_tol=1e-12)
+
+
+# --------------------------------------- SemDeDup recall audit
+def test_semdedup_recall_audit_counts(spark):
+    from etl_python_azure_spark.queries.round6b import (
+        semdedup_recall_audit,
+    )
+
+    rows = semdedup_recall_audit(spark, SF_SMOKE).collect()
+    assert rows  # brute pairs exist at sf0.001
+    for r in rows:
+        assert 0 <= r.n_detected <= r.n_pairs
+        assert r.detect_rate == pytest.approx(r.n_detected / r.n_pairs)
+
+
+# --------------------------------------- incremental IVF index
+def test_incremental_index_equals_batch_rebuild(spark):
+    """Union of per-batch ivf_assign outputs against a FROZEN
+    quantizer must search identically to assigning the combined
+    corpus in one pass — the maintenance path adds nothing and
+    loses nothing."""
+    from etl_python_azure_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_from_index,
+    )
+    from etl_python_azure_spark.session import load_tables
+
+    em = load_tables(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    off = em.agg(F.max("vec_id")).first()[0] + 1
+    delta = em.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+    cents = ivf_centroids(em, num_centroids=16)
+    q = em.filter(F.col("vec_id") < 5)
+    inc = ivf_assign(em, cents).unionByName(ivf_assign(delta, cents))
+    batch = ivf_assign(em.unionByName(delta), cents)
+    r_inc = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk_from_index(inc, q, cents).collect()
+    )
+    r_batch = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk_from_index(batch, q, cents).collect()
+    )
+    assert r_inc == r_batch
+    assert r_inc  # non-degenerate
