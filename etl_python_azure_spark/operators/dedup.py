@@ -262,6 +262,19 @@ def band_assignments(
     delta's shingles — see :func:`incremental_lsh_pairs`.
     """
     sig = minhash_signatures(shingles, id_col, num_hashes)
+    return bands_from_signatures(sig, id_col, num_hashes, band_size)
+
+
+def bands_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Band table from a PRECOMPUTED wide signature frame — lets a
+    banding sweep derive every (bands, rows) split from one
+    signature pass instead of re-aggregating the shingles per
+    configuration."""
     n_bands = num_hashes // band_size
     band_exprs = []
     for b in range(n_bands):
@@ -1167,10 +1180,12 @@ def lsh_band_sweep(
         .filter(F.col("jaccard") >= F.lit(j_floor))
         .persist()
     )
+    # ONE signature pass feeds every banding configuration
+    sig = minhash_signatures(sh, id_col, num_hashes).persist()
     parts = []
     for r in band_sizes:
         n_bands = num_hashes // r
-        bands = band_assignments(sh, id_col, num_hashes, r)
+        bands = bands_from_signatures(sig, id_col, num_hashes, r)
         cand = (
             bands.alias("a")
             .join(bands.alias("b"), ["band", "band_sig"])
