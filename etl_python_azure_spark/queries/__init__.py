@@ -154,23 +154,26 @@ _R06_WINDOW = [
     # stalest r02-only re-proof (slot 50; the IVF tier mmr_ivf_topk
     # composes with)
     "ann_ivf_topk",
-    # r07 window queue (already known as of r06): slots 1-9 must be
-    # the queries whose plans changed in r06 after the driver window
-    # was frozen — ann_ivf_topk, ann_ivf_recall, ann_ivfpq_recall,
-    # ann_ivf_kmeans_recall (the _nearest_cells corpus assignment is
-    # now a one-scan max_by instead of an n×K payload window, and
-    # the kmeans recall additionally serves centroids from the
-    # km_centroids train-once artifact) — plus the five round-6b
-    # queries (semdedup_cluster_pairs, ivf_probe_recall_sweep,
+    # r07 window queue (already known as of r06): slots 1-12 are
+    # booked. Slots 1-4: the queries whose plans changed in r06
+    # AFTER the driver window was frozen — ann_ivf_topk,
+    # ann_ivf_recall, ann_ivfpq_recall, ann_ivf_kmeans_recall (the
+    # _nearest_cells corpus assignment is now a one-scan max_by
+    # instead of an n×K payload window; the kmeans recall
+    # additionally serves centroids from the km_centroids
+    # train-once artifact, and minhash_dedup_pairs'
+    # band_assignments now routes through bands_from_signatures —
+    # same plan facts, already green in the r06 window). Slots 5-12:
+    # the eight round-6b queries, new and driver-unproven —
+    # semdedup_cluster_pairs, ivf_probe_recall_sweep,
     # heavy_hitter_tokens, readability_by_source,
     # cusum_value_changepoints, lsh_band_sweep,
-    # semdedup_recall_audit, ann_ivf_incremental — new,
-    # driver-unproven; several ride the new assignment path too).
-    # mmr_ivf_topk rides it
-    # too but sits in the r06 window, so the r06 driver run proves
-    # it on the final code. Then any queries changed in r07 itself,
-    # then re-proof fill from the r02-only cohort (46 queries —
-    # ann_* recalls, asof/funnel/session families), stalest first.
+    # semdedup_recall_audit, ann_ivf_incremental (several ride the
+    # new assignment path too). mmr_ivf_topk rides it as well but
+    # sits in the r06 window, so the r06 driver run proves it on
+    # the final code. Then any queries changed in r07 itself, then
+    # re-proof fill from the r02-only cohort (46 queries — ann_*
+    # recalls, asof/funnel/session families), stalest first.
 ]
 
 _R05_WINDOW = [
