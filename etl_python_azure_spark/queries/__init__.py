@@ -154,26 +154,77 @@ _R06_WINDOW = [
     # stalest r02-only re-proof (slot 50; the IVF tier mmr_ivf_topk
     # composes with)
     "ann_ivf_topk",
-    # r07 window queue (already known as of r06): slots 1-12 are
-    # booked. Slots 1-4: the queries whose plans changed in r06
-    # AFTER the driver window was frozen — ann_ivf_topk,
-    # ann_ivf_recall, ann_ivfpq_recall, ann_ivf_kmeans_recall (the
-    # _nearest_cells corpus assignment is now a one-scan max_by
-    # instead of an n×K payload window; the kmeans recall
-    # additionally serves centroids from the km_centroids
-    # train-once artifact, and minhash_dedup_pairs'
-    # band_assignments now routes through bands_from_signatures —
-    # same plan facts, already green in the r06 window). Slots 5-12:
-    # the eight round-6b queries, new and driver-unproven —
-    # semdedup_cluster_pairs, ivf_probe_recall_sweep,
-    # heavy_hitter_tokens, readability_by_source,
-    # cusum_value_changepoints, lsh_band_sweep,
-    # semdedup_recall_audit, ann_ivf_incremental (several ride the
-    # new assignment path too). mmr_ivf_topk rides it as well but
-    # sits in the r06 window, so the r06 driver run proves it on
-    # the final code. Then any queries changed in r07 itself, then
-    # re-proof fill from the r02-only cohort (46 queries — ann_*
-    # recalls, asof/funnel/session families), stalest first.
+]
+
+# The r09 window drains the queue the r06/r07/r08 verdicts booked
+# (rounds 7-8 produced no builder commits, so the r06 window ran
+# three times; this list finally lands the plan AS CODE). Slots 1-3:
+# the post-freeze IVF-path re-proofs — their corpus assignment became
+# a one-scan max_by after the r06 driver window froze
+# (ann_ivf_recall is additionally the stalest of the three: its only
+# driver row is r02). Slots 4-11: the eight round-6b queries that
+# have NEVER had a driver row; the round-9 semdedup scale-K and
+# band-sweep truth-stratum fixes land in these same queries, so the
+# slots double as re-proofs of this round's changes. Slots 12-50:
+# re-proof fill
+# from the r02-only cohort (41 queries whose newest driver evidence
+# is round 2), alphabetical; the one that does not fit
+# (weighted_source_mixture) heads the r10 queue together with any
+# fill entries later displaced by new round-9 queries.
+_R09_WINDOW = [
+    # post-freeze IVF re-proofs (plans changed after the r06 freeze)
+    "ann_ivf_recall",
+    "ann_ivfpq_recall",
+    "ann_ivf_kmeans_recall",
+    # round-6b queries — first-ever driver rows
+    "semdedup_cluster_pairs",
+    "ivf_probe_recall_sweep",
+    "heavy_hitter_tokens",
+    "readability_by_source",
+    "cusum_value_changepoints",
+    "lsh_band_sweep",
+    "semdedup_recall_audit",
+    "ann_ivf_incremental",
+    # r02-only re-proof fill (stalest driver evidence; alphabetical)
+    "ann_bruteforce_topk",
+    "ann_lsh_multitable_topk",
+    "ann_lsh_recall",
+    "ann_lsh_topk",
+    "asof_last_view_before_purchase",
+    "benchmark_contamination",
+    "cdc_replay_equiv",
+    "conversion_funnel",
+    "dedup_keep_best",
+    "deterministic_split_counts",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "domain_extraction_stats",
+    "embedding_array_stats",
+    "embedding_cosine_pairs",
+    "embedding_lsh_dup_pairs",
+    "event_value_histogram",
+    "exact_dedup",
+    "filter_events",
+    "fuzzy_part_name_pairs",
+    "hourly_event_rollup",
+    "lang_id_guess",
+    "lsh_bucket_assignments",
+    "maintained_rollup_equiv",
+    "media_content_stats",
+    "media_decode_dimensions",
+    "pii_redaction_stats",
+    "sessionize_events",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "sketch_distinct_maintenance",
+    "sliding_window_counts",
+    "stable_sample_docs",
+    "stratified_sample_by_lang",
+    "text_quality_scores",
+    "token_count_stats",
+    "top_distinctive_terms",
+    "user_event_profile",
+    "vocabulary_top200",
 ]
 
 _R05_WINDOW = [
@@ -353,6 +404,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round6  # noqa: F401
     from . import round6b  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R06_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R09_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

@@ -67,32 +67,29 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R06_WINDOW, registry
+    from etl_python_azure_spark.queries import _R09_WINDOW, registry
 
     reg = registry()
-    assert len(_R06_WINDOW) == 50
-    assert len(set(_R06_WINDOW)) == 50
-    assert all(n in reg for n in _R06_WINDOW)
-    assert list(reg)[:50] == _R06_WINDOW
+    assert len(_R09_WINDOW) == 50
+    assert len(set(_R09_WINDOW)) == 50
+    assert all(n in reg for n in _R09_WINDOW)
+    assert list(reg)[:50] == _R09_WINDOW
     assert all(spec.oracle is not None for spec in reg.values())
-    # r06 mandate (r05 verdict items 1-2): slots 1-10 re-prove every
-    # query whose plan or oracle changed this round; slots 11-17 are
-    # the new round-6 queries
-    changed = [
-        "containment_dedup_pairs", "ngram_jaccard_pairs",
-        "prefix_jaccard_pairs", "minhash_dedup_pairs",
-        "near_dup_clusters", "incremental_dedup_pairs",
-        "mase_seasonal_screen", "mmr_diversified_topk",
-        "hll_source_overlap", "top3_per_segment_agg",
+    # r09 mandate (r06/r07/r08 verdicts, item 1): slots 1-3 re-prove
+    # the IVF-path queries whose plans changed after the r06 window
+    # froze; slots 4-11 are the eight round-6b queries that have
+    # never had a driver correctness row
+    ivf_reproofs = [
+        "ann_ivf_recall", "ann_ivfpq_recall", "ann_ivf_kmeans_recall",
     ]
-    new_r06 = [
-        "rm3_expanded_bm25", "minhash_jaccard_calibration",
-        "trigram_lm_scores", "cc_cluster_sizes",
-        "heaps_law_vocab_fit", "mmr_ivf_topk",
-        "curation_counts_report",
+    round6b = [
+        "semdedup_cluster_pairs", "ivf_probe_recall_sweep",
+        "heavy_hitter_tokens", "readability_by_source",
+        "cusum_value_changepoints", "lsh_band_sweep",
+        "semdedup_recall_audit", "ann_ivf_incremental",
     ]
-    assert _R06_WINDOW[:10] == changed
-    assert _R06_WINDOW[10:17] == new_r06
+    assert _R09_WINDOW[:3] == ivf_reproofs
+    assert _R09_WINDOW[3:11] == round6b
 
 
 def test_bench_and_plan_audit_names_resolve():
