@@ -22,14 +22,26 @@ from ..session import load_tables
 from . import register
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
-_SHINGLES_CTE = """
-  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+
+
+def _shingles_cte(max_doc_id: int | None = None) -> str:
+    """The shared shingle CTEs, optionally restricted to the
+    deterministic ``doc_id < max_doc_id`` stratum (the band-sweep
+    calibration audit runs on a fixed-size stratum — quadratic in
+    the SAMPLE, constant in the corpus)."""
+    where = "" if max_doc_id is None else f" WHERE doc_id < {max_doc_id}"
+    return f"""
+  toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents{where}),
   sh AS (
     SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
     FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
   ),
   sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 _JACCARD_TAIL = """
   SELECT i.id_a, i.id_b,

@@ -43,7 +43,15 @@ from pyspark.sql import functions as F
 from ..session import load_tables
 from . import register
 from .round4b import _CMS_BUCKET, _CMS_DEPTH, _CMS_WIDTH
-from .similarity import _COS, _KM_FINAL, _KM_ROUNDS, _NORM_CTE, _km_index, _lloyd_oracle_sql
+from .similarity import (
+    _COS,
+    _KM_FINAL,
+    _KM_ROUNDS,
+    _NORM_CTE,
+    _SEMDEDUP_K_SQL,
+    _km_index_scaled,
+    _lloyd_oracle_sql,
+)
 
 # --------------------------------------------------------------------------
 # SemDeDup: clustered semantic near-dup pairs.
@@ -53,7 +61,7 @@ _SEMDEDUP_TAU = 0.46
 
 _SEMDEDUP_ORACLE = f"""
     WITH {_NORM_CTE},
-    {_lloyd_oracle_sql(_KM_ROUNDS)},
+    {_lloyd_oracle_sql(_KM_ROUNDS, num_centroids=_SEMDEDUP_K_SQL)},
     asg AS MATERIALIZED (
       SELECT id, cell FROM (
         SELECT v.vec_id AS id, c.cid AS cell,
@@ -85,17 +93,20 @@ _SEMDEDUP_ORACLE = f"""
 @register("semdedup_cluster_pairs", _SEMDEDUP_ORACLE)
 def semdedup_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate pairs, SemDeDup-shaped: the frozen
-    k-means quantizer (the train-once ``km_centroids`` artifact the
-    IVF recall query also serves from) buckets every vector, and
-    exact cosine runs only within a cell — the candidate-restricted
-    scale path whose recall the brute-force
-    ``embedding_cosine_pairs`` verifier audits. The oracle replays
-    the full Lloyd training plus the cell-restricted pair join."""
+    k-means quantizer (the train-once ``km_centroids_scaled``
+    artifact, K = max(16, ⌊√n⌋) cells — the operator's scale
+    contract, so this REGISTERED configuration is the subquadratic
+    one, not a fixed-K rehearsal) buckets every vector, and exact
+    cosine runs only within a cell — the candidate-restricted scale
+    path whose recall the brute-force ``embedding_cosine_pairs``
+    verifier audits. The oracle replays the full Lloyd training with
+    the same data-dependent K (a scalar-subquery LIMIT in the seed
+    CTE) plus the cell-restricted pair join."""
     from ..operators.similarity import semdedup_pairs
 
     em = load_tables(spark, sf_dir, "embeddings")
     return semdedup_pairs(
-        em, _km_index(spark, sf_dir), threshold=_SEMDEDUP_TAU
+        em, _km_index_scaled(spark, sf_dir), threshold=_SEMDEDUP_TAU
     )
 
 
@@ -431,6 +442,14 @@ _SWEEP_NUM_HASHES = 8
 # synthetic corpus is bimodal: ~11.5k near-zero-J pairs vs 25 true
 # dups at sf0.01, which is exactly the shape a dedup corpus has)
 _SWEEP_J_FLOOR = "0.0"
+# The exact-truth tier runs on a FIXED deterministic stratum
+# (doc_id < 600 — full coverage at sf0.01's 500 docs, a sample of
+# larger corpora), mirroring semdedup_recall_audit's vec_id < 600:
+# the calibration audit is quadratic in the SAMPLE, constant in the
+# corpus, which is the only shape a brute-truth tier can have at
+# 100 TB. Signatures are per-document, so stratum detection rates
+# equal what the same pairs score in a full-corpus sweep.
+_SWEEP_STRATUM_N = 600
 
 
 def _pow_chain_sql(x: str, p: int) -> str:
@@ -443,7 +462,7 @@ def _pow_chain_sql(x: str, p: int) -> str:
 
 
 def _band_sweep_oracle() -> str:
-    from .dedup import _SHINGLES_CTE
+    from .dedup import _shingles_cte
 
     ctes = [
         "seeds AS (SELECT UNNEST(range(0, 8)) AS seed)",
@@ -506,7 +525,7 @@ def _band_sweep_oracle() -> str:
         branches.append(f"SELECT * FROM per{r}")
     return (
         "\n    WITH "
-        + _SHINGLES_CTE
+        + _shingles_cte(_SWEEP_STRATUM_N)
         + ",\n    "
         + ",\n    ".join(ctes)
         + "\n    "
@@ -521,14 +540,16 @@ def lsh_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     true Jaccard pairs (J ≥ 0.2), per 0.2-wide Jaccard bin, next to
     the classic 1−(1−J^r)^b reference — the table that picks the
     banding configuration before the sketch gates a corpus. Truth
-    tier is the exact co-shingle join (run-occasionally audit; at
-    100 TB run on a sampled stratum); powers are explicit multiply
-    chains so the reference column hashes identically."""
+    tier is the exact co-shingle join, bounded to the deterministic
+    ``doc_id < _SWEEP_STRATUM_N`` stratum (quadratic in the sample,
+    constant in the corpus — the registered query now IS the shape
+    this audit has at 100 TB); powers are explicit multiply chains
+    so the reference column hashes identically."""
     from ..operators.dedup import lsh_band_sweep
 
     d = load_tables(spark, sf_dir, "documents")
     return lsh_band_sweep(
-        d,
+        d.filter(F.col("doc_id") < _SWEEP_STRATUM_N),
         "doc_id",
         "text",
         n=3,
@@ -570,7 +591,7 @@ _BRUTE_PAIRS_CTE = f"""
     "semdedup_recall_audit",
     f"""
     WITH {_NORM_CTE},
-    {_lloyd_oracle_sql(_KM_ROUNDS)},
+    {_lloyd_oracle_sql(_KM_ROUNDS, num_centroids=_SEMDEDUP_K_SQL)},
     asg AS MATERIALIZED (
       SELECT id, cell FROM (
         SELECT v.vec_id AS id, c.cid AS cell,
@@ -621,7 +642,7 @@ def semdedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = embedding_cosine_pairs(stratum, threshold=_SEMDEDUP_TAU)
     sem = (
         semdedup_pairs(
-            stratum, _km_index(spark, sf_dir), threshold=_SEMDEDUP_TAU
+            stratum, _km_index_scaled(spark, sf_dir), threshold=_SEMDEDUP_TAU
         )
         .select("id_a", "id_b")
         .withColumn("__hit", F.lit(1))

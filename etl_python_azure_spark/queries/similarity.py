@@ -411,8 +411,17 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_oracle_sql(rounds: int, num_centroids: int = 16, dim: int = 64) -> str:
+def _lloyd_oracle_sql(
+    rounds: int, num_centroids: int | str = 16, dim: int = 64
+) -> str:
     """Unrolled spherical k-means Lloyd rounds as DuckDB CTEs.
+
+    *num_centroids* may be an int OR a SQL scalar-subquery string
+    (e.g. :data:`_SEMDEDUP_K_SQL`) — it lands in the seed CTE's
+    ``LIMIT``, which DuckDB evaluates per-dataset, so one static
+    oracle string replays a DATA-DEPENDENT cell count. Every other
+    CTE is K-agnostic (the assignment cross-join and the per-cell
+    means range over whatever c0 holds).
 
     Mirrors :func:`..operators.similarity.kmeans_centroids` with
     ``tol=0`` (fixed round count) bit-for-bit: seed = lowest-id
@@ -483,6 +492,29 @@ def _lloyd_oracle_sql(rounds: int, num_centroids: int = 16, dim: int = 64) -> st
 
 _KM_ROUNDS = 6
 _KM_FINAL = f"cn{_KM_ROUNDS}"
+
+
+def _SEMDEDUP_K(n: int) -> int:
+    """SemDeDup cell count at the operator's scale contract
+    (``semdedup_pairs`` docstring): K = max(16, ⌊√n⌋), so expected
+    cell size stays ≈√n and the within-cell pair join stays
+    subquadratic — the SemDeDup paper's K ∝ n configuration. The
+    fixed-K=16 alternative measured superlinear at sf1 (exponent
+    1.18 vs 0.40, SCALING.md round-6 rows). Must stay arithmetically
+    identical to :data:`_SEMDEDUP_K_SQL` (double sqrt, floor,
+    16 floor) — both engines derive K from the same corpus count,
+    so the unrolled Lloyd oracle trains the same quantizer."""
+    import math
+
+    return max(16, int(math.floor(math.sqrt(float(n)))))
+
+
+#: DuckDB twin of :func:`_SEMDEDUP_K`, as a scalar subquery usable in
+#: the Lloyd seed CTE's LIMIT.
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(16, CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) "
+    "AS BIGINT)) FROM embeddings)"
+)
 
 _KMEANS_RECALL_ORACLE = f"""
     WITH {_NORM_CTE},
@@ -567,6 +599,28 @@ def _km_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
     return fit_once(spark, sf_dir, "km_centroids", build)
+
+
+def _km_index_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once quantizer at the SemDeDup scale contract:
+    K = :func:`_SEMDEDUP_K`(corpus count) cells instead of the fixed
+    16 the IVF recall fixture pins. The SemDeDup queries serve from
+    this artifact so the REGISTERED (benched, driver-checked)
+    configuration is the one whose cell join stays subquadratic at
+    scale; its oracle replays the same training with the cell count
+    derived in SQL (:data:`_SEMDEDUP_K_SQL`). The corpus count is
+    the one extra action (a scalar aggregate, bounded)."""
+    from ..operators.similarity import kmeans_centroids
+    from ._artifacts import fit_once
+
+    def build():
+        em = load_tables(spark, sf_dir, "embeddings")
+        k = _SEMDEDUP_K(em.count())
+        return kmeans_centroids(
+            em, num_centroids=k, max_iter=_KM_ROUNDS, tol=0.0
+        ).localCheckpoint(eager=True)
+
+    return fit_once(spark, sf_dir, "km_centroids_scaled", build)
 
 
 @register("ann_ivf_kmeans_recall", _KMEANS_RECALL_ORACLE)
@@ -654,8 +708,13 @@ _register_prewarm(
 _register_prewarm(
     "km_centroids",
     _km_index,
+    consumers={"ann_ivf_kmeans_recall"},
+)
+
+_register_prewarm(
+    "km_centroids_scaled",
+    _km_index_scaled,
     consumers={
-        "ann_ivf_kmeans_recall",
         "semdedup_cluster_pairs",
         "semdedup_recall_audit",
     },
