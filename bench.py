@@ -177,6 +177,9 @@ OPTIONAL = [
     "lsh_band_sweep",
     "semdedup_recall_audit",
     "ann_ivf_incremental",
+    # round-9 (URL-tier + substring dedup families)
+    "url_domain_dedup_health",
+    "cross_doc_dup_spans",
 ]
 
 

@@ -1236,3 +1236,132 @@ def lsh_band_sweep(
         "detect_rate",
         "mean_theory_detect",
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain-tier dedup and cross-document substring spans
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL key for keep-one-per-URL dedup (the CCNet /
+    RefinedWeb web-corpus first pass): lowercase, scheme stripped,
+    query string and fragment dropped, leading ``www.`` dropped,
+    trailing slash trimmed. Pure Column expressions; every pattern
+    is anchored or suffix-greedy, so Spark's replace-all and
+    DuckDB's replace-first regexp semantics agree and the operator
+    stays oracle-checkable."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"/$", "")
+    return u
+
+
+def url_dedup_health(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """Domain-tier URL dedup report: normalize every URL
+    (:func:`normalize_url`), collapse to one keeper per canonical
+    URL (min id — deterministic), then roll the dedup health up per
+    domain: how many docs, how many survive, the duplication rate.
+
+    Scale shape: ONE hash-aggregate on the canonical URL (shuffles
+    (url_key, id) pairs, never payloads — the ``exact_dedup``
+    recipe keyed by URL instead of content hash) followed by a
+    domain-cardinality aggregate. No joins, no pair space. The
+    domain tier is where web-corpus curation applies per-site
+    policies (crawl quotas, boilerplate priors), so the rollup
+    reports the tier those policies key on.
+
+    Output: (domain, n_docs, n_urls, n_dup_docs, dup_rate,
+    first_keeper).
+    """
+    per_url = (
+        df.select(
+            F.col(id_col), normalize_url(F.col(url_col)).alias("__url")
+        )
+        .groupBy("__url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs_url"),
+        )
+    )
+    return (
+        per_url.groupBy(
+            F.regexp_extract("__url", r"^([^/]+)", 1).alias("domain")
+        )
+        .agg(
+            F.sum("n_docs_url").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_urls"),
+            (F.sum("n_docs_url") - F.count("*"))
+            .cast("long")
+            .alias("n_dup_docs"),
+            (
+                (
+                    F.sum("n_docs_url").cast("double")
+                    - F.count("*").cast("double")
+                )
+                / F.sum("n_docs_url").cast("double")
+            ).alias("dup_rate"),
+            F.min("keeper_id").alias("first_keeper"),
+        )
+    )
+
+
+def cross_doc_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span report, the windowed form of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every distinct
+    *window*-token span is fingerprinted, spans seen in ≥2 documents
+    are duplicated training text, and each document reports what
+    fraction of its spans is shared. Exact-substring twin of the
+    shingle/MinHash tier — same explode, but the verdict is
+    per-span exact equality, no sketch.
+
+    Scale shape: ONE scan + explode (the span table is never
+    materialized twice — a count-then-join formulation re-scans and
+    re-explodes the corpus, and its per-span count side is itself
+    corpus-sized, so it must never be broadcast); spans carry a
+    32-byte md5 fingerprint, never the span text. The cross-doc
+    count is a window count partitioned by fingerprint — the same
+    single shuffle key a groupBy would use, with the verdict already
+    sitting on each (doc, span) row. Shuffles: dedup on (id, fp),
+    window on fp, final per-doc aggregate — all linear in corpus
+    tokens, no pair space, no driver round-trip. A boilerplate-hot
+    span skews its window partition; AQE's skew handling or a
+    pre-filter on known boilerplate (operators/text.py) is the
+    100 TB mitigation. A full suffix array finds arbitrary-length
+    repeats; the fixed window catches every repeat ≥ *window* tokens
+    (a repeat of length L ≥ W contains L−W+1 duplicated windows),
+    which is the form the public pipelines deploy at corpus scale.
+
+    Output: (id, n_spans, n_dup_spans, dup_span_rate), one row per
+    document with at least one span.
+    """
+    spans = (
+        word_shingles(df, id_col, text_col, n=window, distinct=False)
+        .select(F.col(id_col), F.md5("shingle").alias("__fp"))
+        .distinct()
+    )
+    n_docs = F.count("*").over(Window.partitionBy("__fp"))
+    return (
+        spans.withColumn("__n_docs", n_docs)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("__n_docs") >= 2).cast("long"))
+            .cast("long")
+            .alias("n_dup_spans"),
+            (
+                F.sum((F.col("__n_docs") >= 2).cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_span_rate"),
+        )
+    )

@@ -165,12 +165,14 @@ _R06_WINDOW = [
 # driver row is r02). Slots 4-11: the eight round-6b queries that
 # have NEVER had a driver row; the round-9 semdedup scale-K and
 # band-sweep truth-stratum fixes land in these same queries, so the
-# slots double as re-proofs of this round's changes. Slots 12-50:
-# re-proof fill
-# from the r02-only cohort (41 queries whose newest driver evidence
-# is round 2), alphabetical; the one that does not fit
-# (weighted_source_mixture) heads the r10 queue together with any
-# fill entries later displaced by new round-9 queries.
+# slots double as re-proofs of this round's changes. Slots 12-13:
+# the two NEW
+# round-9 queries (URL/domain-tier dedup, cross-doc substring
+# spans) — first-time checks outrank re-proof fill, the r04-window
+# precedent. Slots 14-50: re-proof fill from the r02-only cohort
+# (41 queries whose newest driver evidence is round 2),
+# alphabetical; the three that do not fit (user_event_profile,
+# vocabulary_top200, weighted_source_mixture) head the r10 queue.
 _R09_WINDOW = [
     # post-freeze IVF re-proofs (plans changed after the r06 freeze)
     "ann_ivf_recall",
@@ -185,6 +187,9 @@ _R09_WINDOW = [
     "lsh_band_sweep",
     "semdedup_recall_audit",
     "ann_ivf_incremental",
+    # new in round 9 — first-ever driver rows
+    "url_domain_dedup_health",
+    "cross_doc_dup_spans",
     # r02-only re-proof fill (stalest driver evidence; alphabetical)
     "ann_bruteforce_topk",
     "ann_lsh_multitable_topk",
@@ -223,8 +228,6 @@ _R09_WINDOW = [
     "text_quality_scores",
     "token_count_stats",
     "top_distinctive_terms",
-    "user_event_profile",
-    "vocabulary_top200",
 ]
 
 _R05_WINDOW = [
@@ -403,6 +406,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round5  # noqa: F401
     from . import round6  # noqa: F401
     from . import round6b  # noqa: F401
+    from . import round9  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R09_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
