@@ -7,6 +7,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -94,57 +96,83 @@ def test_driver_window_invariants():
     assert _R09_WINDOW[11:13] == new_r09
 
 
-def test_bench_and_plan_audit_names_resolve():
-    """Every query name bench.py times and dump_plans.py audits must
-    exist in the registry — a typo would silently shrink the bench
-    (names are filtered with `if q in reg`) or crash the audit."""
+def _script_names(filename: str, attrs: list[str]) -> list[str]:
+    """Load name lists from a repo-root script (bench.py,
+    scripts/dump_plans.py) without importing it as a package — the
+    scripts import nothing at top level that needs Spark."""
     import importlib.util
     import os
     import sys
 
-    from etl_python_azure_spark.queries import registry
-
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    reg = registry()
-
-    def _names(path, attrs):
-        spec = importlib.util.spec_from_file_location("m_", path)
-        mod = importlib.util.module_from_spec(spec)
-        # the modules import nothing at top level that needs Spark
-        sys.modules["m_"] = mod
-        spec.loader.exec_module(mod)
-        out = []
-        for a in attrs:
-            out += getattr(mod, a)
-        return out
-
-    bench_names = _names(
-        os.path.join(root, "bench.py"), ["HEADLINE", "OPTIONAL"]
-    )
-    missing = [n for n in bench_names if n not in reg]
-    assert not missing, f"bench.py names not in registry: {missing}"
-    plan_names = _names(
-        os.path.join(root, "scripts", "dump_plans.py"), ["QUERIES"]
-    )
-    missing = [n for n in plan_names if n not in reg]
-    assert not missing, f"dump_plans.py names not in registry: {missing}"
+    path = os.path.join(root, filename)
+    spec = importlib.util.spec_from_file_location("m_", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["m_"] = mod
+    spec.loader.exec_module(mod)
+    out: list[str] = []
+    for a in attrs:
+        out += getattr(mod, a)
+    return out
 
 
-def test_artifact_consumer_names_resolve():
-    """Every query name registered as a train-once artifact consumer
-    must exist in the registry — a typo would silently skip prewarm
-    for a real consumer (bench re-times training) or annotate a
-    nonexistent query in the plan audit."""
+def _coupled_names(source: str) -> list[str]:
+    """Every list in the repo that names registry queries, by key.
+    IMPORTANT: callers must call registry() BEFORE this for the
+    sources populated by query-module imports (artifact consumer
+    sets) — the reverse order passes vacuously on an empty set when
+    a test runs standalone (the r06 item-7 fix pattern)."""
+    if source == "bench":
+        return _script_names("bench.py", ["HEADLINE", "OPTIONAL"])
+    if source == "plan_audit":
+        return _script_names(
+            os.path.join("scripts", "dump_plans.py"), ["QUERIES"]
+        )
+    if source == "window_r09":
+        from etl_python_azure_spark.queries import _R09_WINDOW
+
+        return list(_R09_WINDOW)
+    if source == "windows_historical":
+        from etl_python_azure_spark.queries import (
+            _R04_WINDOW,
+            _R05_WINDOW,
+            _R06_WINDOW,
+        )
+
+        return [*_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW]
+    if source == "artifact_consumers":
+        from etl_python_azure_spark.queries._artifacts import (
+            artifact_consumers,
+        )
+
+        return sorted(artifact_consumers())
+    raise ValueError(source)
+
+
+@pytest.mark.parametrize(
+    "source",
+    ["bench", "plan_audit", "window_r09", "windows_historical",
+     "artifact_consumers"],
+)
+def test_registry_coupled_lists_resolve(source):
+    """Every query name any registry-coupled list mentions — the
+    bench lists, the plan-audit list, the driver windows (current
+    and historical), the train-once artifact consumer sets — must
+    resolve in the registry, and each list must be non-empty.
+    A typo would silently shrink the bench (names are filtered with
+    `if q in reg`), skip prewarm for a real consumer (bench re-times
+    training), crash the plan audit, or burn a driver window slot on
+    a nonexistent query. One parametrized helper so a future list
+    gets one new parameter, not a hand-rolled test that can go
+    vacuous (r06 verdict item 7)."""
     from etl_python_azure_spark.queries import registry
-    from etl_python_azure_spark.queries._artifacts import (
-        artifact_consumers,
-    )
 
-    # registry() first: it imports the query modules that populate
-    # the consumer set — the reverse order passes vacuously on an
+    # registry() FIRST: it imports the query modules that populate
+    # the consumer sets — reversed order passes vacuously on an
     # empty set when this test runs standalone.
     reg = set(registry())
-    consumers = artifact_consumers()
-    assert consumers, "artifact consumer set is empty"
-    missing = consumers - reg
-    assert not missing, missing
+    assert reg, "registry is empty"
+    names = _coupled_names(source)
+    assert names, f"{source} list is empty"
+    missing = [n for n in names if n not in reg]
+    assert not missing, f"{source} names not in registry: {missing}"
