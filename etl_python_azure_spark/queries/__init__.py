@@ -228,6 +228,13 @@ _R09_WINDOW = [
     "text_quality_scores",
     "token_count_stats",
     "top_distinctive_terms",
+    # r10 window queue: lead with any queries whose plan or oracle
+    # changes in r10, then the three r02-only stragglers displaced
+    # above (user_event_profile, vocabulary_top200,
+    # weighted_source_mixture), then re-proof fill from the r03
+    # cohort, stalest first. After r09 every OTHER query's newest
+    # driver evidence is r03+. Write the list AS CODE in the first
+    # r10 commit — a comment is not a window (r07/r08 lesson).
 ]
 
 _R05_WINDOW = [

@@ -169,6 +169,9 @@ QUERIES = [
     # r06b: re-audited after the one-scan max_by corpus assignment
     "ann_ivf_recall",
     "ann_ivfpq_recall",
+    # r09: URL-tier + windowed-substring dedup families
+    "url_domain_dedup_health",
+    "cross_doc_dup_spans",
 ]
 
 
