@@ -147,3 +147,29 @@ def test_round9_queries_registered_with_oracles():
     reg = registry()
     for name in ("url_domain_dedup_health", "cross_doc_dup_spans"):
         assert name in reg and reg[name].oracle is not None
+
+
+# ------------------------------------------- semdedup K parity
+def test_semdedup_k_python_sql_parity():
+    """The Spark builder derives the SemDeDup cell count in Python
+    (_SEMDEDUP_K) and the oracle derives it in SQL (_SEMDEDUP_K_SQL,
+    a scalar-subquery LIMIT); the Lloyd replay is only bit-identical
+    if both sides train the same number of cells, so pin the
+    arithmetic across the sizes that matter (stratum sizes, the
+    test-sf corpus counts, perfect squares, off-by-one edges)."""
+    import duckdb
+
+    from etl_python_azure_spark.queries.similarity import (
+        _SEMDEDUP_K,
+        _SEMDEDUP_K_SQL,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 15, 16, 255, 256, 257, 499, 500, 600, 2000, 2001,
+              20000, 24_999, 25_000, 25_001, 10**6, 10**6 + 1):
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT * FROM range({n})"
+        )
+        sql_k = con.execute(f"SELECT {_SEMDEDUP_K_SQL}").fetchone()[0]
+        assert sql_k == _SEMDEDUP_K(n), (n, sql_k, _SEMDEDUP_K(n))
