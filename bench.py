@@ -263,18 +263,22 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
-    # machine-load calibration: a fixed CPU-bound kernel timed before
-    # and after the query loop. Absolute bench totals drift up to
-    # ~1.8x run-to-run with background load (PLANS.md r05); the probe
-    # makes every artifact self-describing — compare calib_sec across
-    # runs to separate plan changes from machine load before reading
-    # per-query diffs (r05 verdict item 3). Quiet-machine reference:
-    # ~0.08 s on the round-6 build host (local[32]).
+    # machine-load calibration: a fixed CPU-bound kernel timed
+    # before, midway through, and after the query loop. Absolute
+    # bench totals drift up to ~1.8x run-to-run with background load
+    # (PLANS.md r05); the probe makes every artifact self-describing
+    # — compare calib_sec across runs to separate plan changes from
+    # machine load before reading per-query diffs (r05 verdict item
+    # 3). The kernel is sized to ~1 s so sustained contention
+    # actually registers — the r06-era 0.1 s burst sat between
+    # scheduler hiccups and read "quiet" during a +17% drift (r08
+    # verdict). Quiet-machine reference: ~0.6 s on the round-9 build
+    # host (local[32]).
     def calibrate() -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            spark.range(30_000_000).selectExpr(
+            spark.range(3_000_000_000).selectExpr(
                 "count(if((id * 2654435761) % 97 = 0, id, null)) AS c"
             ).collect()
             best = min(best, time.time() - t0)
@@ -303,6 +307,11 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = min(samples)
         runs[name] = samples
+
+    # mid-run load sample, between the per-query loop and the
+    # pipeline benches — a drift that starts mid-run shows up here
+    # before it reaches the end probe
+    calib_mid = calibrate()
 
     # end-to-end pipeline benches: the full extract→reshape→sink DAGs
     # with scale-matched synthetic transports, so the reference's
@@ -366,10 +375,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        # load indicator: fixed-kernel seconds before/after the run
-        # (quiet-machine reference ~0.08 s; a higher value means the
-        # machine was loaded and absolute rows are inflated)
-        "calib_sec": {"start": calib_start, "end": calib_end},
+        # load indicator: fixed-kernel seconds before/midway/after
+        # the run (quiet-machine reference ~0.6 s; a higher value
+        # means the machine was loaded and absolute rows are
+        # inflated)
+        "calib_sec": {
+            "start": calib_start, "mid": calib_mid, "end": calib_end,
+        },
         "repeats": repeats,
     }
     if repeats > 1:
@@ -388,7 +400,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": dict(top),
                 "sf": sf_val,
-                "calib_sec": [calib_start, calib_end],
+                "calib_sec": [calib_start, calib_mid, calib_end],
             }
         )
         if len(line.encode()) <= 2048 or not top:
