@@ -177,9 +177,10 @@ OPTIONAL = [
     "lsh_band_sweep",
     "semdedup_recall_audit",
     "ann_ivf_incremental",
-    # round-9 (URL-tier + substring dedup families)
+    # round-9 (URL-tier + substring dedup families, DSIR selection)
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
+    "dsir_importance_scores",
 ]
 
 

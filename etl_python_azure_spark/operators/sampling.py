@@ -275,3 +275,110 @@ def temperature_allocation(
             ).cast("long").alias("alloc_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_feature_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    """Bag of hashed word uni+bigram features per document —
+    (id, bucket) with multiplicity, the DSIR feature space (Xie et
+    al. 2023): every token and every adjacent token pair hashes to
+    one of *buckets* ids via the engine-portable md5 bucket
+    (:func:`hash_bucket`). One explode, linear in corpus tokens."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    feats = F.expr(
+        "concat(__toks, CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat_ws(' ', slice(__toks, i, 2))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END)"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(feats).alias("__f"))
+        .select(
+            F.col(id_col), hash_bucket(F.col("__f"), buckets).alias("__b")
+        )
+    )
+
+
+def dsir_importance_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): fit
+    bag-of-hashed-ngram models on the *target* distribution (the
+    corpus you want more of) and on *raw*, then score every raw
+    document by the add-one-smoothed log-likelihood ratio
+    Σ_features [ln p̂_target(b) − ln p̂_raw(b)] — positive means the
+    document looks more like the target than like the raw pool.
+    Resampling/selection keys on this score.
+
+    Scale shape — the whole "train" is two bounded hash-aggregates:
+    feature explode (linear in tokens) → per-bucket counts collapse
+    to ≤ *buckets* rows each, the joined λ model is broadcast
+    (≤ *buckets* rows), and scoring is one per-doc aggregate. No
+    pair space, no iteration, nothing corpus-sized leaves the
+    executors.
+
+    Determinism: each ln is floor-quantized to the 1e-8 grid (the
+    BM25-idf recipe) and the per-document accumulation is an exact
+    BIGINT sum of the quantized λs, divided once at the end — so a
+    SQL oracle replays the score bit-for-bit.
+
+    Output: (id, n_features, importance_score, target_like 0/1),
+    one row per raw document with at least one token.
+    """
+    fb_raw = _hashed_feature_buckets(raw, id_col, text_col, buckets)
+    fb_tgt = _hashed_feature_buckets(target, id_col, text_col, buckets)
+    rc = fb_raw.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tc = fb_tgt.groupBy("__b").agg(F.count("*").alias("__ct"))
+    # totals fold the ≤buckets-row count tables, NOT the corpus — a
+    # third corpus scan+explode for two scalars would double the
+    # model-building cost at 100 TB
+    totals = (
+        rc.agg(F.sum("__cr").alias("__rtot"))
+        .crossJoin(F.broadcast(tc.agg(F.sum("__ct").alias("__ttot"))))
+    )
+    ln_t = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("__ttot") + F.lit(buckets)).cast("double")
+    )
+    ln_r = F.log(
+        (F.col("__cr") + F.lit(1)).cast("double")
+        / (F.col("__rtot") + F.lit(buckets)).cast("double")
+    )
+    lam = (
+        F.floor(ln_t * F.lit(1e8)).cast("bigint")
+        - F.floor(ln_r * F.lit(1e8)).cast("bigint")
+    )
+    # raw covers every scored bucket; target-absent buckets smooth
+    # through the +1 prior (coalesce above)
+    model = (
+        rc.join(tc, "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("__b", lam.alias("__lam"))
+    )
+    score_q = F.sum("__lam")
+    return (
+        fb_raw.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            (score_q.cast("double") / F.lit(1e8)).alias(
+                "importance_score"
+            ),
+            F.when(score_q > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("target_like"),
+        )
+    )

@@ -165,14 +165,14 @@ _R06_WINDOW = [
 # driver row is r02). Slots 4-11: the eight round-6b queries that
 # have NEVER had a driver row; the round-9 semdedup scale-K and
 # band-sweep truth-stratum fixes land in these same queries, so the
-# slots double as re-proofs of this round's changes. Slots 12-13:
-# the two NEW
-# round-9 queries (URL/domain-tier dedup, cross-doc substring
-# spans) — first-time checks outrank re-proof fill, the r04-window
-# precedent. Slots 14-50: re-proof fill from the r02-only cohort
-# (41 queries whose newest driver evidence is round 2),
-# alphabetical; the three that do not fit (user_event_profile,
-# vocabulary_top200, weighted_source_mixture) head the r10 queue.
+# slots double as re-proofs of this round's changes. Slots 12-14:
+# the three NEW round-9 queries (URL/domain-tier dedup, cross-doc
+# substring spans, DSIR importance scores) — first-time checks
+# outrank re-proof fill, the r04-window precedent. Slots 15-50:
+# re-proof fill from the r02-only cohort (41 queries whose newest
+# driver evidence is round 2), alphabetical; the four that do not
+# fit (top_distinctive_terms, user_event_profile, vocabulary_top200,
+# weighted_source_mixture) head the r10 queue.
 _R09_WINDOW = [
     # post-freeze IVF re-proofs (plans changed after the r06 freeze)
     "ann_ivf_recall",
@@ -190,6 +190,7 @@ _R09_WINDOW = [
     # new in round 9 — first-ever driver rows
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
+    "dsir_importance_scores",
     # r02-only re-proof fill (stalest driver evidence; alphabetical)
     "ann_bruteforce_topk",
     "ann_lsh_multitable_topk",
@@ -227,14 +228,14 @@ _R09_WINDOW = [
     "stratified_sample_by_lang",
     "text_quality_scores",
     "token_count_stats",
-    "top_distinctive_terms",
     # r10 window queue: lead with any queries whose plan or oracle
-    # changes in r10, then the three r02-only stragglers displaced
-    # above (user_event_profile, vocabulary_top200,
-    # weighted_source_mixture), then re-proof fill from the r03
-    # cohort, stalest first. After r09 every OTHER query's newest
-    # driver evidence is r03+. Write the list AS CODE in the first
-    # r10 commit — a comment is not a window (r07/r08 lesson).
+    # changes in r10, then the four r02-only stragglers displaced
+    # above (top_distinctive_terms, user_event_profile,
+    # vocabulary_top200, weighted_source_mixture), then re-proof
+    # fill from the r03 cohort, stalest first. After r09 every OTHER
+    # query's newest driver evidence is r03+. Write the list AS CODE
+    # in the first r10 commit — a comment is not a window (r07/r08
+    # lesson).
 ]
 
 _R05_WINDOW = [

@@ -1,6 +1,8 @@
 """Round-9 registry surface: the URL/domain-tier and exact-substring
 dedup families — the two major public near-dedup families previously
-absent (r08 verdict item 8 names them explicitly).
+absent (r08 verdict item 8 names them explicitly) — plus DSIR
+importance-resampling scores, the hashed-n-gram data-selection
+method.
 
 - URL-normalized keep-one dedup with a domain-tier health rollup
   (the CCNet / RefinedWeb web-corpus first pass: canonicalize the
@@ -11,10 +13,14 @@ absent (r08 verdict item 8 names them explicitly).
   seen in ≥2 documents are duplicated training text; a repeat of
   length L ≥ W contains L−W+1 duplicated windows, so the fixed
   window catches every long repeat)
+- DSIR importance scores (Xie et al. 2023: bag-of-hashed-ngram
+  models for a target distribution vs the raw pool; per-doc
+  log-likelihood ratio is the selection key)
 
-Both are single-hash-aggregate shapes (no pair space, no sketch):
+All are single-hash-aggregate shapes (no pair space, no iteration):
 the URL tier shuffles (canonical-url, id) pairs, the span tier
-shuffles md5 span fingerprints — linear in corpus size at 100 TB.
+shuffles md5 span fingerprints, the DSIR model collapses to ≤1024
+broadcast rows — linear in corpus size at 100 TB.
 
 The documents table has no URL column, so the URL query injects one
 deterministically from ``doc_id`` (the established
@@ -150,3 +156,72 @@ def cross_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return cross_doc_span_stats(d, "doc_id", "text", window=_SPAN_W)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scores (hashed n-gram importance resampling).
+# --------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, f FROM toks, UNNEST(t) AS u(f)
+      UNION ALL
+      SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS f
+      FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST(from_hex(substr(md5(f), 1, 8))::BIT::UBIGINT AS BIGINT)
+               % {_DSIR_B} AS b
+      FROM feats
+    ),
+    rc AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM fb) AS rtot,
+             (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS ttot
+    ),
+    model AS (
+      SELECT rc.b,
+             CAST(floor(ln(
+               CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+               / CAST(tot.ttot + {_DSIR_B} AS DOUBLE)) * 1e8) AS BIGINT)
+           - CAST(floor(ln(
+               CAST(rc.cr + 1 AS DOUBLE)
+               / CAST(tot.rtot + {_DSIR_B} AS DOUBLE)) * 1e8) AS BIGINT)
+             AS lam
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(SUM(m.lam) AS DOUBLE) / 1e8 AS importance_score,
+           CAST(CASE WHEN SUM(m.lam) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS target_like
+    FROM fb f JOIN model m ON m.b = f.b
+    GROUP BY f.doc_id
+    """
+
+
+@register("dsir_importance_scores", _DSIR_ORACLE)
+def dsir_importance_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) with the English
+    subcorpus as the target distribution: hashed uni+bigram models
+    for target and raw, per-doc add-one-smoothed log-likelihood
+    ratio, positive score = more English-like than pool-like. The
+    'training' is two <=1024-row hash-aggregates and the model is a
+    broadcast join — the cheapest selection signal in the curation
+    family (:func:`..operators.sampling.dsir_importance_scores`).
+    The ln quantization follows the BM25-idf fixed-point recipe, so
+    the oracle replays the BIGINT score sum exactly."""
+    from ..operators.sampling import dsir_importance_scores
+
+    d = load_tables(spark, sf_dir, "documents")
+    return dsir_importance_scores(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text",
+        buckets=_DSIR_B,
+    )

@@ -169,9 +169,10 @@ QUERIES = [
     # r06b: re-audited after the one-scan max_by corpus assignment
     "ann_ivf_recall",
     "ann_ivfpq_recall",
-    # r09: URL-tier + windowed-substring dedup families
+    # r09: URL-tier + windowed-substring dedup families, DSIR
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
+    "dsir_importance_scores",
 ]
 
 

@@ -90,10 +90,13 @@ def test_driver_window_invariants():
         "cusum_value_changepoints", "lsh_band_sweep",
         "semdedup_recall_audit", "ann_ivf_incremental",
     ]
-    new_r09 = ["url_domain_dedup_health", "cross_doc_dup_spans"]
+    new_r09 = [
+        "url_domain_dedup_health", "cross_doc_dup_spans",
+        "dsir_importance_scores",
+    ]
     assert _R09_WINDOW[:3] == ivf_reproofs
     assert _R09_WINDOW[3:11] == round6b
-    assert _R09_WINDOW[11:13] == new_r09
+    assert _R09_WINDOW[11:14] == new_r09
 
 
 def _script_names(filename: str, attrs: list[str]) -> list[str]:

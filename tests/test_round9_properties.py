@@ -154,3 +154,88 @@ def test_cross_doc_span_stats_duplicated_doc_fully_flagged(spark):
     assert len(out) == 2
     for r in out:
         assert r.n_dup_spans == r.n_spans and r.dup_span_rate == 1.0
+
+
+# ------------------------------------------------- DSIR importance
+def test_dsir_importance_matches_bruteforce(spark):
+    """Score must equal a direct Python computation: hashed
+    uni+bigram bag counts, add-one smoothing over B buckets,
+    per-ln 1e-8 floor quantization, exact integer sum."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_python_azure_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    B = 64
+    rng = random.Random(23)
+    vocab = [f"v{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15))))
+        for i in range(60)
+    ]
+    target_ids = {i for i, _ in docs if i % 3 == 0}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        r.doc_id: r
+        for r in dsir_importance_scores(
+            df, tgt, "doc_id", "text", buckets=B
+        ).collect()
+    }
+
+    def feats(text):
+        t = text.lower().split(" ")
+        return t + [" ".join(t[j : j + 2]) for j in range(len(t) - 1)]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    raw_c, tgt_c = Counter(), Counter()
+    per_doc = {}
+    for i, text in docs:
+        bs = [bucket(f) for f in feats(text)]
+        per_doc[i] = bs
+        raw_c.update(bs)
+        if i in target_ids:
+            tgt_c.update(bs)
+    rtot, ttot = sum(raw_c.values()), sum(tgt_c.values())
+    lam = {
+        b: math.floor(math.log((tgt_c[b] + 1) / (ttot + B)) * 1e8)
+        - math.floor(math.log((raw_c[b] + 1) / (rtot + B)) * 1e8)
+        for b in raw_c
+    }
+    for i, bs in per_doc.items():
+        sq = sum(lam[b] for b in bs)
+        r = got[i]
+        assert r.n_features == len(bs)
+        assert r.importance_score == pytest.approx(sq / 1e8, abs=0)
+        assert r.target_like == (1 if sq > 0 else 0)
+
+
+def test_dsir_target_docs_score_higher_on_disjoint_vocab(spark):
+    """With disjoint target/raw vocabularies the ratio model must
+    rank every target-vocabulary doc above every raw-only doc, and
+    only the former as target_like."""
+    from etl_python_azure_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    docs = [(i, "alpha beta gamma delta epsilon") for i in range(5)] + [
+        (i, "zero one two three four") for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tgt = df.filter(F.col("doc_id") < 5)
+    out = {
+        r.doc_id: r
+        for r in dsir_importance_scores(
+            df, tgt, "doc_id", "text", buckets=512
+        ).collect()
+    }
+    t_scores = [out[i].importance_score for i in range(5)]
+    r_scores = [out[i].importance_score for i in range(5, 10)]
+    assert min(t_scores) > max(r_scores)
+    assert all(out[i].target_like == 1 for i in range(5))
+    assert all(out[i].target_like == 0 for i in range(5, 10))
