@@ -344,9 +344,18 @@ def dsir_importance_scores(
     # totals fold the ≤buckets-row count tables, NOT the corpus — a
     # third corpus scan+explode for two scalars would double the
     # model-building cost at 100 TB
+    # coalesce: SUM over an empty count table is NULL in Spark but
+    # the equivalent COUNT in a SQL oracle is 0 — an empty target
+    # must degrade to the pure +1 prior, not null scores
     totals = (
-        rc.agg(F.sum("__cr").alias("__rtot"))
-        .crossJoin(F.broadcast(tc.agg(F.sum("__ct").alias("__ttot"))))
+        rc.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__rtot"))
+        .crossJoin(
+            F.broadcast(
+                tc.agg(
+                    F.coalesce(F.sum("__ct"), F.lit(0)).alias("__ttot")
+                )
+            )
+        )
     )
     ln_t = F.log(
         (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1)).cast("double")

@@ -239,3 +239,21 @@ def test_dsir_target_docs_score_higher_on_disjoint_vocab(spark):
     assert min(t_scores) > max(r_scores)
     assert all(out[i].target_like == 1 for i in range(5))
     assert all(out[i].target_like == 0 for i in range(5, 10))
+
+
+def test_dsir_empty_target_degrades_to_prior(spark):
+    """An empty target corpus must yield finite scores from the
+    pure +1 prior (ln(1/B) per feature), not nulls — Spark SUM over
+    an empty frame is NULL where a SQL COUNT is 0."""
+    from etl_python_azure_spark.operators.sampling import (
+        dsir_importance_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+    )
+    out = dsir_importance_scores(
+        df, df.filter(F.col("doc_id") < 0), "doc_id", "text", buckets=32
+    ).collect()
+    assert len(out) == 2
+    assert all(r.importance_score is not None for r in out)
