@@ -586,9 +586,11 @@ def _km_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-once spherical k-means centroids (16 cells,
     ``_KM_ROUNDS`` rounds, ``tol=0``), localCheckpoint-ed: the first
     consumer in a process pays the Lloyd training (the path every
-    consumer's oracle replays as unrolled SQL), later consumers —
-    the IVF recall query and the SemDeDup cell-restricted dedup —
-    serve from the frozen quantizer. See queries/_artifacts.py."""
+    consumer's oracle replays as unrolled SQL). The IVF recall
+    fixture serves from this frozen 16-cell quantizer; the SemDeDup
+    queries moved to :func:`_km_index_scaled` (K = max(16, ⌊√n⌋),
+    the operator's scale contract) in round 9. See
+    queries/_artifacts.py."""
     from ..operators.similarity import kmeans_centroids
     from ._artifacts import fit_once
 
