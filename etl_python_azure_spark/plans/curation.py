@@ -249,3 +249,155 @@ def curate_increment(
         .select("doc_id", "source", "text")
     )
     return admitted
+
+
+def curate_corpus_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_root: str,
+    url_expr=None,
+    quota_per_source: int = 100_000,
+    near_dup_threshold: float = 0.8,
+    span_window: int = 8,
+    dsir_buckets: int = 1024,
+) -> dict[str, int]:
+    """The round-9 curation composition in the RefinedWeb /
+    MassiveText published stage order — every dedup tier the engine
+    implements, chained as ONE Spark job DAG:
+
+        URL keep-one dedup (canonical URL, min-id keeper)
+          → quality gate (Gopher rules)
+          → exact dedup (md5 fingerprint window)
+          → fuzzy near-dedup (MinHash→LSH candidates, exact-Jaccard
+            verify, drop higher id)
+          → exact-substring span dedup (drop documents whose
+            ≥span_window-token spans are MAJORITY covered by a
+            lower-id document — the doc-level form of Lee et al.
+            span removal; integer 2·covered ≥ total compare, no
+            float threshold)
+          → DSIR selection gate (keep documents whose hashed-ngram
+            importance score vs the English subcorpus is positive)
+          → deterministic split + leakage audit + per-source quota
+          → partitioned parquet write of the train corpus
+
+    *url_expr* is the URL Column (production corpora carry one; the
+    registry query injects the deterministic doc_id-derived URL the
+    ``url_domain_dedup_health`` fixture uses). Scale shape: the new
+    stages add one hash-aggregate keyed on the canonical URL, one
+    fingerprint-window pass (same shape as exact dedup), and the
+    two bounded DSIR aggregates + broadcast model join — no new
+    pair spaces, no corpus-sized broadcasts.
+
+    Returns 12 stage counts: (n_input, n_url, n_quality, n_exact,
+    n_near, n_span, n_dsir, n_leaked_fps, n_train, n_val, n_test,
+    n_train_capped).
+    """
+    from ..operators.dedup import normalize_url, word_shingles
+    from ..operators.sampling import dsir_importance_scores
+
+    d = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    n_input = d.count()
+
+    # URL keep-one: min doc_id per canonical URL (the CCNet /
+    # RefinedWeb first pass — one window keyed on the canonical URL)
+    if url_expr is not None:
+        uw = Window.partitionBy(normalize_url(url_expr)).orderBy(
+            F.asc("doc_id")
+        )
+        d = (
+            d.withColumn("__urn", F.row_number().over(uw))
+            .filter(F.col("__urn") == 1)
+            .drop("__urn")
+        )
+    n_url = d.count()
+
+    flags = gopher_quality_flags(d, carry_cols=["source", "lang", "text"])
+    kept = flags.filter(F.col("pass_all")).select(
+        "doc_id", "source", "lang", "text"
+    )
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    exact = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    exact = exact.persist()
+
+    pairs = minhash_lsh_pairs(
+        exact, "doc_id", "text", threshold=near_dup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    near = exact.join(drop, "doc_id", "left_anti").persist()
+
+    # span dedup: a doc whose W-token spans are MAJORITY covered by
+    # a lower-id doc is residual duplicated text the fuzzy tier
+    # missed (different enough globally, same long spans locally)
+    spans = word_shingles(near, "doc_id", "text", n=span_window).select(
+        "doc_id", F.md5("shingle").alias("__fp")
+    )
+    mn = F.min("doc_id").over(Window.partitionBy("__fp"))
+    span_drop = (
+        spans.withColumn("__cov", (mn < F.col("doc_id")).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum("__cov").alias("__nc"), F.count("*").alias("__ns"))
+        .filter(F.lit(2) * F.col("__nc") >= F.col("__ns"))
+        .select("doc_id")
+    )
+    span_kept = near.join(span_drop, "doc_id", "left_anti").persist()
+
+    # DSIR gate: keep docs scoring more English-subcorpus-like than
+    # pool-like (score > 0); model trained on the deduped corpus
+    scores = dsir_importance_scores(
+        span_kept,
+        span_kept.filter(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        buckets=dsir_buckets,
+    )
+    selected = span_kept.join(
+        scores.filter(F.col("target_like") == 1).select("doc_id"),
+        "doc_id",
+    )
+
+    b = hash_bucket("doc_id", 100)
+    split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    tagged = selected.withColumn("split", split).persist()
+    ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
+    leaked = (
+        ps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+
+    train = tagged.filter(F.col("split") == "train").drop("split")
+    capped = quota_sample(train, "source", "doc_id", quota_per_source).drop(
+        "rank_in_group"
+    )
+
+    out = os.path.join(sink_root, "train")
+    capped.write.mode("overwrite").partitionBy("source").parquet(out)
+
+    split_counts = {
+        r["split"]: r["n"]
+        for r in tagged.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    counts = {
+        "n_input": n_input,
+        "n_url": n_url,
+        "n_quality": kept.count(),
+        "n_exact": exact.count(),
+        "n_near": near.count(),
+        "n_span": span_kept.count(),
+        "n_dsir": sum(split_counts.values()),
+        "n_leaked_fps": leaked.count(),
+        "n_train": split_counts.get("train", 0),
+        "n_val": split_counts.get("val", 0),
+        "n_test": split_counts.get("test", 0),
+        "n_train_capped": spark.read.parquet(out).count(),
+    }
+    return counts
