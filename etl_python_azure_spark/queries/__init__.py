@@ -228,14 +228,78 @@ _R09_WINDOW = [
     "stratified_sample_by_lang",
     "text_quality_scores",
     "token_count_stats",
-    # r10 window queue: lead with any queries whose plan or oracle
-    # changes in r10, then the four r02-only stragglers displaced
-    # above (top_distinctive_terms, user_event_profile,
-    # vocabulary_top200, weighted_source_mixture), then re-proof
-    # fill from the r03 cohort, stalest first. After r09 every OTHER
-    # query's newest driver evidence is r03+. Write the list AS CODE
-    # in the first r10 commit — a comment is not a window (r07/r08
-    # lesson).
+]
+
+# The r10 window drains the queue the r09 verdict booked. Slots 1-4:
+# the four r02-only stragglers displaced from the r09 window — after
+# these run, no query's newest driver evidence predates r03. Slots
+# 5-8: the queries NEW in round 10 (the curation-v3 composition
+# registry wiring the r09 advice asked for, the n-gram-profile
+# language-ID upgrade, the merged-interval span-coverage dedup, and
+# the quality-aware near-dup keeper) — first-time checks outrank
+# re-proof fill, the r04-window precedent. Slots 9+: re-proof fill
+# from the r03 cohort (44 queries whose newest driver evidence is
+# round 3), alphabetical; the list deliberately overflows 50 so a
+# missing new query cannot shrink the window — the driver records
+# the first 50 resolvable names. Whichever r03 names miss the cut
+# head the r11 queue.
+_R10_WINDOW = [
+    # r02-only stragglers (stalest driver evidence in the registry)
+    "top_distinctive_terms",
+    "user_event_profile",
+    "vocabulary_top200",
+    "weighted_source_mixture",
+    # new in round 10 — first-ever driver rows
+    "curation_v3_counts_report",
+    "lang_id_ngram_profile",
+    "merged_span_coverage",
+    "quality_keeper_dedup",
+    # r03-only re-proof fill (alphabetical; tail past slot 50 feeds
+    # the r11 queue)
+    "avg_inter_event_gap",
+    "bilateral_trade_volume",
+    "boilerplate_removal",
+    "cluster_safe_splits",
+    "corpus_curation_pipeline",
+    "daily_activity_gapfill",
+    "daily_peak_concurrency",
+    "data_quality_report",
+    "decile_spend_profile",
+    "disjunctive_band_revenue",
+    "document_chunks",
+    "dominant_part_suppliers",
+    "embedding_dim_stats",
+    "event_transition_matrix",
+    "filtered_aggregates",
+    "forecast_revenue_change",
+    "join_key_skew_profile",
+    "late_ship_priority_orders",
+    "media_frame_sample",
+    "min_cost_supplier_per_part",
+    "moving_avg_order_price",
+    "nation_market_share",
+    "oov_rate_by_lang",
+    "passage_dup_stats",
+    "priority_orders_with_big_items",
+    "profile_orders_columns",
+    "profit_by_nation_year",
+    "retention_cohorts",
+    "returned_item_customers",
+    "rolling_7d_active_users",
+    "salted_quantity_by_flag",
+    "sequence_packing",
+    "similar_user_activity",
+    "small_quantity_revenue_loss",
+    "sole_late_suppliers",
+    "source_lang_affinity",
+    "supplier_variety_by_part",
+    "temperature_mixture",
+    "tokenizer_fertility_by_lang",
+    "top_revenue_supplier",
+    "variant_props_rollup",
+    "views_before_purchase_ranged",
+    "window_function_toolbox",
+    "winsorized_order_stats",
 ]
 
 _R05_WINDOW = [
@@ -416,6 +480,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round6b  # noqa: F401
     from . import round9  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R09_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R10_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered
