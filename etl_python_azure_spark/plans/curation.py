@@ -128,7 +128,13 @@ def curate_corpus(
         "n_train": split_counts.get("train", 0),
         "n_val": split_counts.get("val", 0),
         "n_test": split_counts.get("test", 0),
-        "n_train_capped": spark.read.parquet(out).count(),
+        # read-back verifies the write; the pinned schema keeps the
+        # count working when the funnel legitimately empties (strict
+        # gates / tiny delta → partitionBy writes only _SUCCESS and
+        # schema inference would fail)
+        "n_train_capped": spark.read.schema(capped.schema)
+        .parquet(out)
+        .count(),
     }
     return counts
 
@@ -270,11 +276,11 @@ def curate_corpus_v3(
           → exact dedup (md5 fingerprint window)
           → fuzzy near-dedup (MinHash→LSH candidates, exact-Jaccard
             verify, drop higher id)
-          → exact-substring span dedup (drop documents whose
-            ≥span_window-token spans are MAJORITY covered by a
+          → exact-substring span dedup (drop documents at least
+            half of whose span_window-token spans are covered by a
             lower-id document — the doc-level form of Lee et al.
-            span removal; integer 2·covered ≥ total compare, no
-            float threshold)
+            span removal; integer 2·covered ≥ total compare, ties
+            dropped, no float threshold)
           → DSIR selection gate (keep documents whose hashed-ngram
             importance score vs the English subcorpus is positive)
           → deterministic split + leakage audit + per-source quota
@@ -332,9 +338,10 @@ def curate_corpus_v3(
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near = exact.join(drop, "doc_id", "left_anti").persist()
 
-    # span dedup: a doc whose W-token spans are MAJORITY covered by
-    # a lower-id doc is residual duplicated text the fuzzy tier
-    # missed (different enough globally, same long spans locally)
+    # span dedup: a doc at least half of whose W-token spans are
+    # covered by a lower-id doc (2·covered ≥ total, ties dropped) is
+    # residual duplicated text the fuzzy tier missed (different
+    # enough globally, same long spans locally)
     spans = word_shingles(near, "doc_id", "text", n=span_window).select(
         "doc_id", F.md5("shingle").alias("__fp")
     )
@@ -398,6 +405,9 @@ def curate_corpus_v3(
         "n_train": split_counts.get("train", 0),
         "n_val": split_counts.get("val", 0),
         "n_test": split_counts.get("test", 0),
-        "n_train_capped": spark.read.parquet(out).count(),
+        # schema-pinned read-back: see curate_corpus
+        "n_train_capped": spark.read.schema(capped.schema)
+        .parquet(out)
+        .count(),
     }
     return counts

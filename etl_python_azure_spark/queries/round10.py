@@ -1,0 +1,321 @@
+"""Round-10 registry surface.
+
+- ``curation_v3_counts_report`` — the r09 advice item: the
+  RefinedWeb-ordered ``curate_corpus_v3`` composition (URL keep-one →
+  Gopher gate → exact dedup → LSH near-dedup → span dedup → DSIR
+  gate → split/leakage/quota) had no registry caller; this query runs
+  the REAL plan end-to-end and the oracle replays every stage as
+  DuckDB CTEs — the composition twin of the per-stage queries
+  (`url_domain_dedup_health`, `gopher_quality_report`, `exact_dedup`,
+  `minhash_dedup_pairs`, `cross_doc_dup_spans`,
+  `dsir_importance_scores`).
+
+Determinism: md5 fingerprints and the `_HASH32` split bucket are
+identical both engines; every projected count is CAST(... AS BIGINT)
+(DuckDB integer COUNT/SUM → HUGEINT otherwise); the DSIR lambda
+reuses the floor(ln·1e8) fixed-point recipe so the sign gate is an
+integer compare in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from . import register
+from .round5 import _HASH32
+
+# --------------------------------------------------------------------------
+# curate_corpus_v3 composed stage counts.
+#
+# The documents table has no URL column, so the query injects one
+# deterministically from doc_id (the `url_domain_dedup_health`
+# recipe): docs whose id ends in 9 share a canonical URL with id-1
+# (~10% URL-duplication), wrapped in scheme / www. / trailing-slash /
+# query-string variants so the canonicalizer does real work. The URL
+# tier must collapse only those pairs; everything downstream then
+# exercises the published RefinedWeb stage order on the survivor set.
+# --------------------------------------------------------------------------
+
+_V3_QUOTA = 15  # same as curation_counts_report — bites at every SF
+_V3_SPAN_W = 8
+_V3_DSIR_B = 1024
+
+_V3_COUNT_COLS = [
+    "n_input",
+    "n_url",
+    "n_quality",
+    "n_exact",
+    "n_near",
+    "n_span",
+    "n_dsir",
+    "n_leaked_fps",
+    "n_train",
+    "n_val",
+    "n_test",
+    "n_train_capped",
+]
+
+# one shared SQL fragment: the injected URL (base id = doc_id, except
+# ids ending in 9 which borrow id-1's base → pairwise URL duplicates)
+_V3_URL_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      || 'h' || CAST((doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1
+                                ELSE 0 END)) % 25 AS VARCHAR)
+      || '.example.com/p/'
+      || CAST(doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END)
+              AS VARCHAR)
+      || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END)
+"""
+
+_V3_ORACLE = f"""
+    WITH inj AS (
+      SELECT doc_id, source, lang, text, {_V3_URL_SQL} AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source, lang, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url), '^https?://', ''), '[?#].*$', ''),
+               '^www\\.', ''), '/$', '') AS u
+      FROM inj
+    ),
+    ukeep AS MATERIALIZED (
+      SELECT doc_id, source, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY u ORDER BY doc_id) AS urn
+        FROM canon
+      ) WHERE urn = 1
+    ),
+    t AS (
+      SELECT doc_id, source, lang, text,
+             string_split(lower(text), ' ') AS w
+      FROM ukeep
+    ),
+    f AS (
+      SELECT doc_id, source, lang, text,
+             len(w) AS nw,
+             list_reduce(list_transform(w, s -> length(s)),
+                         (a, b) -> a + b) AS nchars,
+             len(list_filter(w,
+                 s -> list_contains(['the', 'a', 'of', 'and', 'to',
+                                     'in', 'is', 'be'], s))) AS nstop,
+             len(list_distinct(w)) AS ndist
+      FROM t
+    ),
+    q AS MATERIALIZED (
+      SELECT doc_id, source, lang, text FROM f
+      WHERE nw >= 10 AND nw <= 100000
+        AND nchars * 1.0 / nw >= 2.0 AND nchars * 1.0 / nw <= 10.0
+        AND nstop * 1.0 / nw >= 0.02
+        AND ndist * 1.0 / nw >= 0.2
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, source, lang, text FROM (
+        SELECT doc_id, source, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    extoks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tt FROM ex
+    ),
+    esh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(tt[i:i+2], ' ') AS shingle
+      FROM extoks, UNNEST(range(1, greatest(len(tt) - 1, 1))) AS u(i)
+    ),
+    esz AS (SELECT doc_id, COUNT(*) AS sz FROM esh GROUP BY doc_id),
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+      FROM esh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(MIN(sig) || MAX(sig)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM esh a JOIN esh b ON a.shingle = b.shingle
+                            AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dupd AS (
+      SELECT DISTINCT i.id_b AS doc_id
+      FROM inter i
+      JOIN esz sa ON sa.doc_id = i.id_a
+      JOIN esz sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+        AND EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+    ),
+    nr AS MATERIALIZED (
+      SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dupd)
+    ),
+    ntoks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM nr
+    ),
+    ssp AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[i:i+{_V3_SPAN_W - 1}], ' ')) AS fp
+      FROM ntoks,
+           UNNEST(range(1, greatest(len(t) - {_V3_SPAN_W - 2}, 1))) AS u(i)
+    ),
+    smin AS (SELECT fp, MIN(doc_id) AS mn FROM ssp GROUP BY fp),
+    sdrop AS (
+      SELECT s.doc_id
+      FROM ssp s JOIN smin m USING (fp)
+      GROUP BY s.doc_id
+      HAVING 2 * SUM(CASE WHEN m.mn < s.doc_id THEN 1 ELSE 0 END)
+             >= COUNT(*)
+    ),
+    sk AS MATERIALIZED (
+      SELECT * FROM nr WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)
+    ),
+    sktoks AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM sk
+    ),
+    feats AS (
+      SELECT doc_id, lang, f FROM sktoks, UNNEST(t) AS u(f)
+      UNION ALL
+      SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS f
+      FROM sktoks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id, lang,
+             CAST(from_hex(substr(md5(f), 1, 8))::BIT::UBIGINT AS BIGINT)
+               % {_V3_DSIR_B} AS b
+      FROM feats
+    ),
+    rc AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM fb) AS rtot,
+             (SELECT COUNT(*) FROM fb WHERE lang = 'en') AS ttot
+    ),
+    model AS (
+      SELECT rc.b,
+             CAST(floor(ln(
+               CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+               / CAST(tot.ttot + {_V3_DSIR_B} AS DOUBLE)) * 1e8) AS BIGINT)
+           - CAST(floor(ln(
+               CAST(rc.cr + 1 AS DOUBLE)
+               / CAST(tot.rtot + {_V3_DSIR_B} AS DOUBLE)) * 1e8) AS BIGINT)
+             AS lam
+      FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+    ),
+    dsel AS (
+      SELECT f.doc_id
+      FROM fb f JOIN model m ON m.b = f.b
+      GROUP BY f.doc_id HAVING SUM(m.lam) > 0
+    ),
+    sel AS MATERIALIZED (
+      SELECT sk.* FROM sk JOIN dsel USING (doc_id)
+    ),
+    sp AS MATERIALIZED (
+      SELECT doc_id, source, text,
+             CASE WHEN ({_HASH32.format(e='doc_id')} % 100) < 90
+                    THEN 'train'
+                  WHEN ({_HASH32.format(e='doc_id')} % 100) < 95
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sel
+    ),
+    ps AS (SELECT DISTINCT md5(text) AS fp, split FROM sp),
+    leaked AS (SELECT fp FROM ps GROUP BY fp HAVING COUNT(*) > 1),
+    capped AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM sp WHERE split = 'train'
+      ) WHERE rk <= {_V3_QUOTA}
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+      CAST((SELECT COUNT(*) FROM ukeep) AS BIGINT) AS n_url,
+      CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality,
+      CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+      CAST((SELECT COUNT(*) FROM nr) AS BIGINT) AS n_near,
+      CAST((SELECT COUNT(*) FROM sk) AS BIGINT) AS n_span,
+      CAST((SELECT COUNT(*) FROM sel) AS BIGINT) AS n_dsir,
+      CAST((SELECT COUNT(*) FROM leaked) AS BIGINT) AS n_leaked_fps,
+      CAST((SELECT COUNT(*) FROM sp WHERE split = 'train') AS BIGINT)
+        AS n_train,
+      CAST((SELECT COUNT(*) FROM sp WHERE split = 'val') AS BIGINT)
+        AS n_val,
+      CAST((SELECT COUNT(*) FROM sp WHERE split = 'test') AS BIGINT)
+        AS n_test,
+      CAST((SELECT COUNT(*) FROM capped) AS BIGINT) AS n_train_capped
+    """
+
+
+def _v3_url_expr() -> F.Column:
+    """The injected URL Column (Spark twin of ``_V3_URL_SQL``)."""
+    base = F.col("doc_id") - F.when(
+        F.col("doc_id") % 10 == 9, F.lit(1)
+    ).otherwise(F.lit(0))
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("h"),
+        (base % 25).cast("string"),
+        F.lit(".example.com/p/"),
+        base.cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register("curation_v3_counts_report", _V3_ORACLE)
+def curation_v3_counts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end stage counts of the RefinedWeb-ordered
+    ``curate_corpus_v3`` composition under the driver gate: runs the
+    REAL plan (URL keep-one on the injected URL → Gopher gate →
+    exact dedup → LSH near-dedup → span dedup at W=8 → DSIR English
+    gate → hash split → leakage audit → per-source quota →
+    partitioned scratch write) and returns its 12-count report as
+    one row; the oracle replays the full chain as CTEs. The
+    per-stage queries verify each tier in isolation — here the
+    COMPOSITION (stage order, survivor handoff, keeper policies) is
+    what's proven."""
+    import shutil
+    import tempfile
+
+    from ..plans.curation import curate_corpus_v3
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_curation_v3_")
+    try:
+        counts = curate_corpus_v3(
+            spark,
+            sf_dir,
+            sink,
+            url_expr=_v3_url_expr(),
+            quota_per_source=_V3_QUOTA,
+            span_window=_V3_SPAN_W,
+            dsir_buckets=_V3_DSIR_B,
+        )
+    finally:
+        spark.catalog.clearCache()
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(int(counts[c]) for c in _V3_COUNT_COLS)],
+        ", ".join(f"{c} long" for c in _V3_COUNT_COLS),
+    )

@@ -1,0 +1,95 @@
+"""Round-10 surface: the curate_corpus_v3 composition (e2e coverage
+the r09 advice asked for) and the round-10 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_curation_v3_pipeline_e2e(spark, sf_dir, tmp_path):
+    """The RefinedWeb-ordered v3 flow: counts are monotone through
+    the seven-stage funnel, the injected URL tier drops exactly the
+    ids-ending-in-9 docs, the leakage audit is zero after exact
+    dedup, splits are disjoint and exhaustive over the DSIR
+    survivors, the written train corpus respects the per-source
+    quota, and re-running is deterministic."""
+    from etl_python_azure_spark.plans.curation import curate_corpus_v3
+    from etl_python_azure_spark.queries.round10 import _v3_url_expr
+
+    m = curate_corpus_v3(
+        spark,
+        sf_dir,
+        str(tmp_path / "out"),
+        url_expr=_v3_url_expr(),
+        quota_per_source=10,
+    )
+    assert (
+        m["n_input"]
+        >= m["n_url"]
+        >= m["n_quality"]
+        >= m["n_exact"]
+        >= m["n_near"]
+        >= m["n_span"]
+        >= m["n_dsir"]
+    )
+    # the injected URLs collapse every id ending in 9 onto id-1
+    # (both always exist in the contiguous 0..N-1 id space)
+    assert m["n_url"] == m["n_input"] - m["n_input"] // 10
+    assert m["n_dsir"] > 0
+    assert m["n_leaked_fps"] == 0  # exact dedup precedes the split
+    assert m["n_train"] + m["n_val"] + m["n_test"] == m["n_dsir"]
+    assert m["n_train_capped"] <= m["n_train"]
+
+    out = spark.read.parquet(str(tmp_path / "out" / "train"))
+    per_source = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 10 for r in per_source)
+
+    spark.catalog.clearCache()
+    m2 = curate_corpus_v3(
+        spark,
+        sf_dir,
+        str(tmp_path / "out2"),
+        url_expr=_v3_url_expr(),
+        quota_per_source=10,
+    )
+    assert m2 == m
+
+
+def test_curation_v3_span_stage_drops_covered_doc(spark, tmp_path):
+    """A doc whose 8-token spans are at least half covered by a
+    lower-id doc is dropped by the span tier even when the fuzzy
+    tier misses it (Jaccard below 0.8). Three 23-token docs sharing
+    a 'the a of' stopword prefix (so the Gopher gate passes):
+
+    - doc0: prefix + w0..w19 (the coverage source)
+    - doc1: prefix + w0..w9 + x0..x9 — shares a 13-token prefix
+      with doc0 → 6 of its 16 spans covered (12 < 16: SURVIVES)
+    - doc2: prefix + w0..w16 + x0..x2 — shares a 20-token prefix
+      → 13 of its 16 spans covered (26 ≥ 16: DROPPED); its
+      3-shingle Jaccard vs doc0 is 0.75, under the 0.8 fuzzy
+      threshold, so only the span tier catches it.
+
+    Pins both sides of the at-least-half threshold AND the
+    fuzzy/span tier division of labor."""
+    from etl_python_azure_spark.plans.curation import curate_corpus_v3
+
+    base = [f"w{i}" for i in range(20)]
+    novel = [f"x{i}" for i in range(10)]
+    doc0 = "the a of " + " ".join(base)
+    doc1 = "the a of " + " ".join(base[:10] + novel)
+    doc2 = "the a of " + " ".join(base[:17] + novel[:3])
+    df = spark.createDataFrame(
+        [(0, "s", "en", doc0), (1, "s", "en", doc1), (2, "s", "en", doc2)],
+        "doc_id long, source string, lang string, text string",
+    )
+    src = tmp_path / "mini"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "documents.parquet"))
+
+    m = curate_corpus_v3(
+        spark, str(src), str(tmp_path / "out"), quota_per_source=10
+    )
+    assert m["n_quality"] == 3  # stopword prefix clears the gate
+    assert m["n_near"] == 3  # fuzzy tier misses the 0.75-Jaccard dup
+    assert m["n_span"] == 2  # span tier drops doc2, keeps doc1
+    spark.catalog.clearCache()
