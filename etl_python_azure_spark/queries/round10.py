@@ -319,3 +319,68 @@ def curation_v3_counts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(int(counts[c]) for c in _V3_COUNT_COLS)],
         ", ".join(f"{c} long" for c in _V3_COUNT_COLS),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-n-gram-profile language ID (Cavnar & Trenkle) — the
+# upgrade over stopword-hit voting: trigram profiles per labeled
+# language, rank-weighted out-of-place scoring, integer-exact.
+# --------------------------------------------------------------------------
+
+_LID_N = 3
+_LID_K = 200
+
+_LID_ORACLE = f"""
+    WITH g AS (
+      SELECT doc_id, lang, substr(lower(text), i, {_LID_N}) AS gram
+      FROM documents,
+           UNNEST(range(1, greatest(length(lower(text)) - {_LID_N - 2}, 1)))
+             AS u(i)
+    ),
+    pc AS (SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+    prof AS (
+      SELECT lang AS cand_lang, gram, {_LID_K + 1} - rnk AS weight
+      FROM (
+        SELECT lang, gram, cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+        FROM pc
+      ) WHERE rnk <= {_LID_K}
+    ),
+    tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+    sc AS (
+      SELECT t.doc_id, p.cand_lang, SUM(t.tf * p.weight) AS score
+      FROM tf t JOIN prof p USING (gram) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, cand_lang, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+      FROM sc
+    )
+    SELECT d.doc_id,
+           COALESCE(b.cand_lang, 'und') AS lang_guess,
+           CAST(COALESCE(b.score, 0) AS BIGINT) AS score,
+           d.lang AS lang_true,
+           CAST(CASE WHEN COALESCE(b.cand_lang, 'und') = d.lang
+                THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """
+
+
+@register("lang_id_ngram_profile", _LID_ORACLE)
+def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID over the labeled corpus
+    (:func:`..operators.text.language_id_ngram`): top-200 trigram
+    profile per language, rank-weighted Cavnar–Trenkle scoring,
+    winner by (score desc, lang asc). All-integer scores so the
+    oracle replays the argmax exactly; the profile table is a
+    |langs|x200 broadcast dim — at 100 TB the corpus pays one
+    explode and one per-doc aggregate, nothing pairwise."""
+    from ..operators.text import language_id_ngram
+
+    d = load_tables(spark, sf_dir, "documents")
+    return language_id_ngram(
+        d, "doc_id", "text", "lang", n=_LID_N, profile_size=_LID_K
+    )

@@ -93,3 +93,50 @@ def test_curation_v3_span_stage_drops_covered_doc(spark, tmp_path):
     assert m["n_near"] == 3  # fuzzy tier misses the 0.75-Jaccard dup
     assert m["n_span"] == 2  # span tier drops doc2, keeps doc1
     spark.catalog.clearCache()
+
+
+def test_char_ngrams_short_and_exact(spark):
+    from etl_python_azure_spark.operators.text import char_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "ab"), (3, "xyz")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.gram)
+        for r in char_ngrams(df, "doc_id", "text", n=3).collect()
+    }
+    # len<n yields nothing; exact-n yields one; len 4 yields two
+    assert rows == {(1, "abc"), (1, "bcd"), (3, "xyz")}
+
+
+def test_language_id_ngram_hand_case(spark):
+    """Two labeled languages with disjoint character distributions:
+    profiles separate them perfectly; a doc whose grams rank outside
+    every profile (profile_size=1) falls back to 'und'."""
+    from etl_python_azure_spark.operators.text import language_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", "aaaa aaa aaaa"),
+            (2, "aa", "aaa aaaa"),
+            (3, "bb", "bbbb bbb bbbb"),
+            (4, "bb", "bbb bbbb"),
+            # labeled aa but pure-b text: the profile vote must cross
+            (5, "aa", "bbbb bbb"),
+            # grams 'ccc' never reach a size-1 profile (counts lose
+            # to the dominant 'aaa'/'bbb' grams) → 'und'
+            (6, "aa", "ccc"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r.doc_id: (r.lang_guess, r.is_correct)
+        for r in language_id_ngram(
+            df, "doc_id", "text", "lang", n=3, profile_size=1
+        ).collect()
+    }
+    assert out[1] == ("aa", 1) and out[2] == ("aa", 1)
+    assert out[3] == ("bb", 1) and out[4] == ("bb", 1)
+    assert out[5] == ("bb", 0)  # text wins over the (wrong) label
+    assert out[6] == ("und", 0)
+    spark.catalog.clearCache()
