@@ -1365,3 +1365,111 @@ def cross_doc_span_stats(
             ).alias("dup_span_rate"),
         )
     )
+
+
+def merged_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact duplicated-TEXT fraction per document via merged span
+    intervals — the refinement of :func:`cross_doc_span_stats` span
+    counting. Counting duplicated W-token windows over-weights long
+    repeats (a repeat of length L contributes L−W+1 windows but only
+    L tokens): here every duplicated window [pos, pos+W) becomes an
+    interval, overlapping/chained intervals merge (gaps-and-islands:
+    an interval starting at or before the running max end joins the
+    island; islands are contiguous by construction, so island
+    coverage is max_end − min_start + 1), and the per-doc covered
+    token total is the EXACT union length — the doc-level measure
+    Lee et al.'s suffix-array pipeline reports as "fraction of text
+    removed".
+
+    Scale shape: one posexplode (linear in corpus tokens), one
+    hash-aggregate keyed on the span fingerprint for the cross-doc
+    count, one fp-keyed join back (both sides shuffle on fp — never
+    broadcast: the fingerprint table is corpus-sized), then two
+    per-doc window passes over ONLY the duplicated positions (the
+    duplicated subset is usually a small fraction of spans, so the
+    island windows are cheap). No pair space.
+
+    Output: (id, n_tokens, n_dup_spans, covered_tokens, coverage) —
+    one row per input document; dup-free and short docs report 0.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    shingle_arr = F.expr(
+        f"CASE WHEN size(__toks) >= {window} THEN "
+        f"transform(sequence(1, size(__toks) - {window - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {window}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    sp = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.posexplode(shingle_arr))
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).alias("pos"),  # 1-based, oracle parity
+            F.md5("col").alias("__fp"),
+        )
+    )
+    nd = (
+        sp.select(id_col, "__fp")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
+    dup = (
+        sp.join(nd, "__fp")
+        .filter(F.col("__n_docs") >= 2)
+        .select(
+            F.col(id_col),
+            "pos",
+            (F.col("pos") + F.lit(window - 1)).alias("__end"),
+        )
+    )
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        dup.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("__island", F.sum("__new").over(run))
+        .groupBy(id_col, "__island")
+        .agg(
+            (F.max("__end") - F.min("pos") + 1).alias("__covered"),
+            F.count(F.lit(1)).alias("__n_spans"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__covered").cast("long").alias("covered_tokens"),
+            F.sum("__n_spans").cast("long").alias("n_dup_spans"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return base.join(islands, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("coverage"),
+    )

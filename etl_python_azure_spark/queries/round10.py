@@ -384,3 +384,82 @@ def lang_id_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_ngram(
         d, "doc_id", "text", "lang", n=_LID_N, profile_size=_LID_K
     )
+
+
+# --------------------------------------------------------------------------
+# Merged-interval span coverage — the exact duplicated-text fraction
+# (union of duplicated W-token windows), refining cross_doc_dup_spans
+# span counting via gaps-and-islands interval merging.
+# --------------------------------------------------------------------------
+
+_MSC_W = 8
+
+_MSC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i+{_MSC_W - 1}], ' ')) AS fp
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_MSC_W - 2}, 1))) AS u(i)
+    ),
+    nd AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY fp
+    ),
+    dup AS (
+      SELECT s.doc_id, s.pos, s.pos + {_MSC_W - 1} AS e
+      FROM sp s JOIN nd USING (fp) WHERE nd.n_docs >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM dup
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(ni) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, island,
+             MAX(e) - MIN(pos) + 1 AS covered,
+             COUNT(*) AS n_spans
+      FROM isl2 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, SUM(covered) AS covered_tokens,
+             SUM(n_spans) AS n_dup_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+             AS n_tokens,
+           CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(a.covered_tokens, 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+             / CAST(len(string_split(lower(d.text), ' ')) AS DOUBLE)
+             AS coverage
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("merged_span_coverage", _MSC_ORACLE)
+def merged_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-text fraction per document at W=8: duplicated
+    windows become intervals, overlapping intervals merge
+    (gaps-and-islands), and the covered-token union — not the span
+    count — is reported (:func:`..operators.dedup
+    .merged_span_coverage`). A 20-token repeat counts 20 covered
+    tokens here vs 13 windows in `cross_doc_dup_spans` — the
+    doc-level number Lee et al. report as fraction-of-text-removed."""
+    from ..operators.dedup import merged_span_coverage
+
+    d = load_tables(spark, sf_dir, "documents")
+    return merged_span_coverage(d, "doc_id", "text", window=_MSC_W)

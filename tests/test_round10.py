@@ -140,3 +140,41 @@ def test_language_id_ngram_hand_case(spark):
     assert out[5] == ("bb", 0)  # text wins over the (wrong) label
     assert out[6] == ("und", 0)
     spark.catalog.clearCache()
+
+
+def test_merged_span_coverage_hand_case(spark):
+    """Interval-merge math pinned by hand: a 20-token shared run
+    inside a 40-token doc covers exactly 20 tokens (13 overlapping
+    windows merge into one island), and two disjoint shared runs
+    form two islands whose lengths add."""
+    from etl_python_azure_spark.operators.dedup import merged_span_coverage
+
+    share1 = [f"s{i}" for i in range(20)]
+    share2 = [f"r{i}" for i in range(8)]
+    noise = lambda tag, k: [f"{tag}{i}" for i in range(k)]
+    # doc0 carries both shared runs (the coverage source)
+    doc0 = " ".join(share1 + noise("a", 5) + share2)
+    # doc1: share1 embedded mid-doc → one 20-token island
+    doc1 = " ".join(noise("b", 10) + share1 + noise("c", 10))
+    # doc2: both runs, separated by novel tokens → two islands, 28
+    doc2 = " ".join(share2 + noise("d", 6) + share1)
+    # doc3: nothing shared
+    doc3 = " ".join(noise("e", 12))
+    df = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2), (3, doc3)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_spans, r.covered_tokens, r.coverage)
+        for r in merged_span_coverage(df, "doc_id", "text", window=8).collect()
+    }
+    # doc1: 40 tokens, shared run at positions 11..30 → windows
+    # fully inside it start at 11..23 (13 windows), union = 20 tokens
+    assert out[1] == (40, 13, 20, 0.5)
+    # doc2: 34 tokens; share2 (8 toks → 1 window, 8 covered) +
+    # share1 (20 toks → 13 windows, 20 covered) = 28
+    assert out[2] == (34, 14, 28, 28 / 34)
+    # doc3: no overlap at all
+    assert out[3] == (12, 0, 0, 0.0)
+    # doc0 shares everything it contributed: 20 + 8 covered
+    assert out[0][2] == 28
