@@ -1473,3 +1473,47 @@ def merged_span_coverage(
             / F.col("n_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+def quality_keeper_drops(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware drop set for confirmed near-dup *pairs*
+    (id_a < id_b): per pair, drop the LOWER-quality side; on ties
+    drop the higher id (so min-id greedy is the tie policy, and
+    passing a constant quality reproduces the classic keep-first
+    drop exactly).
+
+    Greedy per-pair, like the keep-first policy it replaces: in a
+    chain A~B~C the union of per-pair losers is dropped, which can
+    drop both endpoints' middle doc twice (harmless) or drop a doc
+    that was the keeper of another pair (the transitive-cluster
+    variant — ``near_dup_clusters`` — is the alternative when
+    cluster-level keep-one semantics are wanted).
+
+    Scale shape: pairs are the (small) LSH-verified collision set;
+    the two quality lookups shuffle pairs against the per-doc
+    quality projection on the id key — never a broadcast of the
+    corpus-sized quality side.
+
+    Output: distinct (*id_col*) rows to anti-join away.
+    """
+    qa = quality.select(
+        F.col(id_col).alias("id_a"), F.col(quality_col).alias("__qa")
+    )
+    qb = quality.select(
+        F.col(id_col).alias("id_b"), F.col(quality_col).alias("__qb")
+    )
+    return (
+        pairs.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            F.when(F.col("__qa") >= F.col("__qb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .distinct()
+    )

@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import incremental_lsh_pairs, minhash_lsh_pairs
+from ..operators.dedup import (
+    incremental_lsh_pairs,
+    minhash_lsh_pairs,
+    quality_keeper_drops,
+)
 from ..operators.sampling import hash_bucket, quota_sample
 from ..operators.text import gopher_quality_flags
 from ..session import load_tables
@@ -42,14 +46,27 @@ def curate_corpus(
     sink_root: str,
     quota_per_source: int = 100_000,
     near_dup_threshold: float = 0.8,
+    keeper: str = "min_id",
 ) -> dict[str, int]:
     """Run the curation flow over ``{sf_dir}/documents.parquet`` and
     write the curated train split to ``{sink_root}/train``.
+
+    *keeper* picks the near-dup survivor policy: ``"min_id"`` (the
+    classic keep-first greedy — drop the higher id of every
+    confirmed pair) or ``"quality"`` (drop the LOWER-word-count side
+    of every pair, ties to the lower id — the RefinedWeb-style
+    keep-the-better-copy policy, via
+    :func:`..operators.dedup.quality_keeper_drops` on the Gopher
+    gate's already-computed ``n_words``). Exact dups have identical
+    text, hence identical quality — the keeper only matters at the
+    near tier.
 
     Returns the stage-count metrics a pipeline run logs:
     (n_input, n_quality, n_exact, n_near, n_leaked_fps, n_train,
     n_val, n_test, n_train_capped).
     """
+    if keeper not in ("min_id", "quality"):
+        raise ValueError(f"unknown keeper policy: {keeper!r}")
     d = load_tables(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
@@ -79,7 +96,12 @@ def curate_corpus(
     pairs = minhash_lsh_pairs(
         exact, "doc_id", "text", threshold=near_dup_threshold
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if keeper == "quality":
+        drop = quality_keeper_drops(
+            pairs, flags.select("doc_id", "n_words"), "doc_id", "n_words"
+        )
+    else:
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near = exact.join(drop, "doc_id", "left_anti")
 
     # deterministic split + leakage audit (fp crossing splits).

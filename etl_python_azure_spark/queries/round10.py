@@ -463,3 +463,105 @@ def merged_span_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return merged_span_coverage(d, "doc_id", "text", window=_MSC_W)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware near-dup keeper: per confirmed pair, the HIGHER-word-
+# count side survives (ties: lower id) — the RefinedWeb-style
+# keep-the-better-copy policy, exposed pair-by-pair so the oracle
+# verifies every keeper decision, not just the survivor count.
+# --------------------------------------------------------------------------
+
+_QK_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(MIN(sig) || MAX(sig)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    conf AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+        AND EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+    ),
+    nw AS (SELECT doc_id, len(t) AS nw FROM toks)
+    SELECT c.id_a, c.id_b,
+           CAST(na.nw AS BIGINT) AS n_words_a,
+           CAST(nb.nw AS BIGINT) AS n_words_b,
+           CAST(CASE WHEN na.nw >= nb.nw THEN c.id_a ELSE c.id_b END
+                AS BIGINT) AS keeper_id,
+           CAST(CASE WHEN na.nw >= nb.nw THEN c.id_b ELSE c.id_a END
+                AS BIGINT) AS dropped_id
+    FROM conf c
+    JOIN nw na ON na.doc_id = c.id_a
+    JOIN nw nb ON nb.doc_id = c.id_b
+    """
+
+
+@register("quality_keeper_dedup", _QK_ORACLE)
+def quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every LSH-confirmed near-dup pair with its quality-aware
+    keeper decision: word counts both sides, keeper = the longer doc
+    (ties: lower id), dropped = the other (:func:`..operators.dedup
+    .quality_keeper_drops` inverts this into the pipeline's drop
+    set; `curate_corpus(keeper='quality')` applies it). The pair
+    grain makes each decision oracle-checkable — the counts-only
+    form would pass even with a/b swapped."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_tables(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, band_size=2, threshold=0.8
+    ).select("id_a", "id_b")
+    nw = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("nw"),
+    )
+    na = nw.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("__na"))
+    nb = nw.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("__nb"))
+    keep_a = F.col("__na") >= F.col("__nb")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__na").cast("long").alias("n_words_a"),
+            F.col("__nb").cast("long").alias("n_words_b"),
+            F.when(keep_a, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .cast("long")
+            .alias("keeper_id"),
+            F.when(keep_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .cast("long")
+            .alias("dropped_id"),
+        )
+    )

@@ -178,3 +178,62 @@ def test_merged_span_coverage_hand_case(spark):
     assert out[3] == (12, 0, 0, 0.0)
     # doc0 shares everything it contributed: 20 + 8 covered
     assert out[0][2] == 28
+
+
+def test_quality_keeper_drops_hand_case(spark):
+    """Per-pair policy pinned: higher word count survives; ties drop
+    the higher id (constant quality == classic keep-first)."""
+    from etl_python_azure_spark.operators.dedup import quality_keeper_drops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    qual = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 10), (5, 7), (6, 7)],
+        "doc_id long, q long",
+    )
+    out = {
+        r.doc_id
+        for r in quality_keeper_drops(pairs, qual, "doc_id", "q").collect()
+    }
+    # pair (1,2): 2 is longer → drop 1; (3,4): 3 longer → drop 4;
+    # (5,6): tie → drop the higher id 6
+    assert out == {1, 4, 6}
+
+
+def test_curate_corpus_quality_keeper_flips_survivor(spark, tmp_path):
+    """The pipeline with keeper='quality' keeps the LONGER member of
+    a near-dup pair where min_id keeps the earlier one: doc 1 is doc
+    0 plus two extra tokens (Jaccard ~0.9), so min_id keeps 0 and
+    quality keeps 1."""
+    from etl_python_azure_spark.plans.curation import curate_corpus
+
+    base = "the a of and to in is be " + " ".join(
+        f"w{i}" for i in range(40)
+    )
+    rows = [(0, "s", base), (1, "s", base + " extra tokens")]
+    # distinct filler docs so the funnel isn't degenerate
+    rows += [
+        (k, "s", "the a of " + " ".join(f"u{k}_{i}" for i in range(20)))
+        for k in range(2, 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    src = tmp_path / "mini"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "documents.parquet"))
+
+    kept_ids = {}
+    for pol in ("min_id", "quality"):
+        m = curate_corpus(
+            spark,
+            str(src),
+            str(tmp_path / f"out_{pol}"),
+            quota_per_source=100,
+            keeper=pol,
+        )
+        assert m["n_exact"] == 8 and m["n_near"] == 7
+        out = spark.read.parquet(str(tmp_path / f"out_{pol}" / "train"))
+        kept_ids[pol] = {r.doc_id for r in out.select("doc_id").collect()}
+        spark.catalog.clearCache()
+    assert 0 in kept_ids["min_id"] and 1 not in kept_ids["min_id"]
+    assert 1 in kept_ids["quality"] and 0 not in kept_ids["quality"]
