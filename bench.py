@@ -181,6 +181,31 @@ OPTIONAL = [
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
     "dsir_importance_scores",
+    # round-10 surface
+    "curation_v3_counts_report",
+    "lang_id_ngram_profile",
+    "merged_span_coverage",
+    "quality_keeper_dedup",
+    "gopher_repetition_fractions",
+    "ccnet_perplexity_buckets",
+    "hard_negative_mining",
+    "epoch_shuffle_manifest",
+    # round-10 rotation: never-benched queries with plan shapes the
+    # headline set under-covered (connected components, cohort
+    # windows, funnel sequences, pivots, running windows, sketch
+    # maintenance, stratified sampling, embedding-LSH)
+    "near_dup_clusters",
+    "retention_cohorts",
+    "conversion_funnel",
+    "embedding_lsh_dup_pairs",
+    "stratified_sample_by_lang",
+    "tokenizer_fertility_by_lang",
+    "moving_avg_order_price",
+    "pivot_qty_by_status",
+    "running_customer_spend",
+    "sketch_distinct_maintenance",
+    "maintained_rollup_equiv",
+    "oov_rate_by_lang",
 ]
 
 

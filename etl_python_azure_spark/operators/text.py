@@ -1162,3 +1162,106 @@ def language_id_ngram(
             .alias("is_correct"),
         )
     )
+
+
+def gopher_repetition_fractions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7),
+) -> DataFrame:
+    """The full Gopher repetition-filter family (Rae et al. 2021,
+    Table A1): per document, the fraction of characters contained in
+    the single most frequent word n-gram (*top_ns*, paper n=2..4)
+    and the fraction of characters contained in ALL duplicated word
+    n-grams (*dup_ns*, paper n=5..10). Character mass of one n-gram
+    occurrence = the summed word lengths (separators excluded), so
+    every fraction is a ratio of integers — engine-exact.
+
+    Scale shape: ZERO shuffles — each n-gram statistic is one
+    run-length ``aggregate()`` over the row's SORTED n-gram array
+    (equal grams are adjacent: run length = occurrence count), the
+    :func:`repetition_stats` trick generalized. The whole operator
+    is a single scan regardless of corpus size; the per-row cost is
+    O(Σ_n T log T) for a T-token document.
+
+    Output: (id, n_words, top{n}_char_frac..., dup{n}_char_frac...),
+    doubles in [0,1]; documents with fewer than n words report 0.0.
+    """
+
+    def _charlen(gram: Column, n: int) -> Column:
+        # chars excluding the n-1 separator spaces
+        return F.length(gram) - F.lit(n - 1)
+
+    def rep_stats(arr: Column, n: int) -> Column:
+        """(total_chars, dup_chars, top_chars) over a sorted n-gram
+        array in one fold: dup counts the full run once its second
+        member appears; top tracks max(run_len · charlen)."""
+        init = F.struct(
+            F.lit(0).cast("long").alias("total"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("top"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = x == acc.prev  # null prev → first element branch
+            run = F.when(same, acc.run + 1).otherwise(F.lit(1).cast("long"))
+            ch = _charlen(x, n).cast("long")
+            dup_add = F.when(
+                same & (run == 2), ch * 2  # run confirmed: count both
+            ).otherwise(F.when(same, ch).otherwise(F.lit(0).cast("long")))
+            return F.struct(
+                (acc.total + ch).alias("total"),
+                (acc.dup + dup_add).alias("dup"),
+                F.greatest(acc.top, run * ch).alias("top"),
+                run.alias("run"),
+                x.alias("prev"),
+            )
+
+        return F.aggregate(arr, init, step)
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def ngram_arr(n: int) -> Column:
+        return F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"array_sort(transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__toks, i, {n})))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        "n_words",
+        *[rep_stats(ngram_arr(n), n).alias(f"__s{n}") for n in ns],
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return staged.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        *[
+            frac(F.col(f"__s{n}.top"), F.col(f"__s{n}.total")).alias(
+                f"top{n}_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            frac(F.col(f"__s{n}.dup"), F.col(f"__s{n}.total")).alias(
+                f"dup{n}_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )

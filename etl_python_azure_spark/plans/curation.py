@@ -339,9 +339,20 @@ def curate_corpus_v3(
             .filter(F.col("__urn") == 1)
             .drop("__urn")
         )
-    n_url = d.count()
-
-    flags = gopher_quality_flags(d, carry_cols=["source", "lang", "text"])
+    # persist the flags frame: it feeds the exact-dedup chain AND the
+    # one-pass n_url/n_quality aggregate below — without it the URL
+    # window + Gopher tokenization re-run per count action
+    # (deliberately-leaked handle — caller's clearCache)
+    flags = gopher_quality_flags(
+        d, carry_cols=["source", "lang", "text"]
+    ).persist()
+    # ONE aggregation: flags input is the URL-kept set, so its row
+    # count IS n_url; pass_all sums to n_quality
+    uq = flags.agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_q"),
+    ).first()
+    n_url, n_quality = uq["n_u"], uq["n_q"]
     kept = flags.filter(F.col("pass_all")).select(
         "doc_id", "source", "lang", "text"
     )
@@ -418,7 +429,7 @@ def curate_corpus_v3(
     counts = {
         "n_input": n_input,
         "n_url": n_url,
-        "n_quality": kept.count(),
+        "n_quality": int(n_quality),
         "n_exact": exact.count(),
         "n_near": near.count(),
         "n_span": span_kept.count(),

@@ -565,3 +565,79 @@ def quality_keeper_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition-filter family: top-n-gram char fraction (n=2..4)
+# and duplicated-n-gram char fraction (n=5..7) — within-doc
+# boilerplate signals, zero-shuffle (per-row sorted-array folds).
+# --------------------------------------------------------------------------
+
+
+def _grf_n_cte(n: int) -> str:
+    return f"""
+    c{n} AS (
+      SELECT doc_id, g, COUNT(*) AS c, length(g) - {n - 1} AS ch
+      FROM (
+        SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+        FROM toks,
+             UNNEST(range(1, greatest(len(t) - {n - 2}, 1))) AS u(i)
+      ) GROUP BY doc_id, g
+    ),
+    a{n} AS (
+      SELECT doc_id, SUM(c * ch) AS total,
+             SUM(CASE WHEN c >= 2 THEN c * ch ELSE 0 END) AS dup,
+             MAX(c * ch) AS top
+      FROM c{n} GROUP BY doc_id
+    )"""
+
+
+def _grf_frac(n: int, kind: str) -> str:
+    return (
+        f"CASE WHEN COALESCE(a{n}.total, 0) > 0 THEN "
+        f"CAST(a{n}.{kind} AS DOUBLE) / CAST(a{n}.total AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+
+
+_GRF_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),"""
+    + ",".join(_grf_n_cte(n) for n in (2, 3, 4, 5, 6, 7))
+    + """
+    SELECT d.doc_id,
+           CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+             AS n_words,
+    """
+    + ",".join(
+        f"{_grf_frac(n, 'top')} AS top{n}_char_frac" for n in (2, 3, 4)
+    )
+    + ","
+    + ",".join(
+        f"{_grf_frac(n, 'dup')} AS dup{n}_char_frac" for n in (5, 6, 7)
+    )
+    + """
+    FROM documents d
+    """
+    + " ".join(f"LEFT JOIN a{n} ON a{n}.doc_id = d.doc_id" for n in (2, 3, 4, 5, 6, 7))
+)
+
+
+@register("gopher_repetition_fractions", _GRF_ORACLE)
+def gopher_repetition_fractions_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The complete Gopher repetition-filter table (Rae et al. 2021
+    Table A1): per doc, the char fraction of the most frequent word
+    n-gram (n=2,3,4) and of all duplicated word n-grams (n=5,6,7).
+    Every statistic is a run-length fold over the row's sorted
+    n-gram array (:func:`..operators.text
+    .gopher_repetition_fractions`) — ONE scan, ZERO shuffles, vs the
+    oracle's six explode+groupBy replays. Integer char masses, so
+    the fractions are a single identical division both engines."""
+    from ..operators.text import gopher_repetition_fractions
+
+    d = load_tables(spark, sf_dir, "documents")
+    return gopher_repetition_fractions(d, "doc_id", "text")

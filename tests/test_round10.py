@@ -237,3 +237,35 @@ def test_curate_corpus_quality_keeper_flips_survivor(spark, tmp_path):
         spark.catalog.clearCache()
     assert 0 in kept_ids["min_id"] and 1 not in kept_ids["min_id"]
     assert 1 in kept_ids["quality"] and 0 not in kept_ids["quality"]
+
+
+def test_gopher_repetition_fractions_hand_case(spark):
+    """Run-length fold math pinned by hand against the published
+    definitions (char mass excludes separators)."""
+    from etl_python_azure_spark.operators.text import (
+        gopher_repetition_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: 'x x'x2, 'x y', 'y z' → top2 = 4/8; its single
+            # (unique) 5-gram contributes dup5 = 0
+            (1, "x x x y z"),
+            # period-5 repetition: every one of the 11 5-grams recurs
+            # → dup5 = 1 exactly
+            (2, "a b c d e a b c d e a b c d e"),
+            # too short for any n — all fractions 0
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in gopher_repetition_fractions(df, "doc_id", "text").collect()
+    }
+    assert out[1]["top2_char_frac"] == 0.5
+    assert out[1]["dup5_char_frac"] == 0.0
+    assert out[2]["dup5_char_frac"] == 1.0
+    assert out[3]["top2_char_frac"] == 0.0
+    assert out[3]["dup7_char_frac"] == 0.0
+    assert out[2]["n_words"] == 15
