@@ -9,7 +9,7 @@ incremental appends (a re-ingested row lands in the same split).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -391,3 +391,47 @@ def dsir_importance_scores(
             .alias("target_like"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epochs: int = 2,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic seeded global shuffle for training-data
+    ordering: each epoch e assigns every row the sort key
+    ``md5('{e}:' || id)`` and position = rank in that key order —
+    the shuffle-before-training job every data loader needs, made
+    reproducible (re-running an epoch yields the identical order, so
+    training is resumable mid-epoch) while different epochs get
+    decorrelated orders (new seed → fresh permutation).
+
+    Scale shape: one global sort per epoch (the unavoidable
+    total-order shuffle — Spark's range-partitioned sort, no driver
+    involvement); at 100 TB emit positions per epoch lazily rather
+    than materializing all epochs at once, or swap the row_number
+    for ``zipWithIndex``-free windowing by writing the sorted files
+    and letting line order BE the position. The md5 tiebreak on id
+    makes rank unique even if two keys collide.
+
+    Output: (epoch, id, pos) × *epochs*, pos 1-based within epoch.
+    """
+    spark = df.sparkSession
+    ep = spark.createDataFrame([(e,) for e in range(epochs)], "epoch long")
+    keyed = df.select(
+        F.col(id_col), *[F.col(c) for c in (carry_cols or [])]
+    ).crossJoin(F.broadcast(ep)).withColumn(
+        "__key",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy(F.asc("__key"), F.asc(id_col))
+    return keyed.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).select("epoch", id_col, *(carry_cols or []), "pos")

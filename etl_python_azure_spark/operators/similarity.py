@@ -1027,3 +1027,75 @@ def semdedup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the standard
+    in-batch-negatives upgrade: DPR / SimCSE lineage): for each
+    query vector, the top-*k* most-similar vectors with a DIFFERENT
+    label — maximally confusable negatives, the ones worth training
+    against. Same exact-cosine kernel as :func:`cosine_topk`, plus
+    the cross-label gate.
+
+    Scale shape: queries broadcast against the corpus (mining runs
+    per training batch — the query side is small by construction);
+    the corpus side stays partitioned, per-partition top-k folds
+    into the final k under the rank window. The label gate prunes
+    BEFORE the dot product, so same-label pairs never pay the
+    64-float fold. For corpus-× -corpus mining, swap the broadcast
+    for the IVF tier (`ivf_topk`) exactly as `mmr_ivf_topk` does.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank), rank ties broken on neighbor_id.
+    """
+    c = with_norm(corpus.select(id_col, vec_col, label_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    q = with_norm(queries.select(id_col, vec_col, label_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1265,3 +1265,54 @@ def gopher_repetition_fractions(
             for n in dup_ns
         ],
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank
+    every document by its LM quality score WITHIN its language and
+    cut into *n_buckets* equal-frequency tiers — CCNet's
+    head/middle/tail, the knob public pipelines use to trade corpus
+    size against quality (keep head+middle, drop tail).
+
+    The score is :func:`unigram_logprob_scores`'s avg_logprob
+    (higher = more predictable = lower perplexity = better), so
+    bucket 1 is CCNet's "head". NTILE over (score desc, id asc) —
+    the unique id tiebreak makes the cut deterministic, and the
+    score itself is bit-exact across engines (sorted-fold double
+    sum), so the bucket assignment is oracle-checkable.
+
+    Scale shape: the LM pass is two aggregates over one token
+    explode + a vocabulary-sized broadcast; the bucketing adds one
+    per-language window (shuffle keyed on the language — as many
+    partitions as languages, so pair with AQE skew handling when one
+    language dominates, or pre-split the dominant language's window
+    by hash salt when it exceeds a single executor's memory).
+
+    Output: (id, lang, n_tokens, avg_logprob, bucket, bucket_label).
+    """
+    scores = unigram_logprob_scores(
+        df, id_col, text_col, carry_cols=[lang_col]
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    labels = F.when(F.col("bucket") == 1, "head").when(
+        F.col("bucket") == n_buckets, "tail"
+    ).otherwise("middle")
+    return (
+        scores.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .select(
+            id_col,
+            lang_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "avg_logprob",
+            F.col("bucket").cast("long").alias("bucket"),
+            labels.alias("bucket_label"),
+        )
+    )

@@ -641,3 +641,145 @@ def gopher_repetition_fractions_q(
 
     d = load_tables(spark, sf_dir, "documents")
     return gopher_repetition_fractions(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets: per-language head/middle/tail tiers by
+# the unigram-LM quality score (Wenzek et al. 2020).
+# --------------------------------------------------------------------------
+
+_CCNET_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    f AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    lp AS (
+      SELECT t.doc_id, ln(f.c / CAST(tot.n AS DOUBLE)) AS lp
+      FROM toks t JOIN f USING (token), tot
+    ),
+    sc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             list_reduce(list(lp ORDER BY lp), (acc, v) -> acc + v)
+               / COUNT(*) AS avg_logprob
+      FROM lp GROUP BY doc_id
+    ),
+    b AS (
+      SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+             NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.avg_logprob DESC, s.doc_id) AS bucket
+      FROM sc s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           avg_logprob,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket = 1 THEN 'head'
+                WHEN bucket = 3 THEN 'tail'
+                ELSE 'middle' END AS bucket_label
+    FROM b
+    """
+
+
+@register("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers: per-language NTILE(3)
+    over the unigram-LM avg_logprob (desc, doc_id tiebreak) —
+    :func:`..operators.text.perplexity_buckets`. The score is the
+    sorted-fold double sum the green unigram_logprob_scores query
+    certifies bit-exact, so the bucket cut replays identically in
+    DuckDB."""
+    from ..operators.text import perplexity_buckets
+
+    d = load_tables(spark, sf_dir, "documents")
+    return perplexity_buckets(d, "doc_id", "text", "lang", n_buckets=3)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: per query, the top-k most-similar vectors
+# with a DIFFERENT label (contrastive-training negatives).
+# --------------------------------------------------------------------------
+
+_HNM_ORACLE = """
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_reduce(
+               list_transform(range(1, 65),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)),
+               (acc, v) -> acc + v) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c
+        ON c.vec_id != q.vec_id AND c.label != q.label
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("hard_negative_mining", _HNM_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives for the first 10 vectors: exact
+    top-5 cosine neighbors restricted to a DIFFERENT label
+    (:func:`..operators.similarity.hard_negative_topk`) — the DPR
+    mining pass. Same double-fold cosine kernel the green ANN
+    queries certify bit-exact; the label gate prunes before the
+    dot product."""
+    from ..operators.similarity import hard_negative_topk
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        em, em.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Epoch shuffle manifest: seeded deterministic global training order.
+# --------------------------------------------------------------------------
+
+_ESM_ORACLE = """
+    WITH ep AS (SELECT UNNEST(range(0, 2)) AS epoch),
+    keyed AS (
+      SELECT ep.epoch, d.doc_id,
+             md5(CAST(ep.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM documents d CROSS JOIN ep
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """
+
+
+@register("epoch_shuffle_manifest", _ESM_ORACLE)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of the seeded global shuffle
+    (:func:`..operators.sampling.epoch_shuffle`): position = rank of
+    md5('{epoch}:'||id) — reproducible training order (resumable
+    mid-epoch) with decorrelated permutations across epochs. One
+    total-order sort per epoch, the canonical pre-training data-
+    loader job."""
+    from ..operators.sampling import epoch_shuffle
+
+    d = load_tables(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", epochs=2)

@@ -269,3 +269,69 @@ def test_gopher_repetition_fractions_hand_case(spark):
     assert out[3]["top2_char_frac"] == 0.0
     assert out[3]["dup7_char_frac"] == 0.0
     assert out[2]["n_words"] == 15
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from etl_python_azure_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.14], 0),  # nearest to 0 but SAME label
+        (2, [0.9, 0.44], 1),   # nearest cross-label → the hard negative
+        (3, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(
+        df, df.filter("vec_id = 0"), vec_col="embedding", k=2
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in out]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r.neighbor_label != r.query_label for r in out)
+
+
+def test_epoch_shuffle_permutations(spark):
+    from etl_python_azure_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    out = epoch_shuffle(df, "doc_id", epochs=2).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.pos
+    # each epoch is a complete 1..50 permutation
+    assert sorted(by_epoch[0].values()) == list(range(1, 51))
+    assert sorted(by_epoch[1].values()) == list(range(1, 51))
+    # epochs are decorrelated (different seed → different order)
+    assert by_epoch[0] != by_epoch[1]
+    # deterministic re-run
+    again = {
+        (r.epoch, r.doc_id): r.pos
+        for r in epoch_shuffle(df, "doc_id", epochs=2).collect()
+    }
+    assert again == {
+        (e, d): p for e, m in by_epoch.items() for d, p in m.items()
+    }
+
+
+def test_perplexity_buckets_head_is_predictable(spark):
+    from etl_python_azure_spark.operators.text import perplexity_buckets
+
+    rows = [
+        # doc 1: all corpus-frequent tokens → highest avg logprob
+        (1, "en", "aa aa aa aa"),
+        (2, "en", "aa aa bb cc"),
+        (3, "en", "dd ee ff gg"),  # all-rare → tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.doc_id: (r.bucket, r.bucket_label)
+        for r in perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    }
+    assert out[1] == (1, "head")
+    assert out[2] == (2, "middle")
+    assert out[3] == (3, "tail")
