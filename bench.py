@@ -190,6 +190,7 @@ OPTIONAL = [
     "ccnet_perplexity_buckets",
     "hard_negative_mining",
     "epoch_shuffle_manifest",
+    "streaming_dedup_equiv",
     # round-10 rotation: never-benched queries with plan shapes the
     # headline set under-covered (connected components, cohort
     # windows, funnel sequences, pivots, running windows, sketch

@@ -783,3 +783,70 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, "documents")
     return epoch_shuffle(d, "doc_id", epochs=2)
+
+
+# --------------------------------------------------------------------------
+# Streaming ingest-dedup equivalence: exact dedup with a fingerprint
+# state store, folded across deterministic micro-batches — the
+# at-most-once-admission invariant as a batch-expressible oracle
+# (the streaming_equiv module's recipe applied to dedup-at-ingest).
+# --------------------------------------------------------------------------
+
+_SDE_ORACLE = """
+    WITH arr AS (
+      SELECT doc_id, md5(text) AS fp, doc_id % 4 AS batch_idx
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, fp, batch_idx,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY batch_idx, doc_id) AS rn
+      FROM arr
+    )
+    SELECT doc_id, fp, CAST(batch_idx AS BIGINT) AS batch_idx
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("streaming_dedup_equiv", _SDE_ORACLE)
+def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup replayed as a 4-micro-batch fold: each
+    batch dedupes within itself (keep-min id per fingerprint) and
+    anti-joins the accumulated fingerprint STATE before admission —
+    exactly what a foreachBatch dedup sink with a fingerprint table
+    does per epoch (:func:`..streaming.pipeline.deduped_stream` is
+    the bounded-state watermark form of the same ingest dedup).
+    Any admitted fingerprint is admitted at most once, and the final
+    admitted set must equal "first arrival per fingerprint" in
+    (batch, id) order — the oracle states that direct form. The fold
+    is what's tested: a bug that re-admits a fingerprint in a later
+    batch, or drops a first arrival, breaks the multiset equality.
+
+    Scale shape per batch: one within-batch fingerprint window +
+    one anti-join of the batch against the state (at 100 TB the
+    state is a bucketed fingerprint table co-partitioned with the
+    probe — delta-sized work per batch, the
+    ``incremental_dedup_pairs`` discipline at the exact tier)."""
+    d = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    from pyspark.sql import Window as W
+
+    admitted = None
+    for i in range(4):
+        batch = d.filter(F.pmod("doc_id", F.lit(4)) == i)
+        w = W.partitionBy("fp").orderBy(F.asc("doc_id"))
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("batch_idx", F.lit(i).cast("long"))
+        )
+        if admitted is None:
+            admitted = batch
+        else:
+            fresh = batch.join(
+                admitted.select("fp"), "fp", "left_anti"
+            )
+            admitted = admitted.unionByName(fresh)
+    return admitted.select("doc_id", "fp", "batch_idx")
