@@ -191,6 +191,7 @@ OPTIONAL = [
     "hard_negative_mining",
     "epoch_shuffle_manifest",
     "streaming_dedup_equiv",
+    "cluster_quality_representatives",
     # round-10 rotation: never-benched queries with plan shapes the
     # headline set under-covered (connected components, cohort
     # windows, funnel sequences, pivots, running windows, sketch

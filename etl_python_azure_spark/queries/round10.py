@@ -850,3 +850,115 @@ def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             admitted = admitted.unionByName(fresh)
     return admitted.select("doc_id", "fp", "batch_idx")
+
+
+# --------------------------------------------------------------------------
+# Quality-aware CLUSTER representatives: per near-dup connected
+# component, the longest member wins (ties: lower id) — the
+# transitive-closure form of quality_keeper_dedup's pair policy.
+# --------------------------------------------------------------------------
+
+_CQR_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_rep FROM reach GROUP BY id),
+    nw AS (SELECT doc_id AS id, len(t) AS n_words FROM toks),
+    scored AS (
+      SELECT c.id, c.cluster_rep, nw.n_words,
+             COUNT(*) OVER (PARTITION BY c.cluster_rep) AS cluster_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_rep
+               ORDER BY nw.n_words DESC, c.id) AS rn
+      FROM comp c JOIN nw USING (id)
+    ),
+    reps AS (
+      SELECT cluster_rep, id AS quality_rep FROM scored WHERE rn = 1
+    )
+    SELECT s.id, s.cluster_rep, r.quality_rep,
+           CAST(s.n_words AS BIGINT) AS n_words,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN s.id = r.quality_rep THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM scored s JOIN reps r USING (cluster_rep)
+    """
+
+
+@register("cluster_quality_representatives", _CQR_ORACLE)
+def cluster_quality_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup connected components with a QUALITY-chosen survivor:
+    components from the same exact-Jaccard pair graph as
+    `near_dup_clusters` (iterative min-label propagation), then the
+    longest member per component wins (ties: lower id) — the
+    cluster-grain form of `quality_keeper_dedup`, for when keep-one-
+    per-cluster semantics are wanted instead of greedy per-pair
+    drops. The oracle replays the closure with a recursive CTE and
+    the same (n_words desc, id) argmax."""
+    from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = load_tables(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comp = dedup_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+    )
+    nw = d.select(
+        F.col("doc_id").alias("id"),
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_words"),
+    )
+    from pyspark.sql import Window as W
+
+    scored = comp.join(nw, "id").select(
+        "id",
+        "cluster_rep",
+        "n_words",
+        F.count(F.lit(1))
+        .over(W.partitionBy("cluster_rep"))
+        .cast("long")
+        .alias("cluster_size"),
+        F.row_number()
+        .over(
+            W.partitionBy("cluster_rep").orderBy(
+                F.desc("n_words"), F.asc("id")
+            )
+        )
+        .alias("__rn"),
+    )
+    reps = scored.filter(F.col("__rn") == 1).select(
+        "cluster_rep", F.col("id").alias("quality_rep")
+    )
+    return scored.join(reps, "cluster_rep").select(
+        "id",
+        "cluster_rep",
+        "quality_rep",
+        F.col("n_words").cast("long").alias("n_words"),
+        "cluster_size",
+        (F.col("id") == F.col("quality_rep")).cast("long").alias("keep"),
+    )

@@ -173,6 +173,18 @@ QUERIES = [
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
     "dsir_importance_scores",
+    # r10 (curation_v3_counts_report omitted for the same reason as
+    # curation_counts_report: its builder RUNS the pipeline and
+    # returns a LocalRelation of counts)
+    "lang_id_ngram_profile",
+    "merged_span_coverage",
+    "quality_keeper_dedup",
+    "gopher_repetition_fractions",
+    "ccnet_perplexity_buckets",
+    "hard_negative_mining",
+    "epoch_shuffle_manifest",
+    "streaming_dedup_equiv",
+    "cluster_quality_representatives",
 ]
 
 
