@@ -288,6 +288,7 @@ def curate_corpus_v3(
     near_dup_threshold: float = 0.8,
     span_window: int = 8,
     dsir_buckets: int = 1024,
+    keeper: str = "min_id",
 ) -> dict[str, int]:
     """The round-9 curation composition in the RefinedWeb /
     MassiveText published stage order — every dedup tier the engine
@@ -310,7 +311,9 @@ def curate_corpus_v3(
 
     *url_expr* is the URL Column (production corpora carry one; the
     registry query injects the deterministic doc_id-derived URL the
-    ``url_domain_dedup_health`` fixture uses). Scale shape: the new
+    ``url_domain_dedup_health`` fixture uses). *keeper* switches the
+    fuzzy tier's survivor policy exactly as in :func:`curate_corpus`
+    (min_id greedy vs quality — longer doc wins, ties to lower id). Scale shape: the new
     stages add one hash-aggregate keyed on the canonical URL, one
     fingerprint-window pass (same shape as exact dedup), and the
     two bounded DSIR aggregates + broadcast model join — no new
@@ -323,6 +326,8 @@ def curate_corpus_v3(
     from ..operators.dedup import normalize_url, word_shingles
     from ..operators.sampling import dsir_importance_scores
 
+    if keeper not in ("min_id", "quality"):
+        raise ValueError(f"unknown keeper policy: {keeper!r}")
     d = load_tables(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
@@ -368,7 +373,14 @@ def curate_corpus_v3(
     pairs = minhash_lsh_pairs(
         exact, "doc_id", "text", threshold=near_dup_threshold
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # same keeper switch as curate_corpus: min_id (classic greedy) or
+    # quality (drop the lower-word-count side, ties to the lower id)
+    if keeper == "quality":
+        drop = quality_keeper_drops(
+            pairs, flags.select("doc_id", "n_words"), "doc_id", "n_words"
+        )
+    else:
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near = exact.join(drop, "doc_id", "left_anti").persist()
 
     # span dedup: a doc at least half of whose W-token spans are
