@@ -351,3 +351,21 @@ def test_round4h_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rank_normalized_value_by_type")
     assert plan.count("SinglePartition") <= 1
     assert "Window" in plan and "__pid" in plan
+
+
+def test_gopher_repetition_fractions_zero_exchange(spark, sf_dir):
+    """The repetition-fraction table is pure per-row sorted-array
+    folds — if a refactor introduces ANY shuffle, the 100 TB claim
+    (one scan, no exchange) is gone."""
+    plan = _plan(spark, sf_dir, "gopher_repetition_fractions")
+    assert plan.count("Exchange") == 0
+    assert "ReadSchema" in plan and "text" in plan
+
+
+def test_hard_negative_mining_broadcasts_queries(spark, sf_dir):
+    """The query side must broadcast (mining runs per batch); the
+    corpus side stays partitioned — a SortMergeJoin here means the
+    corpus got shuffled for a 10-row probe."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
