@@ -69,34 +69,34 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R09_WINDOW, registry
+    from etl_python_azure_spark.queries import _R10_WINDOW, registry
 
     reg = registry()
-    assert len(_R09_WINDOW) == 50
-    assert len(set(_R09_WINDOW)) == 50
-    assert all(n in reg for n in _R09_WINDOW)
-    assert list(reg)[:50] == _R09_WINDOW
+    # the r10 list deliberately OVERFLOWS 50 (missing-name armor:
+    # the driver records the first 50 resolvable entries, so a typo
+    # slides fill up instead of shrinking the window)
+    assert len(_R10_WINDOW) >= 50
+    assert len(set(_R10_WINDOW)) == len(_R10_WINDOW)
+    assert all(n in reg for n in _R10_WINDOW)
+    assert list(reg)[:50] == _R10_WINDOW[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r09 mandate (r06/r07/r08 verdicts, item 1): slots 1-3 re-prove
-    # the IVF-path queries whose plans changed after the r06 window
-    # froze; slots 4-11 are the eight round-6b queries that have
-    # never had a driver correctness row
-    ivf_reproofs = [
-        "ann_ivf_recall", "ann_ivfpq_recall", "ann_ivf_kmeans_recall",
+    # r10 mandate (r09 verdict, top_next): slots 1-4 are the four
+    # r02-only stragglers displaced from the r09 window; slots 5-14
+    # the ten queries NEW in round 10 (first-time checks outrank
+    # re-proof fill)
+    stragglers = [
+        "top_distinctive_terms", "user_event_profile",
+        "vocabulary_top200", "weighted_source_mixture",
     ]
-    round6b = [
-        "semdedup_cluster_pairs", "ivf_probe_recall_sweep",
-        "heavy_hitter_tokens", "readability_by_source",
-        "cusum_value_changepoints", "lsh_band_sweep",
-        "semdedup_recall_audit", "ann_ivf_incremental",
+    new_r10 = [
+        "curation_v3_counts_report", "lang_id_ngram_profile",
+        "merged_span_coverage", "quality_keeper_dedup",
+        "gopher_repetition_fractions", "ccnet_perplexity_buckets",
+        "hard_negative_mining", "epoch_shuffle_manifest",
+        "streaming_dedup_equiv", "cluster_quality_representatives",
     ]
-    new_r09 = [
-        "url_domain_dedup_health", "cross_doc_dup_spans",
-        "dsir_importance_scores",
-    ]
-    assert _R09_WINDOW[:3] == ivf_reproofs
-    assert _R09_WINDOW[3:11] == round6b
-    assert _R09_WINDOW[11:14] == new_r09
+    assert _R10_WINDOW[:4] == stragglers
+    assert _R10_WINDOW[4:14] == new_r10
 
 
 def _script_names(filename: str, attrs: list[str]) -> list[str]:
