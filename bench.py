@@ -192,6 +192,7 @@ OPTIONAL = [
     "epoch_shuffle_manifest",
     "streaming_dedup_equiv",
     "cluster_quality_representatives",
+    "hard_negative_ivf_mining",
     # round-10 rotation: never-benched queries with plan shapes the
     # headline set under-covered (connected components, cohort
     # windows, funnel sequences, pivots, running windows, sketch

@@ -1099,3 +1099,98 @@ def hard_negative_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def hard_negative_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`hard_negative_topk`'s corpus-scale form: candidates
+    come from the IVF tier (probe *nprobe* cells per query) instead
+    of a full broadcast cross join, and the cross-label gate applies
+    INSIDE the probed cells, before the rank window — so the top-k
+    is "best k cross-label candidates among the probed cells", the
+    approximation every production mining pass makes (recall tunes
+    with nprobe, verifiable against the exact tier the same way
+    ann_ivf_recall verifies ivf_topk).
+
+    Scale shape: one frozen-quantizer assignment of the corpus
+    (reusable across batches — see :func:`ivf_assign`), then a
+    broadcast of the (query, cell) probes against the cell-
+    partitioned inverted file. Corpus work per batch =
+    ~nprobe/num_centroids of the rows; no corpus shuffle, no pair
+    space outside the probed cells.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank).
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    )
+    index = ivf_assign(corpus, cents, id_col, vec_col).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+        ),
+        "neighbor_id",
+    )
+    qn = with_norm(queries.select(id_col, vec_col), vec_col)
+    # _nearest_cells projects (id, vec, norm, cell) — re-attach the
+    # query label afterwards (query-side join, batch-sized)
+    probes = (
+        _nearest_cells(qn, cents, id_col, vec_col, nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__vq"),
+            F.col("__norm").alias("__nq"),
+            "cell",
+        )
+        .join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+            ),
+            "query_id",
+        )
+    )
+    sims = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -962,3 +962,81 @@ def cluster_quality_representatives(
         "cluster_size",
         (F.col("id") == F.col("quality_rep")).cast("long").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-tier hard-negative mining: the corpus-scale form — candidates
+# from nprobe probed cells, cross-label gate inside the cells.
+# --------------------------------------------------------------------------
+
+_HNI_COS = """list_reduce(
+             list_transform(range(1, 65),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (q.nrm * c.nrm)"""
+
+_HNI_ORACLE = f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id, embedding, nrm FROM n ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_HNI_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_HNI_COS} DESC, c.vec_id
+               ) AS rnk
+        FROM n q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    isims AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_HNI_COS} AS cosine
+      FROM probe p
+      JOIN asg a ON a.cell = p.cell
+      JOIN n q ON q.vec_id = p.qid
+      JOIN n c ON c.vec_id = a.id
+      WHERE c.vec_id != q.vec_id AND c.label != q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM isims
+    ) WHERE rank <= 5
+    """
+
+
+@register("hard_negative_ivf_mining", _HNI_ORACLE)
+def hard_negative_ivf_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hard-negative mining: IVF candidates (first-16
+    deterministic quantizer, nprobe=4) with the cross-label gate
+    applied inside the probed cells, then exact re-rank to top-5
+    (:func:`..operators.similarity.hard_negative_ivf_topk`). The
+    oracle replays assignment, probes, the label gate, and the rank
+    — the DPR mining pass at the cost of ~nprobe/16 of the corpus
+    per query batch."""
+    from ..operators.similarity import hard_negative_ivf_topk
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return hard_negative_ivf_topk(
+        em, em.filter(F.col("vec_id") < 10), k=5,
+        num_centroids=16, nprobe=4,
+    )

@@ -185,6 +185,7 @@ QUERIES = [
     "epoch_shuffle_manifest",
     "streaming_dedup_equiv",
     "cluster_quality_representatives",
+    "hard_negative_ivf_mining",
 ]
 
 

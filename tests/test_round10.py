@@ -335,3 +335,29 @@ def test_perplexity_buckets_head_is_predictable(spark):
     assert out[1] == (1, "head")
     assert out[2] == (2, "middle")
     assert out[3] == (3, "tail")
+
+
+def test_hard_negative_ivf_probe_all_equals_exact(spark, sf_dir):
+    """nprobe == num_centroids probes every cell, so the IVF tier
+    must reproduce the exact broadcast tier bit-for-bit — the same
+    recovery invariant ann_ivf_recall leans on, with the label gate
+    in play."""
+    from etl_python_azure_spark.operators.similarity import (
+        hard_negative_ivf_topk,
+        hard_negative_topk,
+    )
+    from etl_python_azure_spark.session import load_tables
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in hard_negative_topk(em, q, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in hard_negative_ivf_topk(
+            em, q, k=3, num_centroids=16, nprobe=16
+        ).collect()
+    }
+    assert ivf == exact
