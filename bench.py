@@ -193,6 +193,7 @@ OPTIONAL = [
     "streaming_dedup_equiv",
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
+    "benchmark_span_contamination",
     # round-10 rotation: never-benched queries with plan shapes the
     # headline set under-covered (connected components, cohort
     # windows, funnel sequences, pivots, running windows, sketch

@@ -1367,6 +1367,67 @@ def cross_doc_span_stats(
     )
 
 
+def _span_positions(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, pos, __fp): every *window*-token span with its 1-based
+    token position and md5 fingerprint — the shared explode behind
+    the merged-interval operators."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    shingle_arr = F.expr(
+        f"CASE WHEN size(__toks) >= {window} THEN "
+        f"transform(sequence(1, size(__toks) - {window - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {window}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.posexplode(shingle_arr))
+        .select(
+            F.col(id_col),
+            (F.col("pos") + 1).alias("pos"),  # 1-based, oracle parity
+            F.md5("col").alias("__fp"),
+        )
+    )
+
+
+def _merged_islands(
+    dup: DataFrame, id_col: str
+) -> DataFrame:
+    """Merge flagged span intervals (id, pos, __end) per id via
+    gaps-and-islands; returns (id, covered_tokens, n_dup_spans)."""
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("__island", F.sum("__new").over(run))
+        .groupBy(id_col, "__island")
+        .agg(
+            (F.max("__end") - F.min("pos") + 1).alias("__covered"),
+            F.count(F.lit(1)).alias("__n_spans"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__covered").cast("long").alias("covered_tokens"),
+            F.sum("__n_spans").cast("long").alias("n_dup_spans"),
+        )
+    )
+
+
 def merged_span_coverage(
     df: DataFrame,
     id_col: str,
@@ -1397,22 +1458,7 @@ def merged_span_coverage(
     Output: (id, n_tokens, n_dup_spans, covered_tokens, coverage) —
     one row per input document; dup-free and short docs report 0.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    shingle_arr = F.expr(
-        f"CASE WHEN size(__toks) >= {window} THEN "
-        f"transform(sequence(1, size(__toks) - {window - 1}), "
-        f"i -> concat_ws(' ', slice(__toks, i, {window}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    sp = (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .select(F.col(id_col), F.posexplode(shingle_arr))
-        .select(
-            F.col(id_col),
-            (F.col("pos") + 1).alias("pos"),  # 1-based, oracle parity
-            F.md5("col").alias("__fp"),
-        )
-    )
+    sp = _span_positions(df, id_col, text_col, window)
     nd = (
         sp.select(id_col, "__fp")
         .distinct()
@@ -1428,36 +1474,8 @@ def merged_span_coverage(
             (F.col("pos") + F.lit(window - 1)).alias("__end"),
         )
     )
-    prev = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    run = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        dup.withColumn(
-            "__new",
-            (
-                F.col("pos")
-                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
-            ).cast("long"),
-        )
-        .withColumn("__island", F.sum("__new").over(run))
-        .groupBy(id_col, "__island")
-        .agg(
-            (F.max("__end") - F.min("pos") + 1).alias("__covered"),
-            F.count(F.lit(1)).alias("__n_spans"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.sum("__covered").cast("long").alias("covered_tokens"),
-            F.sum("__n_spans").cast("long").alias("n_dup_spans"),
-        )
-    )
+    islands = _merged_islands(dup, id_col)
+    toks = F.split(F.lower(F.col(text_col)), " ")
     base = df.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
     )
@@ -1516,4 +1534,72 @@ def quality_keeper_drops(
             .alias(id_col)
         )
         .distinct()
+    )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination (the GPT-3/PaLM report
+    form, refined per Lee et al.): for each corpus document, the
+    EXACT fraction of its text covered by *window*-token spans that
+    also appear in the *reference* (benchmark/eval) set — merged
+    intervals, so a long verbatim inclusion counts its true length,
+    not its window count. Doc-level n-gram-overlap decontamination
+    (`benchmark_contamination`) flags documents; this reports HOW
+    MUCH of each document is benchmark text, the number the
+    published contamination appendices table.
+
+    Scale shape: both sides pay one span explode; the flagging join
+    shuffles on the span fingerprint (reference side is
+    benchmark-sized — small — but the join stays fp-keyed, not
+    broadcast, so the operator survives a corpus-sized reference);
+    islands merge per corpus doc over only the flagged positions.
+    Same-id spans are excluded, so a benchmark doc embedded in the
+    corpus doesn't flag itself.
+
+    Output: (id, n_tokens, n_contaminated_spans, covered_tokens,
+    contamination, is_contaminated) — one row per corpus document.
+    """
+    csp = _span_positions(corpus, id_col, text_col, window)
+    rfp = (
+        _span_positions(reference, id_col, text_col, window)
+        .select(F.col(id_col).alias("__rid"), "__fp")
+        .distinct()
+    )
+    flagged = (
+        csp.join(rfp, "__fp")
+        .filter(F.col(id_col) != F.col("__rid"))
+        .select(
+            F.col(id_col),
+            "pos",
+            (F.col("pos") + F.lit(window - 1)).alias("__end"),
+        )
+        .distinct()  # a span may match several reference docs
+    )
+    islands = _merged_islands(flagged, id_col)
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = corpus.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return base.join(islands, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_spans", F.lit(0))
+        .cast("long")
+        .alias("n_contaminated_spans"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("contamination"),
+        (F.coalesce("covered_tokens", F.lit(0)) > 0)
+        .cast("long")
+        .alias("is_contaminated"),
     )

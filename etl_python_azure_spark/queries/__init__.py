@@ -233,7 +233,7 @@ _R09_WINDOW = [
 # The r10 window drains the queue the r09 verdict booked. Slots 1-4:
 # the four r02-only stragglers displaced from the r09 window — after
 # these run, no query's newest driver evidence predates r03. Slots
-# 5-15: the queries NEW in round 10 (the curation-v3 composition
+# 5-16: the queries NEW in round 10 (the curation-v3 composition
 # registry wiring the r09 advice asked for, the n-gram-profile
 # language-ID upgrade, the merged-interval span-coverage dedup, the
 # quality-aware near-dup keeper, the full Gopher repetition-fraction
@@ -241,7 +241,7 @@ _R09_WINDOW = [
 # epoch-shuffle manifest, the streaming ingest-dedup fold, and the
 # quality-chosen cluster representatives and their IVF mining tier) —
 # first-time checks outrank re-proof fill, the r04-window
-# precedent. Slots 16+: re-proof fill
+# precedent. Slots 17+: re-proof fill
 # from the r03 cohort (44 queries whose newest driver evidence is
 # round 3), alphabetical; the list deliberately overflows 50 so a
 # missing new query cannot shrink the window — the driver records
@@ -265,6 +265,7 @@ _R10_WINDOW = [
     "streaming_dedup_equiv",
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
+    "benchmark_span_contamination",
     # r03-only re-proof fill (alphabetical; tail past slot 50 feeds
     # the r11 queue)
     "avg_inter_event_gap",

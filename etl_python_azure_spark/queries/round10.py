@@ -1040,3 +1040,89 @@ def hard_negative_ivf_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         em, em.filter(F.col("vec_id") < 10), k=5,
         num_centroids=16, nprobe=4,
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level benchmark decontamination: exact covered-token fraction
+# of each corpus doc by spans from a benchmark set (merged islands).
+# --------------------------------------------------------------------------
+
+_SBC_W = 8
+
+_SBC_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i+{_SBC_W - 1}], ' ')) AS fp
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_SBC_W - 2}, 1))) AS u(i)
+    ),
+    ref AS (
+      SELECT DISTINCT doc_id AS rid, fp FROM sp WHERE doc_id % 50 = 0
+    ),
+    flg AS (
+      SELECT DISTINCT s.doc_id, s.pos, s.pos + {_SBC_W - 1} AS e
+      FROM sp s JOIN ref r ON r.fp = s.fp AND r.rid != s.doc_id
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM flg
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(ni) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, island,
+             MAX(e) - MIN(pos) + 1 AS covered,
+             COUNT(*) AS n_spans
+      FROM isl2 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, SUM(covered) AS covered_tokens,
+             SUM(n_spans) AS n_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
+             AS n_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT)
+             AS n_contaminated_spans,
+           CAST(COALESCE(a.covered_tokens, 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE)
+             / CAST(len(string_split(lower(d.text), ' ')) AS DOUBLE)
+             AS contamination,
+           CAST(CASE WHEN COALESCE(a.covered_tokens, 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register("benchmark_span_contamination", _SBC_ORACLE)
+def benchmark_span_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level decontamination report against a fixture benchmark
+    set (every 50th doc): per corpus doc, the EXACT fraction of its
+    tokens covered by W=8 spans that also appear in a benchmark doc
+    (:func:`..operators.dedup.span_contamination` — merged islands,
+    so a verbatim inclusion counts its true length). Complements the
+    doc-level flag queries (`benchmark_contamination` /
+    `benchmark_decontamination`) with the published how-much number;
+    same-id matches excluded so embedded benchmark docs don't flag
+    themselves."""
+    from ..operators.dedup import span_contamination
+
+    d = load_tables(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 50 == 0)
+    return span_contamination(d, ref, "doc_id", "text", window=_SBC_W)

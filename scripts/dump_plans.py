@@ -186,6 +186,7 @@ QUERIES = [
     "streaming_dedup_equiv",
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
+    "benchmark_span_contamination",
 ]
 
 

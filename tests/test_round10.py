@@ -361,3 +361,32 @@ def test_hard_negative_ivf_probe_all_equals_exact(spark, sf_dir):
         ).collect()
     }
     assert ivf == exact
+
+
+def test_span_contamination_hand_case(spark):
+    """A corpus doc embedding a 12-token benchmark run reports
+    exactly 12 covered tokens; clean docs report 0; the benchmark
+    doc itself doesn't self-flag (same-id exclusion) but IS flagged
+    by a twin benchmark doc sharing the run."""
+    from etl_python_azure_spark.operators.dedup import span_contamination
+
+    bench_run = [f"b{i}" for i in range(12)]
+    noise = lambda tag, k: [f"{tag}{i}" for i in range(k)]
+    rows = [
+        (0, " ".join(bench_run)),                       # benchmark
+        (50, " ".join(bench_run + noise("z", 4))),      # benchmark twin
+        (1, " ".join(noise("a", 5) + bench_run + noise("c", 5))),
+        (2, " ".join(noise("d", 15))),                  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.filter("doc_id % 50 = 0")
+    out = {
+        r.doc_id: (r.covered_tokens, r.is_contaminated)
+        for r in span_contamination(df, ref, "doc_id", "text", window=8)
+        .collect()
+    }
+    assert out[1] == (12, 1)  # merged union of 5 windows = 12 tokens
+    assert out[2] == (0, 0)
+    # doc 0's spans appear in doc 50 (different id) → flagged
+    assert out[0] == (12, 1)
+    assert out[50][1] == 1
