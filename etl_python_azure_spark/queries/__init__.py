@@ -312,6 +312,18 @@ _R10_WINDOW = [
     "views_before_purchase_ranged",
     "window_function_toolbox",
     "winsorized_order_stats",
+    # r11 window queue: lead with any queries whose plan or oracle
+    # changes in r11 and the queries new in r11, then the ten
+    # r03-cohort names above that miss this window's 50-cut
+    # (sole_late_suppliers .. winsorized_order_stats — exactly the
+    # alphabetical tail from slot 51 on), then re-proof fill from
+    # the r04 cohort, stalest first. After r10 runs, no query's
+    # newest driver evidence predates r03, and only those ten
+    # remain r03-only. Write the list AS CODE in the first r11
+    # commit — a comment is not a window (r07/r08 lesson) — and
+    # repin tests/test_driver_contract.py's
+    # test_driver_window_invariants to _R11_WINDOW in the same
+    # commit (it asserts first-50 == registry order).
 ]
 
 _R05_WINDOW = [
