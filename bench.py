@@ -194,6 +194,7 @@ OPTIONAL = [
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
     "benchmark_span_contamination",
+    "source_contamination_rollup",
     # round-10 rotation: never-benched queries with plan shapes the
     # headline set under-covered (connected components, cohort
     # windows, funnel sequences, pivots, running windows, sketch

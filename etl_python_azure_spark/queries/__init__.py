@@ -233,7 +233,7 @@ _R09_WINDOW = [
 # The r10 window drains the queue the r09 verdict booked. Slots 1-4:
 # the four r02-only stragglers displaced from the r09 window — after
 # these run, no query's newest driver evidence predates r03. Slots
-# 5-16: the queries NEW in round 10 (the curation-v3 composition
+# 5-17: the queries NEW in round 10 (the curation-v3 composition
 # registry wiring the r09 advice asked for, the n-gram-profile
 # language-ID upgrade, the merged-interval span-coverage dedup, the
 # quality-aware near-dup keeper, the full Gopher repetition-fraction
@@ -241,7 +241,7 @@ _R09_WINDOW = [
 # epoch-shuffle manifest, the streaming ingest-dedup fold, and the
 # quality-chosen cluster representatives and their IVF mining tier) —
 # first-time checks outrank re-proof fill, the r04-window
-# precedent. Slots 17+: re-proof fill
+# precedent. Slots 18+: re-proof fill
 # from the r03 cohort (44 queries whose newest driver evidence is
 # round 3), alphabetical; the list deliberately overflows 50 so a
 # missing new query cannot shrink the window — the driver records
@@ -266,6 +266,7 @@ _R10_WINDOW = [
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
     "benchmark_span_contamination",
+    "source_contamination_rollup",
     # r03-only re-proof fill (alphabetical; tail past slot 50 feeds
     # the r11 queue)
     "avg_inter_event_gap",
@@ -313,14 +314,14 @@ _R10_WINDOW = [
     "window_function_toolbox",
     "winsorized_order_stats",
     # r11 window queue: lead with any queries whose plan or oracle
-    # changes in r11 and the queries new in r11, then the ten
+    # changes in r11 and the queries new in r11, then the eleven
     # r03-cohort names above that miss this window's 50-cut
-    # (sole_late_suppliers .. winsorized_order_stats — exactly the
-    # alphabetical tail from slot 51 on), then re-proof fill from
-    # the r04 cohort, stalest first. After r10 runs, no query's
-    # newest driver evidence predates r03, and only those ten
-    # remain r03-only. Write the list AS CODE in the first r11
-    # commit — a comment is not a window (r07/r08 lesson) — and
+    # (small_quantity_revenue_loss .. winsorized_order_stats —
+    # exactly the alphabetical tail from slot 51 on), then re-proof
+    # fill from the r04 cohort, stalest first. After r10 runs, no
+    # query's newest driver evidence predates r03, and only those
+    # eleven remain r03-only. Write the list AS CODE in the first
+    # r11 commit — a comment is not a window (r07/r08 lesson) — and
     # repin tests/test_driver_contract.py's
     # test_driver_window_invariants to _R11_WINDOW in the same
     # commit (it asserts first-50 == registry order).

@@ -1126,3 +1126,101 @@ def benchmark_span_contamination(
     d = load_tables(spark, sf_dir, "documents")
     ref = d.filter(F.col("doc_id") % 50 == 0)
     return span_contamination(d, ref, "doc_id", "text", window=_SBC_W)
+
+
+# --------------------------------------------------------------------------
+# Per-source contamination rollup — the reporting grain crawl/source
+# policies act on, composing span_contamination.
+# --------------------------------------------------------------------------
+
+_SCR_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(t[i:i+{_SBC_W - 1}], ' ')) AS fp
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_SBC_W - 2}, 1))) AS u(i)
+    ),
+    ref AS (
+      SELECT DISTINCT doc_id AS rid, fp FROM sp WHERE doc_id % 50 = 0
+    ),
+    flg AS (
+      SELECT DISTINCT s.doc_id, s.pos, s.pos + {_SBC_W - 1} AS e
+      FROM sp s JOIN ref r ON r.fp = s.fp AND r.rid != s.doc_id
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM flg
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(ni) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    cov AS (
+      SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered
+      FROM isl2 GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, SUM(covered) AS covered_tokens FROM cov
+      GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(a.covered_tokens, 0) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated_docs,
+           CAST(SUM(len(string_split(lower(d.text), ' '))) AS BIGINT)
+             AS n_tokens,
+           CAST(SUM(COALESCE(a.covered_tokens, 0)) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(COALESCE(a.covered_tokens, 0)) AS DOUBLE)
+             / CAST(SUM(len(string_split(lower(d.text), ' ')))
+                    AS DOUBLE) AS token_contamination_rate
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("source_contamination_rollup", _SCR_ORACLE)
+def source_contamination_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """benchmark_span_contamination rolled up to the SOURCE grain —
+    docs flagged, token mass covered, and the per-source token
+    contamination rate: the number crawl quotas and source
+    allow/deny policies key on (a source leaking benchmark text gets
+    cut at the source tier, not doc by doc). One extra hash
+    aggregate over the per-doc report."""
+    from ..operators.dedup import span_contamination
+
+    d = load_tables(spark, sf_dir, "documents")
+    per_doc = span_contamination(
+        d, d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text",
+        window=_SBC_W,
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("covered_tokens") > 0).cast("long"))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("covered_tokens").cast("long").alias("covered_tokens"),
+            (
+                F.sum("covered_tokens").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("token_contamination_rate"),
+        )
+    )

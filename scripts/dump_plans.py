@@ -187,6 +187,7 @@ QUERIES = [
     "cluster_quality_representatives",
     "hard_negative_ivf_mining",
     "benchmark_span_contamination",
+    "source_contamination_rollup",
 ]
 
 

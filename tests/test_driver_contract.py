@@ -81,8 +81,8 @@ def test_driver_window_invariants():
     assert list(reg)[:50] == _R10_WINDOW[:50]
     assert all(spec.oracle is not None for spec in reg.values())
     # r10 mandate (r09 verdict, top_next): slots 1-4 are the four
-    # r02-only stragglers displaced from the r09 window; slots 5-16
-    # the twelve queries NEW in round 10 (first-time checks outrank
+    # r02-only stragglers displaced from the r09 window; slots 5-17
+    # the thirteen queries NEW in round 10 (first-time checks outrank
     # re-proof fill)
     stragglers = [
         "top_distinctive_terms", "user_event_profile",
@@ -95,9 +95,10 @@ def test_driver_window_invariants():
         "hard_negative_mining", "epoch_shuffle_manifest",
         "streaming_dedup_equiv", "cluster_quality_representatives",
         "hard_negative_ivf_mining", "benchmark_span_contamination",
+        "source_contamination_rollup",
     ]
     assert _R10_WINDOW[:4] == stragglers
-    assert _R10_WINDOW[4:16] == new_r10
+    assert _R10_WINDOW[4:17] == new_r10
 
 
 def _script_names(filename: str, attrs: list[str]) -> list[str]:
