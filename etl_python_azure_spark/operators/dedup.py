@@ -1512,6 +1512,15 @@ def quality_keeper_drops(
     variant — ``near_dup_clusters`` — is the alternative when
     cluster-level keep-one semantics are wanted).
 
+    Missing-quality fallback (the r10-ADVICE fix — the joins are
+    LEFT, so a pair is never silently dropped from the drop set): a
+    side absent from *quality* loses to a scored side (no quality
+    signal → treat as lowest quality), and a pair with BOTH sides
+    unscored falls back to the keep-first tie policy (drop the
+    higher id). Callers that want coverage to be an invariant can
+    still assert it, but the default is the safe one: every
+    confirmed pair contributes exactly one drop.
+
     Scale shape: pairs are the (small) LSH-verified collision set;
     the two quality lookups shuffle pairs against the per-doc
     quality projection on the id key — never a broadcast of the
@@ -1525,14 +1534,19 @@ def quality_keeper_drops(
     qb = quality.select(
         F.col(id_col).alias("id_b"), F.col(quality_col).alias("__qb")
     )
-    return (
-        pairs.join(qa, "id_a")
-        .join(qb, "id_b")
-        .select(
-            F.when(F.col("__qa") >= F.col("__qb"), F.col("id_b"))
-            .otherwise(F.col("id_a"))
-            .alias(id_col)
+    loser = (
+        F.when(
+            F.col("__qa").isNull() & F.col("__qb").isNull(), F.col("id_b")
         )
+        .when(F.col("__qa").isNull(), F.col("id_a"))
+        .when(F.col("__qb").isNull(), F.col("id_b"))
+        .when(F.col("__qa") >= F.col("__qb"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+    )
+    return (
+        pairs.join(qa, "id_a", "left")
+        .join(qb, "id_b", "left")
+        .select(loser.alias(id_col))
         .distinct()
     )
 

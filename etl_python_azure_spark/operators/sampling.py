@@ -398,6 +398,7 @@ def epoch_shuffle(
     id_col: str,
     epochs: int = 2,
     carry_cols: list[str] | None = None,
+    bucket_hex_digits: int = 3,
 ) -> DataFrame:
     """Deterministic seeded global shuffle for training-data
     ordering: each epoch e assigns every row the sort key
@@ -407,16 +408,28 @@ def epoch_shuffle(
     training is resumable mid-epoch) while different epochs get
     decorrelated orders (new seed → fresh permutation).
 
-    Scale shape: one global sort per epoch (the unavoidable
-    total-order shuffle — Spark's range-partitioned sort, no driver
-    involvement); at 100 TB emit positions per epoch lazily rather
-    than materializing all epochs at once, or swap the row_number
-    for ``zipWithIndex``-free windowing by writing the sorted files
-    and letting line order BE the position. The md5 tiebreak on id
-    makes rank unique even if two keys collide.
+    Distributed rank (no single-task sort): the md5 key is uniform,
+    so its leading *bucket_hex_digits* hex chars split each epoch
+    into 16^d equal RANGE buckets — every key in bucket '00f' sorts
+    before every key in '010'. Global position is then
+
+        pos = (rows of this epoch in EARLIER buckets) + rank within
+              (epoch, bucket)
+
+    computed as one window over (epoch, bucket) — 16^d·epochs evenly
+    sized groups, each ~1/16^d of the corpus — plus a 16^d·epochs-row
+    offset aggregate joined back by broadcast. No partition ever
+    holds a whole epoch (the r10-ADVICE fix: a
+    ``partitionBy(epoch)`` window serialized each epoch through one
+    task). At 100 TB raise *bucket_hex_digits* so a bucket fits an
+    executor (d=4 → 65 536 buckets ≈ 1.5 GB each); positions stay
+    IDENTICAL for any d because bucket order is key order. The md5
+    tiebreak on id makes rank unique even if two keys collide.
 
     Output: (epoch, id, pos) × *epochs*, pos 1-based within epoch.
     """
+    if not 1 <= bucket_hex_digits <= 8:
+        raise ValueError("bucket_hex_digits must be in [1, 8]")
     spark = df.sparkSession
     ep = spark.createDataFrame([(e,) for e in range(epochs)], "epoch long")
     keyed = df.select(
@@ -430,8 +443,35 @@ def epoch_shuffle(
                 F.col(id_col).cast("string"),
             )
         ),
+    ).withColumn(
+        # fixed-width lowercase hex: lexicographic == numeric order
+        "__bkt", F.substring("__key", 1, bucket_hex_digits)
     )
-    w = Window.partitionBy("epoch").orderBy(F.asc("__key"), F.asc(id_col))
-    return keyed.withColumn(
-        "pos", F.row_number().over(w).cast("long")
-    ).select("epoch", id_col, *(carry_cols or []), "pos")
+    # offsets: per-(epoch, bucket) counts (map-side combined), then a
+    # running sum over the bucket order — a 16^d·epochs-row frame
+    off_w = (
+        Window.partitionBy("epoch")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("epoch", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__n").over(off_w), F.lit(0))
+        )
+        .select("epoch", "__bkt", "__off")
+    )
+    w = Window.partitionBy("epoch", "__bkt").orderBy(
+        F.asc("__key"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["epoch", "__bkt"])
+        .select(
+            "epoch",
+            id_col,
+            *(carry_cols or []),
+            (F.col("__off") + F.col("__rk")).cast("long").alias("pos"),
+        )
+    )

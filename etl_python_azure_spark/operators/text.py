@@ -1105,21 +1105,27 @@ def language_id_ngram(
        DuckDB oracle replays it exactly.
     3. Winner by (score desc, lang asc); no profile overlap → 'und'.
 
-    Scale shape: the explode is linear in corpus characters and
-    feeds both consumers; the profile table collapses to
-    |langs|·profile_size rows — a broadcast dim — so scoring is one
-    explode, one broadcast join, one per-doc aggregate. No pair
-    space, no corpus-sized shuffle beyond the per-doc gram counts.
+    Scale shape: the explode is linear in corpus characters; the
+    profile table collapses to |langs|·profile_size rows, which is
+    EAGERLY collected and rebroadcast as a local relation (the
+    K-row-bounded centroid-collect discipline — ~1k rows for 5
+    langs × 200 grams), so no corpus-sized persist lingers in
+    executor memory for the session (the r10-ADVICE fix). The
+    profile-training pass and the scoring pass each run the explode
+    once — recomputing a linear explode beats caching the
+    corpus-sized gram table at 100 TB. Scoring is one explode, one
+    broadcast join, one per-doc aggregate: no pair space, no
+    corpus-sized shuffle beyond the per-doc gram counts.
     Self-labeled resubstitution here; production splits train/score
     frames by passing a labeled subset as *df* and unioning.
     """
+    spark = df.sparkSession
     grams = char_ngrams(df, id_col, text_col, n, carry_cols=[lang_col])
-    grams = grams.persist()  # two consumers: profiles + doc tf
 
     pw = Window.partitionBy(lang_col).orderBy(
         F.desc("cnt"), F.asc("gram")
     )
-    profiles = (
+    profile_plan = (
         grams.groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rank", F.row_number().over(pw))
@@ -1129,6 +1135,10 @@ def language_id_ngram(
             "gram",
             (F.lit(profile_size + 1) - F.col("rank")).alias("weight"),
         )
+    )
+    # bounded collect: |langs|·profile_size rows → local relation
+    profiles = spark.createDataFrame(
+        profile_plan.collect(), profile_plan.schema
     )
 
     tf = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("tf"))
@@ -1296,6 +1306,11 @@ def perplexity_buckets(
 
     Output: (id, lang, n_tokens, avg_logprob, bucket, bucket_label).
     """
+    if n_buckets < 2:
+        # head/middle/tail labels presuppose at least two tiers; with
+        # one bucket the single tier would be labeled 'head' while
+        # also being the tail (r10-ADVICE degenerate case)
+        raise ValueError("n_buckets must be >= 2")
     scores = unigram_logprob_scores(
         df, id_col, text_col, carry_cols=[lang_col]
     )

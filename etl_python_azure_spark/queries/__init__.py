@@ -313,17 +313,104 @@ _R10_WINDOW = [
     "views_before_purchase_ranged",
     "window_function_toolbox",
     "winsorized_order_stats",
-    # r11 window queue: lead with any queries whose plan or oracle
-    # changes in r11 and the queries new in r11, then the eleven
-    # r03-cohort names above that miss this window's 50-cut
-    # (small_quantity_revenue_loss .. winsorized_order_stats —
-    # exactly the alphabetical tail from slot 51 on), then re-proof
-    # fill from the r04 cohort, stalest first. After r10 runs, no
-    # query's newest driver evidence predates r03, and only those
-    # eleven remain r03-only. Write the list AS CODE in the first
-    # r11 commit — a comment is not a window (r07/r08 lesson) — and
-    # repin tests/test_driver_contract.py's
-    # test_driver_window_invariants to _R11_WINDOW in the same
+    # (r11 queue drained: see _R11_WINDOW below, written as code in
+    # the first r11 commit per the r07/r08 lesson.)
+]
+
+# The r11 window drains the queue booked at _R10_WINDOW's tail:
+# lead with the queries whose plan or oracle changes in r11 (the
+# epoch_shuffle distributed-rank fix, the quality-keeper left-join
+# fallback, the curate_corpus_v3 keeper-default flip, the lang-id
+# persist discipline — the r10 ADVICE items), then the queries NEW
+# in r11 (spliced in as each lands, before the re-proof fill), then
+# the eleven r03-only names (small_quantity_revenue_loss ..
+# winsorized_order_stats — exactly the alphabetical tail past the
+# r10 window's 50-cut), then re-proof fill from the r04 cohort
+# (44 queries whose newest driver evidence is round 4),
+# alphabetical. The list deliberately overflows 50 so a missing
+# name cannot shrink the window — the driver records the first 50
+# resolvable entries. Whichever r04 names miss the cut head the
+# r12 queue.
+_R11_WINDOW = [
+    # plan/oracle changed in r11 — re-prove (r10 ADVICE items)
+    "epoch_shuffle_manifest",
+    "quality_keeper_dedup",
+    "curation_v3_counts_report",
+    "lang_id_ngram_profile",
+    # new in round 11 — first-ever driver rows
+    "token_ngram_contamination",
+    "token_contamination_rollup",
+    "token_span_coverage",
+    "streaming_span_dedup_equiv",
+    "curation_v3_counts_lite",
+    "keeper_fallback_drops",
+    "nb_quality_classifier",
+    "curation_drop_attribution",
+    # r03-only re-proof (the booked eleven)
+    "small_quantity_revenue_loss",
+    "sole_late_suppliers",
+    "source_lang_affinity",
+    "supplier_variety_by_part",
+    "temperature_mixture",
+    "tokenizer_fertility_by_lang",
+    "top_revenue_supplier",
+    "variant_props_rollup",
+    "views_before_purchase_ranged",
+    "window_function_toolbox",
+    "winsorized_order_stats",
+    # r04-cohort re-proof fill (alphabetical; tail past slot 50
+    # feeds the r12 queue)
+    "ann_multiprobe_recall",
+    "ann_sq8_recall",
+    "array_toolbox_embeddings",
+    "benchmark_decontamination",
+    "bigram_logprob_scores",
+    "bm25_search_topk",
+    "bpe_encode_stats",
+    "bpe_learned_merges",
+    "bpe_pair_counts",
+    "cms_token_frequency",
+    "daily_purchase_rate_ci",
+    "doc_novelty_scores",
+    "dup_cluster_histogram",
+    "event_value_outliers",
+    "ewma_user_daily_value",
+    "hybrid_search_topk",
+    "interpolated_daily_values",
+    "k_anonymity_report",
+    "label_centroid_quality",
+    "label_noise_scan",
+    "nation_triangle_counts",
+    "native_session_rollup",
+    "ohlc_daily_bars",
+    "pagerank_trade_graph",
+    "positional_unnest_embeddings",
+    "psi_value_drift",
+    "quality_pr_curve",
+    "quota_sample_sources",
+    "rrf_fusion_topk",
+    "scd2_point_in_time",
+    "scd2_priority_history",
+    "session_funnel",
+    "snapshot_diff_orders",
+    "sorted_neighborhood_dups",
+    "source_pair_jaccard",
+    "stateful_session_equiv",
+    "tfidf_cosine_pairs",
+    "touch_attribution_paths",
+    "ts_similarity_blocked_pairs",
+    "ts_similarity_bruteforce_topk",
+    "unigram_logprob_scores",
+    "value_median_mad_by_type",
+    "zipf_fit_top_tokens",
+    "zorder_key_stats",
+    # r12 window queue: lead with any queries whose plan or oracle
+    # changes in r12 and the queries new in r12, then the r04-cohort
+    # names above that miss this window's 50-cut (the alphabetical
+    # tail from slot 51 on), then re-proof fill from the r05 cohort,
+    # stalest first. Write the list AS CODE in the first r12 commit
+    # and repin tests/test_driver_contract.py's
+    # test_driver_window_invariants to _R12_WINDOW in the same
     # commit (it asserts first-50 == registry order).
 ]
 
@@ -506,6 +593,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round9  # noqa: F401
     from . import round10  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R10_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R11_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

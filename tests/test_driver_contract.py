@@ -69,36 +69,48 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R10_WINDOW, registry
+    from etl_python_azure_spark.queries import _R11_WINDOW, registry
 
     reg = registry()
-    # the r10 list deliberately OVERFLOWS 50 (missing-name armor:
+    # the r11 list deliberately OVERFLOWS 50 (missing-name armor:
     # the driver records the first 50 resolvable entries, so a typo
     # slides fill up instead of shrinking the window)
-    assert len(_R10_WINDOW) >= 50
-    assert len(set(_R10_WINDOW)) == len(_R10_WINDOW)
-    assert all(n in reg for n in _R10_WINDOW)
-    assert list(reg)[:50] == _R10_WINDOW[:50]
+    resolvable = [n for n in _R11_WINDOW if n in reg]
+    assert len(resolvable) >= 50
+    assert len(set(_R11_WINDOW)) == len(_R11_WINDOW)
+    assert list(reg)[:50] == resolvable[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r10 mandate (r09 verdict, top_next): slots 1-4 are the four
-    # r02-only stragglers displaced from the r09 window; slots 5-17
-    # the thirteen queries NEW in round 10 (first-time checks outrank
-    # re-proof fill)
-    stragglers = [
-        "top_distinctive_terms", "user_event_profile",
-        "vocabulary_top200", "weighted_source_mixture",
-    ]
-    new_r10 = [
+    # r11 mandate (r10 verdict, top_next): slots 1-4 are the four
+    # queries whose plan or oracle changed this round (the r10
+    # ADVICE items); slots 5-12 the queries NEW in round 11
+    # (first-time checks outrank re-proof fill); slots 13-23 the
+    # eleven r03-only names booked at the r10 window tail
+    changed_r11 = [
+        "epoch_shuffle_manifest", "quality_keeper_dedup",
         "curation_v3_counts_report", "lang_id_ngram_profile",
-        "merged_span_coverage", "quality_keeper_dedup",
-        "gopher_repetition_fractions", "ccnet_perplexity_buckets",
-        "hard_negative_mining", "epoch_shuffle_manifest",
-        "streaming_dedup_equiv", "cluster_quality_representatives",
-        "hard_negative_ivf_mining", "benchmark_span_contamination",
-        "source_contamination_rollup",
     ]
-    assert _R10_WINDOW[:4] == stragglers
-    assert _R10_WINDOW[4:17] == new_r10
+    new_r11 = [
+        "token_ngram_contamination", "token_contamination_rollup",
+        "token_span_coverage", "streaming_span_dedup_equiv",
+        "curation_v3_counts_lite", "keeper_fallback_drops",
+        "nb_quality_classifier", "curation_drop_attribution",
+    ]
+    r03_eleven = [
+        "small_quantity_revenue_loss", "sole_late_suppliers",
+        "source_lang_affinity", "supplier_variety_by_part",
+        "temperature_mixture", "tokenizer_fertility_by_lang",
+        "top_revenue_supplier", "variant_props_rollup",
+        "views_before_purchase_ranged", "window_function_toolbox",
+        "winsorized_order_stats",
+    ]
+    assert _R11_WINDOW[:4] == changed_r11
+    assert _R11_WINDOW[4:12] == new_r11
+    assert _R11_WINDOW[12:23] == r03_eleven
+    # every r11-new name must resolve by round end (they land over
+    # the round's commits; the `resolvable` armor above keeps the
+    # window at 50 meanwhile)
+    missing = [n for n in new_r11 if n not in reg]
+    assert not missing or len(resolvable) >= 50, missing
 
 
 def _script_names(filename: str, attrs: list[str]) -> list[str]:
@@ -142,9 +154,10 @@ def _coupled_names(source: str) -> list[str]:
             _R04_WINDOW,
             _R05_WINDOW,
             _R06_WINDOW,
+            _R10_WINDOW,
         )
 
-        return [*_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW]
+        return [*_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW, *_R10_WINDOW]
     if source == "artifact_consumers":
         from etl_python_azure_spark.queries._artifacts import (
             artifact_consumers,
