@@ -181,8 +181,9 @@ OPTIONAL = [
     "url_domain_dedup_health",
     "cross_doc_dup_spans",
     "dsir_importance_scores",
-    # round-10 surface
-    "curation_v3_counts_report",
+    # round-10 surface (the v3 report's bench slot moved to the
+    # write-free lite form in r11 — the full write-path report keeps
+    # its oracle row in the driver window and its e2e pytest)
     "lang_id_ngram_profile",
     "merged_span_coverage",
     "quality_keeper_dedup",
@@ -211,6 +212,34 @@ OPTIONAL = [
     "sketch_distinct_maintenance",
     "maintained_rollup_equiv",
     "oov_rate_by_lang",
+    # round-11 surface
+    "curation_v3_counts_lite",
+    "token_ngram_contamination",
+    "token_contamination_rollup",
+    "token_span_coverage",
+    "streaming_span_dedup_equiv",
+    "keeper_fallback_drops",
+    "nb_quality_classifier",
+    "curation_drop_attribution",
+    # round-11 rotation: never-benched queries, heaviest operator
+    # families first (pair-space dedup/similarity before scalar
+    # one-liners), per the r10 verdict mandate
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "incremental_dedup_pairs",
+    "lsh_bucket_assignments",
+    "ann_lsh_recall",
+    "ann_ivf_kmeans_recall",
+    "simhash_near_pairs",
+    "fuzzy_part_name_pairs",
+    "benchmark_contamination",
+    "cdc_replay_equiv",
+    "token_count_stats",
+    "embedding_dim_stats",
+    "media_content_stats",
+    "doc_fingerprints",
+    "top_distinctive_terms",
+    "stable_sample_docs",
 ]
 
 
@@ -240,7 +269,11 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"
     )
-    if os.path.isdir(warm_dir):
+    # timing at the warmup SF itself (the contract-test smoke):
+    # the warmup pass would just run every query twice
+    if os.path.abspath(warm_dir) == os.path.abspath(sf_dir):
+        warm_dir = ""
+    if warm_dir and os.path.isdir(warm_dir):
         for name in names:
             try:
                 reg[name].builder(spark, warm_dir).write.format(
@@ -364,20 +397,30 @@ def main() -> None:
                       lambda s, _sf, root: bench_curation(s, sf_dir, root))):
         if subset_names is not None and name not in subset_names:
             continue
-        root = tempfile.mkdtemp(prefix=f"bench_{name}_")
-        try:
-            t0 = time.time()
-            fn(spark, sf_num, root)
-            timings[name] = round(time.time() - t0, 3)
-        except Exception:
-            # a missing row must be LOUD, not a silently smaller total
-            import traceback
+        # pipeline rows honor SPARK_GRAFT_BENCH_REPEATS like the
+        # per-query loop (min kept, every sample recorded), so the
+        # committed BENCH_DETAIL shows spread for the e2e DAGs too
+        samples = []
+        for _ in range(repeats):
+            root = tempfile.mkdtemp(prefix=f"bench_{name}_")
+            try:
+                t0 = time.time()
+                fn(spark, sf_num, root)
+                samples.append(round(time.time() - t0, 3))
+            except Exception:
+                # a missing row must be LOUD, not a silently smaller
+                # total
+                import traceback
 
-            print(f"pipeline bench {name} FAILED:", file=sys.stderr)
-            traceback.print_exc()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-        spark.catalog.clearCache()
+                print(f"pipeline bench {name} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+                break
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+            spark.catalog.clearCache()
+        if samples:
+            timings[name] = min(samples)
+            runs[name] = samples
 
     calib_end = calibrate()
 

@@ -27,6 +27,8 @@ Everything is pure DataFrame/Column expression — no Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1368,12 +1370,23 @@ def cross_doc_span_stats(
 
 
 def _span_positions(
-    df: DataFrame, id_col: str, text_col: str, window: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    tokenizer: Callable[[str], Column] | None = None,
 ) -> DataFrame:
     """(id, pos, __fp): every *window*-token span with its 1-based
     token position and md5 fingerprint — the shared explode behind
-    the merged-interval operators."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    the merged-interval operators. *tokenizer* maps the text column
+    name to an ARRAY<STRING> Column (tokens must not contain spaces
+    — span keys are space-joined slices); default is the lowercased
+    whitespace split."""
+    toks = (
+        tokenizer(text_col)
+        if tokenizer is not None
+        else F.split(F.lower(F.col(text_col)), " ")
+    )
     shingle_arr = F.expr(
         f"CASE WHEN size(__toks) >= {window} THEN "
         f"transform(sequence(1, size(__toks) - {window - 1}), "
@@ -1433,6 +1446,7 @@ def merged_span_coverage(
     id_col: str,
     text_col: str,
     window: int = 8,
+    tokenizer: Callable[[str], Column] | None = None,
 ) -> DataFrame:
     """Exact duplicated-TEXT fraction per document via merged span
     intervals — the refinement of :func:`cross_doc_span_stats` span
@@ -1455,10 +1469,15 @@ def merged_span_coverage(
     duplicated subset is usually a small fraction of spans, so the
     island windows are cheap). No pair space.
 
+    *tokenizer* swaps the span alphabet (default: lowercased
+    whitespace tokens; pass :func:`..text.bpe_ish_tokens` for the
+    trainer-view token stream — n_tokens and coverage are then in
+    that alphabet too).
+
     Output: (id, n_tokens, n_dup_spans, covered_tokens, coverage) —
     one row per input document; dup-free and short docs report 0.
     """
-    sp = _span_positions(df, id_col, text_col, window)
+    sp = _span_positions(df, id_col, text_col, window, tokenizer)
     nd = (
         sp.select(id_col, "__fp")
         .distinct()
@@ -1475,7 +1494,11 @@ def merged_span_coverage(
         )
     )
     islands = _merged_islands(dup, id_col)
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = (
+        tokenizer(text_col)
+        if tokenizer is not None
+        else F.split(F.lower(F.col(text_col)), " ")
+    )
     base = df.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
     )
@@ -1557,6 +1580,7 @@ def span_contamination(
     id_col: str,
     text_col: str,
     window: int = 8,
+    tokenizer: Callable[[str], Column] | None = None,
 ) -> DataFrame:
     """Span-level benchmark decontamination (the GPT-3/PaLM report
     form, refined per Lee et al.): for each corpus document, the
@@ -1576,12 +1600,18 @@ def span_contamination(
     Same-id spans are excluded, so a benchmark doc embedded in the
     corpus doesn't flag itself.
 
+    *tokenizer* swaps the span alphabet on BOTH sides (default:
+    lowercased whitespace tokens; pass :func:`..text.bpe_ish_tokens`
+    for the trainer-view token stream — the GPT-3-appendix
+    normalization, so contamination is measured on what the trainer
+    actually sees rather than raw whitespace words).
+
     Output: (id, n_tokens, n_contaminated_spans, covered_tokens,
     contamination, is_contaminated) — one row per corpus document.
     """
-    csp = _span_positions(corpus, id_col, text_col, window)
+    csp = _span_positions(corpus, id_col, text_col, window, tokenizer)
     rfp = (
-        _span_positions(reference, id_col, text_col, window)
+        _span_positions(reference, id_col, text_col, window, tokenizer)
         .select(F.col(id_col).alias("__rid"), "__fp")
         .distinct()
     )
@@ -1596,7 +1626,11 @@ def span_contamination(
         .distinct()  # a span may match several reference docs
     )
     islands = _merged_islands(flagged, id_col)
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    toks = (
+        tokenizer(text_col)
+        if tokenizer is not None
+        else F.split(F.lower(F.col(text_col)), " ")
+    )
     base = corpus.select(
         F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
     )

@@ -30,6 +30,24 @@ def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# The "trainer-view" tokenizer: runs of letters, runs of digits, and
+# individual other symbols over the lowercased text — the subword-ish
+# normalization decontamination recipes apply before n-gram matching
+# (GPT-3 appendix C uses 13-grams over lowercase punctuation-split
+# text). Shared by token_counts and the token-level span operators in
+# :mod:`.dedup`; DuckDB replays it verbatim via regexp_extract_all.
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_ish_tokens(text_col: str) -> Column:
+    """ARRAY<STRING> of BPE-ish tokens of *text_col* (see
+    :data:`BPE_ISH_RE`). Tokens never contain spaces, so space-joined
+    token slices are collision-free span keys."""
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0
+    )
+
+
 def language_id(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -125,14 +143,11 @@ def token_counts(
     other symbols — a rough proxy for subword tokenizer output used
     to budget training tokens. *carry_cols* pass through unchanged.
     """
-    lower = F.lower(F.col(text_col))
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],
         F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
-        F.size(
-            F.regexp_extract_all(lower, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
-        ).alias("n_bpe_ish_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_ish_tokens"),
     )
 
 

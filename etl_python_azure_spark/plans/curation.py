@@ -172,6 +172,7 @@ def curate_increment(
     delta: DataFrame,
     quota_per_source: int = 100_000,
     near_dup_threshold: float = 0.8,
+    span_window: int | None = None,
 ) -> DataFrame:
     """The nightly form of :func:`curate_corpus`: admit a DELTA batch
     of new documents against an already-curated base — without
@@ -189,7 +190,15 @@ def curate_increment(
        probe (base ∪ delta) bands; base×base is never recomputed. A
        delta doc near-duplicating EITHER a base doc or a surviving
        earlier delta doc is dropped (greedy keep-first by id).
-    4. Per-source quota re-check: delta rows only fill whatever
+    4. Span tier (opt-in, *span_window* not None): reject any delta
+       doc at least half of whose span_window-token spans are
+       covered by the BASE's span-fingerprint table or by a lower-id
+       surviving delta doc (integer 2·covered ≥ total — the batch v3
+       span rule, so streaming and batch converge at the span level
+       too; the ``streaming_span_dedup_equiv`` registry query pins
+       the fold). At 100 TB the base span probe comes from a
+       maintained bucketed (sfp) sidecar, like the exact tier.
+    5. Per-source quota re-check: delta rows only fill whatever
        headroom the base leaves under the cap (rank offset by the
        base's per-source counts).
 
@@ -261,6 +270,39 @@ def curate_increment(
     )
     survivors = vs_base.join(drop, "doc_id", "left_anti")
 
+    if span_window is not None:
+        from ..operators.dedup import word_shingles
+
+        ssp = word_shingles(
+            survivors, "doc_id", "text", n=span_window
+        ).select("doc_id", F.md5("shingle").alias("__sfp"))
+        base_sp = word_shingles(
+            base, "doc_id", "text", n=span_window
+        ).select(F.md5("shingle").alias("__sfp")).distinct()
+        in_base = ssp.join(base_sp, "__sfp", "left_semi")
+        in_lower = ssp.alias("s").join(
+            ssp.alias("s2"),
+            (F.col("s.__sfp") == F.col("s2.__sfp"))
+            & (F.col("s2.doc_id") < F.col("s.doc_id")),
+            "left_semi",
+        ).select("s.doc_id", "s.__sfp")
+        covered = in_base.unionByName(in_lower).distinct()
+        span_drop = (
+            ssp.join(
+                covered.withColumn("__c", F.lit(1)),
+                ["doc_id", "__sfp"],
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.coalesce("__c", F.lit(0))).alias("__nc"),
+                F.count(F.lit(1)).alias("__ns"),
+            )
+            .filter(F.lit(2) * F.col("__nc") >= F.col("__ns"))
+            .select("doc_id")
+        )
+        survivors = survivors.join(span_drop, "doc_id", "left_anti")
+
     # quota headroom: base counts per source offset the delta ranks
     base_counts = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("__base_n")
@@ -279,49 +321,32 @@ def curate_increment(
     return admitted
 
 
-def curate_corpus_v3(
+def curate_corpus_v3_frames(
     spark: SparkSession,
     sf_dir: str,
-    sink_root: str,
     url_expr=None,
     quota_per_source: int = 100_000,
     near_dup_threshold: float = 0.8,
     span_window: int = 8,
     dsir_buckets: int = 1024,
-    keeper: str = "min_id",
-) -> dict[str, int]:
-    """The round-9 curation composition in the RefinedWeb /
-    MassiveText published stage order — every dedup tier the engine
-    implements, chained as ONE Spark job DAG:
+    keeper: str = "quality",
+) -> dict[str, DataFrame]:
+    """The v3 curation chain as LAZY stage frames — the shared plan
+    behind :func:`curate_corpus_v3` (counts + write),
+    ``curation_v3_counts_lite`` (counts only, no write) and
+    ``curation_drop_attribution`` (first-drop-stage funnel). Stage
+    semantics and scale shape are documented on
+    :func:`curate_corpus_v3`.
 
-        URL keep-one dedup (canonical URL, min-id keeper)
-          → quality gate (Gopher rules)
-          → exact dedup (md5 fingerprint window)
-          → fuzzy near-dedup (MinHash→LSH candidates, exact-Jaccard
-            verify, drop higher id)
-          → exact-substring span dedup (drop documents at least
-            half of whose span_window-token spans are covered by a
-            lower-id document — the doc-level form of Lee et al.
-            span removal; integer 2·covered ≥ total compare, ties
-            dropped, no float threshold)
-          → DSIR selection gate (keep documents whose hashed-ngram
-            importance score vs the English subcorpus is positive)
-          → deterministic split + leakage audit + per-source quota
-          → partitioned parquet write of the train corpus
+    Persists the flags / exact / near / span / tagged frames (each
+    feeds 2+ consumers) — deliberately-leaked handles, released by
+    the caller's ``spark.catalog.clearCache()``.
 
-    *url_expr* is the URL Column (production corpora carry one; the
-    registry query injects the deterministic doc_id-derived URL the
-    ``url_domain_dedup_health`` fixture uses). *keeper* switches the
-    fuzzy tier's survivor policy exactly as in :func:`curate_corpus`
-    (min_id greedy vs quality — longer doc wins, ties to lower id). Scale shape: the new
-    stages add one hash-aggregate keyed on the canonical URL, one
-    fingerprint-window pass (same shape as exact dedup), and the
-    two bounded DSIR aggregates + broadcast model join — no new
-    pair spaces, no corpus-sized broadcasts.
-
-    Returns 12 stage counts: (n_input, n_url, n_quality, n_exact,
-    n_near, n_span, n_dsir, n_leaked_fps, n_train, n_val, n_test,
-    n_train_capped).
+    Returns frames keyed: ``input`` (pre-URL), ``url`` (URL-kept),
+    ``flags`` (Gopher flags over the URL-kept set), ``quality``,
+    ``exact``, ``near``, ``span``, ``dsir``, ``tagged`` (dsir + a
+    ``split`` column), ``leaked`` (cross-split fps) and ``capped``
+    (quota-capped train rows).
     """
     from ..operators.dedup import normalize_url, word_shingles
     from ..operators.sampling import dsir_importance_scores
@@ -331,7 +356,7 @@ def curate_corpus_v3(
     d = load_tables(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
-    n_input = d.count()
+    frames: dict[str, DataFrame] = {"input": d}
 
     # URL keep-one: min doc_id per canonical URL (the CCNet /
     # RefinedWeb first pass — one window keyed on the canonical URL)
@@ -344,37 +369,33 @@ def curate_corpus_v3(
             .filter(F.col("__urn") == 1)
             .drop("__urn")
         )
+    frames["url"] = d
     # persist the flags frame: it feeds the exact-dedup chain AND the
-    # one-pass n_url/n_quality aggregate below — without it the URL
-    # window + Gopher tokenization re-run per count action
-    # (deliberately-leaked handle — caller's clearCache)
+    # one-pass n_url/n_quality aggregate of the counts consumer
     flags = gopher_quality_flags(
         d, carry_cols=["source", "lang", "text"]
     ).persist()
-    # ONE aggregation: flags input is the URL-kept set, so its row
-    # count IS n_url; pass_all sums to n_quality
-    uq = flags.agg(
-        F.count(F.lit(1)).alias("n_u"),
-        F.sum(F.col("pass_all").cast("long")).alias("n_q"),
-    ).first()
-    n_url, n_quality = uq["n_u"], uq["n_q"]
+    frames["flags"] = flags
     kept = flags.filter(F.col("pass_all")).select(
         "doc_id", "source", "lang", "text"
     )
+    frames["quality"] = kept
 
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
     exact = (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-    )
-    exact = exact.persist()
+    ).persist()
+    frames["exact"] = exact
 
     pairs = minhash_lsh_pairs(
         exact, "doc_id", "text", threshold=near_dup_threshold
     )
-    # same keeper switch as curate_corpus: min_id (classic greedy) or
-    # quality (drop the lower-word-count side, ties to the lower id)
+    # same keeper switch as curate_corpus: quality (drop the
+    # lower-word-count side, ties to the lower id — the default
+    # since r11, matching RefinedWeb/FineWeb keep-the-better-copy
+    # practice) or min_id (classic keep-first greedy)
     if keeper == "quality":
         drop = quality_keeper_drops(
             pairs, flags.select("doc_id", "n_words"), "doc_id", "n_words"
@@ -382,6 +403,7 @@ def curate_corpus_v3(
     else:
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     near = exact.join(drop, "doc_id", "left_anti").persist()
+    frames["near"] = near
 
     # span dedup: a doc at least half of whose W-token spans are
     # covered by a lower-id doc (2·covered ≥ total, ties dropped) is
@@ -399,6 +421,7 @@ def curate_corpus_v3(
         .select("doc_id")
     )
     span_kept = near.join(span_drop, "doc_id", "left_anti").persist()
+    frames["span"] = span_kept
 
     # DSIR gate: keep docs scoring more English-subcorpus-like than
     # pool-like (score > 0); model trained on the deduped corpus
@@ -413,46 +436,130 @@ def curate_corpus_v3(
         scores.filter(F.col("target_like") == 1).select("doc_id"),
         "doc_id",
     )
+    frames["dsir"] = selected
 
     b = hash_bucket("doc_id", 100)
     split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
     tagged = selected.withColumn("split", split).persist()
+    frames["tagged"] = tagged
     ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
-    leaked = (
+    frames["leaked"] = (
         ps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_splits"))
         .filter(F.col("n_splits") > 1)
     )
 
     train = tagged.filter(F.col("split") == "train").drop("split")
-    capped = quota_sample(train, "source", "doc_id", quota_per_source).drop(
-        "rank_in_group"
-    )
+    frames["capped"] = quota_sample(
+        train, "source", "doc_id", quota_per_source
+    ).drop("rank_in_group")
+    return frames
 
-    out = os.path.join(sink_root, "train")
-    capped.write.mode("overwrite").partitionBy("source").parquet(out)
 
+def curate_corpus_v3_counts(
+    spark: SparkSession, frames: dict[str, DataFrame]
+) -> dict[str, int]:
+    """The 11 write-free stage counts over :func:`…_v3_frames`
+    output (everything in the v3 report except ``n_train_capped``,
+    whose write-vs-count split the two report queries own)."""
+    # ONE aggregation: flags input is the URL-kept set, so its row
+    # count IS n_url; pass_all sums to n_quality
+    uq = frames["flags"].agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.sum(F.col("pass_all").cast("long")).alias("n_q"),
+    ).first()
     split_counts = {
         r["split"]: r["n"]
-        for r in tagged.groupBy("split")
+        for r in frames["tagged"]
+        .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    counts = {
-        "n_input": n_input,
-        "n_url": n_url,
-        "n_quality": int(n_quality),
-        "n_exact": exact.count(),
-        "n_near": near.count(),
-        "n_span": span_kept.count(),
+    return {
+        "n_input": frames["input"].count(),
+        "n_url": uq["n_u"],
+        "n_quality": int(uq["n_q"]),
+        "n_exact": frames["exact"].count(),
+        "n_near": frames["near"].count(),
+        "n_span": frames["span"].count(),
         "n_dsir": sum(split_counts.values()),
-        "n_leaked_fps": leaked.count(),
+        "n_leaked_fps": frames["leaked"].count(),
         "n_train": split_counts.get("train", 0),
         "n_val": split_counts.get("val", 0),
         "n_test": split_counts.get("test", 0),
-        # schema-pinned read-back: see curate_corpus
-        "n_train_capped": spark.read.schema(capped.schema)
-        .parquet(out)
-        .count(),
     }
+
+
+def curate_corpus_v3(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_root: str | None,
+    url_expr=None,
+    quota_per_source: int = 100_000,
+    near_dup_threshold: float = 0.8,
+    span_window: int = 8,
+    dsir_buckets: int = 1024,
+    keeper: str = "quality",
+) -> dict[str, int]:
+    """The round-9 curation composition in the RefinedWeb /
+    MassiveText published stage order — every dedup tier the engine
+    implements, chained as ONE Spark job DAG:
+
+        URL keep-one dedup (canonical URL, min-id keeper)
+          → quality gate (Gopher rules)
+          → exact dedup (md5 fingerprint window)
+          → fuzzy near-dedup (MinHash→LSH candidates, exact-Jaccard
+            verify; survivor picked by *keeper*)
+          → exact-substring span dedup (drop documents at least
+            half of whose span_window-token spans are covered by a
+            lower-id document — the doc-level form of Lee et al.
+            span removal; integer 2·covered ≥ total compare, ties
+            dropped, no float threshold)
+          → DSIR selection gate (keep documents whose hashed-ngram
+            importance score vs the English subcorpus is positive)
+          → deterministic split + leakage audit + per-source quota
+          → partitioned parquet write of the train corpus
+
+    *url_expr* is the URL Column (production corpora carry one; the
+    registry query injects the deterministic doc_id-derived URL the
+    ``url_domain_dedup_health`` fixture uses). *keeper* switches the
+    fuzzy tier's survivor policy exactly as in :func:`curate_corpus`
+    — since r11 the DEFAULT is ``"quality"`` (drop the
+    lower-word-count side, ties to the lower id: RefinedWeb/FineWeb
+    keep the higher-quality member), with ``"min_id"`` the classic
+    keep-first switch. *sink_root* of ``None`` skips the parquet
+    write and counts the capped frame directly (the bench-facing
+    lite form; the write path stays pinned by the e2e pytest and the
+    full report query).
+
+    Scale shape: the new stages add one hash-aggregate keyed on the
+    canonical URL, one fingerprint-window pass (same shape as exact
+    dedup), and the two bounded DSIR aggregates + broadcast model
+    join — no new pair spaces, no corpus-sized broadcasts.
+
+    Returns 12 stage counts: (n_input, n_url, n_quality, n_exact,
+    n_near, n_span, n_dsir, n_leaked_fps, n_train, n_val, n_test,
+    n_train_capped).
+    """
+    frames = curate_corpus_v3_frames(
+        spark,
+        sf_dir,
+        url_expr=url_expr,
+        quota_per_source=quota_per_source,
+        near_dup_threshold=near_dup_threshold,
+        span_window=span_window,
+        dsir_buckets=dsir_buckets,
+        keeper=keeper,
+    )
+    counts = curate_corpus_v3_counts(spark, frames)
+    capped = frames["capped"]
+    if sink_root is None:
+        counts["n_train_capped"] = capped.count()
+    else:
+        out = os.path.join(sink_root, "train")
+        capped.write.mode("overwrite").partitionBy("source").parquet(out)
+        # schema-pinned read-back: see curate_corpus
+        counts["n_train_capped"] = (
+            spark.read.schema(capped.schema).parquet(out).count()
+        )
     return counts

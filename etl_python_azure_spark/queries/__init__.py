@@ -592,6 +592,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round6b  # noqa: F401
     from . import round9  # noqa: F401
     from . import round10  # noqa: F401
+    from . import round11  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R11_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -71,7 +71,11 @@ _V3_URL_SQL = """
       || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END)
 """
 
-_V3_ORACLE = f"""
+# the full v3 chain as a reusable CTE prefix: the counts reports
+# (this module and round11's write-free lite form) and the
+# drop-attribution funnel (round11) each append their own final
+# SELECT
+_V3_CTES = f"""
     WITH inj AS (
       SELECT doc_id, source, lang, text, {_V3_URL_SQL} AS url
       FROM documents
@@ -153,10 +157,15 @@ _V3_ORACLE = f"""
       GROUP BY 1, 2
     ),
     dupd AS (
-      SELECT DISTINCT i.id_b AS doc_id
+      -- quality keeper (the r11 default): drop the lower-word-count
+      -- side of every verified pair, ties to the higher id
+      SELECT DISTINCT CASE WHEN fa.nw >= fb.nw THEN i.id_b
+                           ELSE i.id_a END AS doc_id
       FROM inter i
       JOIN esz sa ON sa.doc_id = i.id_a
       JOIN esz sb ON sb.doc_id = i.id_b
+      JOIN f fa ON fa.doc_id = i.id_a
+      JOIN f fb ON fb.doc_id = i.id_b
       WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
         AND EXISTS (SELECT 1 FROM cand c
                     WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
@@ -244,6 +253,9 @@ _V3_ORACLE = f"""
         FROM sp WHERE split = 'train'
       ) WHERE rk <= {_V3_QUOTA}
     )
+"""
+
+_V3_ORACLE = _V3_CTES + """
     SELECT
       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
       CAST((SELECT COUNT(*) FROM ukeep) AS BIGINT) AS n_url,

@@ -47,12 +47,18 @@ def streaming_curated_ingest(
     quota_per_source: int = 100_000,
     near_dup_threshold: float = 0.8,
     max_files_per_trigger: int | None = 1,
+    span_window: int | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream; returns the `StreamingQuery` (caller
     drives it with `awaitTermination`/`processAllAvailable` and
     `stop`). `availableNow` trigger: drains everything currently in
     *drop_dir* in micro-batches, then stops — the scheduled-backfill
     shape; swap the trigger for continuous tailing.
+
+    *span_window* (opt-in) adds the cross-doc SPAN dedup tier to the
+    admit fold — streaming admission then applies the batch v3 span
+    rule per micro-batch (see ``curate_increment`` stage 4 and the
+    ``streaming_span_dedup_equiv`` registry query).
     """
     from ..plans.curation import curate_increment
 
@@ -80,6 +86,7 @@ def streaming_curated_ingest(
             batch,
             quota_per_source=quota_per_source,
             near_dup_threshold=near_dup_threshold,
+            span_window=span_window,
         )
         # append writes fresh uniquely-named part files; input listing
         # snapshots before the write, so reading the base inside the

@@ -188,6 +188,16 @@ QUERIES = [
     "hard_negative_ivf_mining",
     "benchmark_span_contamination",
     "source_contamination_rollup",
+    # r11 (the v3 lite/attribution reports omitted — like the other
+    # counts reports their builders RUN the pipeline and return a
+    # LocalRelation). epoch_shuffle_manifest above re-audits the
+    # distributed-rank rewrite.
+    "token_ngram_contamination",
+    "token_contamination_rollup",
+    "token_span_coverage",
+    "streaming_span_dedup_equiv",
+    "keeper_fallback_drops",
+    "nb_quality_classifier",
 ]
 
 
