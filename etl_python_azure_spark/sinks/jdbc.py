@@ -13,10 +13,12 @@ UPDATE (`S:284–365`). Spark-first restatement:
   but partition-parallel across executors instead of driver threads
   — per-partition batching, executor-side connections.
 
-No JDBC driver jars / network DB exist in the test container, so
-``jdbc_append``/``jdbc_full_refresh`` are thin documented wrappers
-(exercised only when a URL is supplied) while :func:`jdbc_upsert` is
-fully testable with any DBAPI factory (tests use sqlite3).
+No network DB exists in the test container; :func:`jdbc_upsert` is
+fully testable with any DBAPI factory (tests use sqlite3), and since
+r11 ``jdbc_append``/``jdbc_full_refresh`` are ALSO exercised through
+a real JDBC driver — ``tests/test_jdbc_real_driver.py`` boots a
+fresh session with a locally-cached DuckDB JDBC jar and drives
+`spark.read.jdbc` plus both sinks end to end (skips if no jar).
 """
 
 from __future__ import annotations
