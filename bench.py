@@ -221,6 +221,10 @@ OPTIONAL = [
     "keeper_fallback_drops",
     "nb_quality_classifier",
     "curation_drop_attribution",
+    "span_threshold_sweep",
+    "epoch_shuffle_shard_manifest",
+    "token_dup_rate_by_source",
+    "keeper_policy_delta",
     # round-11 rotation: never-benched queries, heaviest operator
     # families first (pair-space dedup/similarity before scalar
     # one-liners), per the r10 verdict mandate

@@ -346,6 +346,10 @@ _R11_WINDOW = [
     "keeper_fallback_drops",
     "nb_quality_classifier",
     "curation_drop_attribution",
+    "span_threshold_sweep",
+    "epoch_shuffle_shard_manifest",
+    "token_dup_rate_by_source",
+    "keeper_policy_delta",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",

@@ -850,3 +850,314 @@ def streaming_span_dedup_equiv(
         F.col("ns").cast("long").alias("n_spans"),
         F.col("nc").cast("long").alias("n_covered"),
     )
+
+
+# --------------------------------------------------------------------------
+# Span-dedup threshold sweep: what each drop threshold would cost.
+# --------------------------------------------------------------------------
+
+_STS_W = 8
+_STS_GRID = (10, 50, 90)
+
+_STS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    ssp AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(t[i:i+{_STS_W - 1}], ' ')) AS fp
+      FROM toks,
+           UNNEST(range(1, greatest(len(t) - {_STS_W - 2}, 1))) AS u(i)
+    ),
+    smin AS (SELECT fp, MIN(doc_id) AS mn FROM ssp GROUP BY fp),
+    per AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN m.mn < s.doc_id THEN 1 ELSE 0 END) AS nc,
+             COUNT(*) AS ns
+      FROM ssp s JOIN smin m USING (fp) GROUP BY s.doc_id
+    ),
+    nt AS (SELECT doc_id, len(t) AS ntok FROM toks),
+    grid AS (SELECT UNNEST([{", ".join(map(str, _STS_GRID))}])
+             AS threshold_pct)
+    SELECT CAST(g.threshold_pct AS BIGINT) AS threshold_pct,
+           CAST(COUNT(CASE WHEN p.nc * 100 >= p.ns * g.threshold_pct
+                      THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(CASE WHEN p.nc * 100
+                                       >= p.ns * g.threshold_pct
+                             THEN nt.ntok END), 0) AS BIGINT)
+             AS dropped_tokens
+    FROM grid g CROSS JOIN per p JOIN nt USING (doc_id)
+    GROUP BY g.threshold_pct
+    """
+
+
+@register("span_threshold_sweep", _STS_ORACLE)
+def span_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 span-dedup stage's tuning curve: for each candidate
+    drop threshold (percent of a doc's W=8-token spans covered by a
+    lower-id doc), the documents and token mass the tier would
+    remove — the lsh_band_sweep pattern applied to the span tier, so
+    the at-least-half default is a measured choice, not a guess. The
+    per-doc (covered, total) pair is computed ONCE; the grid is a
+    broadcast 3-row dim (integer nc·100 ≥ ns·pct compares, no
+    floats)."""
+    from ..operators.dedup import word_shingles
+
+    d = load_tables(spark, sf_dir, "documents")
+    spans = word_shingles(d, "doc_id", "text", n=_STS_W).select(
+        "doc_id", F.md5("shingle").alias("fp")
+    )
+    mn = F.min("doc_id").over(Window.partitionBy("fp"))
+    per = (
+        spans.withColumn("__cov", (mn < F.col("doc_id")).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cov").alias("nc"),
+            F.count(F.lit(1)).alias("ns"),
+        )
+    )
+    nt = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("ntok"),
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in _STS_GRID], "threshold_pct long"
+    )
+    dropped = F.col("nc") * 100 >= F.col("ns") * F.col("threshold_pct")
+    return (
+        per.join(nt, "doc_id")
+        .crossJoin(F.broadcast(grid))
+        .groupBy("threshold_pct")
+        .agg(
+            F.count(F.when(dropped, F.lit(1)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(dropped, F.col("ntok"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dropped_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Epoch-shuffle shard manifest: the dataloader handoff grain.
+# --------------------------------------------------------------------------
+
+_ESS_SHARDS = 8
+
+_ESS_ORACLE = f"""
+    WITH ep AS (SELECT UNNEST(range(0, 2)) AS epoch),
+    keyed AS (
+      SELECT ep.epoch, d.doc_id,
+             md5(CAST(ep.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM documents d CROSS JOIN ep
+    ),
+    ranked AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY epoch ORDER BY k, doc_id) AS pos
+      FROM keyed
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(((pos - 1) * {_ESS_SHARDS}) // n.n AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos
+    FROM ranked CROSS JOIN n
+    GROUP BY 1, 2
+    """
+
+
+@register("epoch_shuffle_shard_manifest", _ESS_ORACLE)
+def epoch_shuffle_shard_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The seeded epoch shuffle rolled up to the SHARD manifest a
+    distributed dataloader actually consumes: contiguous position
+    ranges cut into {_ESS_SHARDS} equal shards per epoch (shard =
+    ⌊(pos−1)·S/n⌋), with row count and position bounds per shard —
+    resuming worker w of epoch e needs exactly this row. Exercises
+    the r11 distributed rank end to end (positions must be a
+    gap-free 1..n per epoch for the bounds to tile) plus one bounded
+    rollup."""
+    from ..operators.sampling import epoch_shuffle
+
+    d = load_tables(spark, sf_dir, "documents")
+    n = d.count()  # scalar for the shard cut — one bounded agg
+    manifest = epoch_shuffle(d, "doc_id", epochs=2)
+    return (
+        manifest.withColumn(
+            "shard",
+            F.expr(f"CAST(((pos - 1) * {_ESS_SHARDS}) DIV {n} AS BIGINT)"),
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pos").cast("long").alias("min_pos"),
+            F.max("pos").cast("long").alias("max_pos"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-level duplication rolled up to the source grain.
+# --------------------------------------------------------------------------
+
+_TDS_ORACLE = f"""{_token_span_cte(_TKC_W)},
+    nd AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM sp GROUP BY fp
+    ),
+    flg AS (
+      SELECT s.doc_id, s.pos, s.pos + {_TKC_W - 1} AS e
+      FROM sp s JOIN nd USING (fp) WHERE nd.n_docs >= 2
+    ),
+{_ISLANDS_SQL}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN COALESCE(a.covered_tokens, 0) > 0
+                      THEN 1 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(len({_TOK_SQL})) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(a.covered_tokens, 0)) AS BIGINT)
+             AS covered_tokens,
+           CAST(SUM(COALESCE(a.covered_tokens, 0)) AS DOUBLE)
+             / CAST(SUM(len({_TOK_SQL})) AS DOUBLE) AS token_dup_rate
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register("token_dup_rate_by_source", _TDS_ORACLE)
+def token_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`token_span_coverage` rolled up to the SOURCE grain: per
+    source, docs carrying cross-doc duplicated token spans and the
+    duplicated fraction of the source's token mass — the
+    duplication twin of `token_contamination_rollup`, and the number
+    a crawl-source dedup policy keys on (a mirror-heavy source gets
+    cut at the source tier)."""
+    from ..operators.dedup import merged_span_coverage
+    from ..operators.text import bpe_ish_tokens
+
+    d = load_tables(spark, sf_dir, "documents")
+    per_doc = merged_span_coverage(
+        d, "doc_id", "text", window=_TKC_W, tokenizer=bpe_ish_tokens
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("covered_tokens") > 0, F.lit(1)))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("covered_tokens").cast("long").alias("covered_tokens"),
+            (
+                F.sum("covered_tokens").cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("token_dup_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Keeper-policy delta: what the r11 quality-keeper default buys.
+# --------------------------------------------------------------------------
+
+_KPD_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    sig AS (
+      SELECT doc_id, seed,
+             MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+      FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(MIN(sig) || MAX(sig)) AS band_sig
+      FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    conf AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+      WHERE i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter) >= 0.8
+        AND EXISTS (SELECT 1 FROM cand c
+                    WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+    ),
+    nw AS (SELECT doc_id, len(t) AS nw FROM toks)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN nb.nw > na.nw THEN 1 END) AS BIGINT)
+             AS n_disagree,
+           CAST(COALESCE(SUM(greatest(nb.nw - na.nw, 0)), 0) AS BIGINT)
+             AS words_gain
+    FROM conf c
+    JOIN nw na ON na.doc_id = c.id_a
+    JOIN nw nb ON nb.doc_id = c.id_b
+    """
+
+
+@register("keeper_policy_delta", _KPD_ORACLE)
+def keeper_policy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures what the r11 keeper-default flip (min_id → quality)
+    buys on this corpus: over every LSH-confirmed near-dup pair, the
+    pairs where the two policies pick DIFFERENT survivors (the
+    longer doc is the later one) and the total word mass the quality
+    policy retains that keep-first would discard — the evidence row
+    the RefinedWeb/FineWeb keep-the-better-copy practice is adopted
+    on."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = load_tables(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, band_size=2, threshold=0.8
+    ).select("id_a", "id_b")
+    nw = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("nw"),
+    )
+    na = nw.select(F.col("doc_id").alias("id_a"), F.col("nw").alias("__na"))
+    nb = nw.select(F.col("doc_id").alias("id_b"), F.col("nw").alias("__nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count(F.when(F.col("__nb") > F.col("__na"), F.lit(1)))
+            .cast("long")
+            .alias("n_disagree"),
+            F.coalesce(
+                F.sum(
+                    F.greatest(
+                        F.col("__nb") - F.col("__na"), F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("words_gain"),
+        )
+    )

@@ -198,6 +198,10 @@ QUERIES = [
     "streaming_span_dedup_equiv",
     "keeper_fallback_drops",
     "nb_quality_classifier",
+    "span_threshold_sweep",
+    "epoch_shuffle_shard_manifest",
+    "token_dup_rate_by_source",
+    "keeper_policy_delta",
 ]
 
 

@@ -82,8 +82,8 @@ def test_driver_window_invariants():
     assert all(spec.oracle is not None for spec in reg.values())
     # r11 mandate (r10 verdict, top_next): slots 1-4 are the four
     # queries whose plan or oracle changed this round (the r10
-    # ADVICE items); slots 5-12 the queries NEW in round 11
-    # (first-time checks outrank re-proof fill); slots 13-23 the
+    # ADVICE items); slots 5-16 the queries NEW in round 11
+    # (first-time checks outrank re-proof fill); slots 17-27 the
     # eleven r03-only names booked at the r10 window tail
     changed_r11 = [
         "epoch_shuffle_manifest", "quality_keeper_dedup",
@@ -94,6 +94,8 @@ def test_driver_window_invariants():
         "token_span_coverage", "streaming_span_dedup_equiv",
         "curation_v3_counts_lite", "keeper_fallback_drops",
         "nb_quality_classifier", "curation_drop_attribution",
+        "span_threshold_sweep", "epoch_shuffle_shard_manifest",
+        "token_dup_rate_by_source", "keeper_policy_delta",
     ]
     r03_eleven = [
         "small_quantity_revenue_loss", "sole_late_suppliers",
@@ -104,8 +106,8 @@ def test_driver_window_invariants():
         "winsorized_order_stats",
     ]
     assert _R11_WINDOW[:4] == changed_r11
-    assert _R11_WINDOW[4:12] == new_r11
-    assert _R11_WINDOW[12:23] == r03_eleven
+    assert _R11_WINDOW[4:16] == new_r11
+    assert _R11_WINDOW[16:27] == r03_eleven
     # every r11-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)

@@ -410,3 +410,81 @@ def test_v3_lite_and_attribution_reconcile(spark, sf_dir):
         stage_total("quota")
         == lite["n_train"] - lite["n_train_capped"]
     )
+
+
+# --------------------------------------------------------------------------
+# Batch-2 round-11 queries: hand-case guards.
+# --------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_shard_manifest_tiles(spark, sf_dir):
+    """Shards tile the per-epoch position space exactly: bounds are
+    contiguous, row counts sum to n per epoch — only true if the
+    distributed rank is a gap-free bijection 1..n."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = (
+        registry()["epoch_shuffle_shard_manifest"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for _epoch, shards in by_epoch.items():
+        shards.sort(key=lambda r: r["shard"])
+        n = sum(r["n_rows"] for r in shards)
+        assert shards[0]["min_pos"] == 1
+        assert shards[-1]["max_pos"] == n
+        for a, b in zip(shards, shards[1:]):
+            assert b["min_pos"] == a["max_pos"] + 1
+        for r in shards:
+            assert r["n_rows"] == r["max_pos"] - r["min_pos"] + 1
+
+
+def test_span_threshold_sweep_monotone(spark, sf_dir):
+    """A stricter (higher) threshold can only drop fewer docs and
+    less token mass."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = sorted(
+        registry()["span_threshold_sweep"]
+        .builder(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert [r["threshold_pct"] for r in rows] == [10, 50, 90]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_dropped"] <= a["n_dropped"]
+        assert b["dropped_tokens"] <= a["dropped_tokens"]
+
+
+def test_keeper_policy_delta_hand_case(spark, tmp_path):
+    """Two near-dup pairs: one where the LATER doc is longer (the
+    policies disagree; gain = the extra words) and one where the
+    earlier doc is at least as long (agree, no gain)."""
+    from etl_python_azure_spark.queries import registry
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (0, base, "en", "s", 1),
+        (1, base + " extra tokens", "en", "s", 1),  # later & longer
+        (10, base.replace("w", "v") + " tail word", "en", "s", 1),
+        (11, base.replace("w", "v"), "en", "s", 1),  # later & shorter
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "mini"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "documents.parquet"))
+    out = (
+        registry()["keeper_policy_delta"]
+        .builder(spark, str(src))
+        .collect()[0]
+    )
+    assert out["n_pairs"] == 2
+    assert out["n_disagree"] == 1
+    assert out["words_gain"] == 2
