@@ -457,13 +457,17 @@ def curation_drop_attribution(
             dsir_buckets=_V3_DSIR_B,
         )
         base = fr["input"].select("doc_id", "source")
+        # membership probes against the PERSISTED stage frames only;
+        # the dsir stage is derived from `tagged` (tagged == dsir
+        # survivors + split), so the un-persisted DSIR scoring plan
+        # is never re-evaluated (it cost a second full LM pass —
+        # 60 s → ~38 s at sf0.1)
         stage_ids = [
             ("url", fr["url"]),
             ("quality", fr["quality"]),
             ("exact", fr["exact"]),
             ("near", fr["near"]),
             ("span", fr["span"]),
-            ("dsir", fr["dsir"]),
         ]
         att = base
         for name, frame in stage_ids:
@@ -490,7 +494,7 @@ def curation_drop_attribution(
             .when(F.col("__in_exact").isNull(), "exact")
             .when(F.col("__in_near").isNull(), "near")
             .when(F.col("__in_span").isNull(), "span")
-            .when(F.col("__in_dsir").isNull(), "dsir")
+            .when(F.col("split").isNull(), "dsir")
             .when(F.col("split") == "val", "kept_val")
             .when(F.col("split") == "test", "kept_test")
             .when(F.col("__in_capped").isNull(), "quota")
