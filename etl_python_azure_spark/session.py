@@ -61,6 +61,10 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # cap debug plan-string rendering (see load_tables): AQE
+        # re-renders explain strings per plan update and the default
+        # ~2 GB cap OOMs small drivers on deep pipeline plans
+        "spark.sql.maxPlanStringLength": str(1024 * 1024),
     }
     if extra_conf:
         conf.update(extra_conf)
@@ -83,6 +87,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     # rely on (ns-timestamp reads; UTC-naive timestamp comparisons)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # cap debug plan-string rendering: Spark's default is ~2 GB, and
+    # AQE re-renders the explain string on every plan update — the
+    # deep multi-stage pipelines (curation v3) OOM a default-1g bare
+    # driver INSIDE StringBuilder before any data moves. 1 MB keeps
+    # every log/UI string useful; truncation affects only debug text,
+    # never results.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
     dfs = {}
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
