@@ -110,6 +110,10 @@ def test_language_id_ngram_leaves_no_cached_rdds(spark):
     from etl_python_azure_spark.operators.text import language_id_ngram
 
     spark.catalog.clearCache()
+    # delta-based: earlier suite tests may leave localCheckpoint
+    # blocks that clearCache does not (and should not) drop — the
+    # assertion is that THIS operator adds none
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     df = spark.createDataFrame(
         [
             (1, "en", "the cat and the dog and the bird sing"),
@@ -120,8 +124,8 @@ def test_language_id_ngram_leaves_no_cached_rdds(spark):
     )
     out = language_id_ngram(df, "doc_id", "text", "lang", n=3)
     assert out.count() == 3
-    cached = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    assert cached.size() == 0
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before
 
 
 def test_perplexity_buckets_rejects_single_bucket(spark):
