@@ -788,9 +788,10 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two epochs of the seeded global shuffle
     (:func:`..operators.sampling.epoch_shuffle`): position = rank of
     md5('{epoch}:'||id) — reproducible training order (resumable
-    mid-epoch) with decorrelated permutations across epochs. One
-    total-order sort per epoch, the canonical pre-training data-
-    loader job."""
+    mid-epoch) with decorrelated permutations across epochs. Since
+    r11 the rank is distributed (md5-prefix range buckets + broadcast
+    offsets — no single-task-per-epoch sort), positions unchanged;
+    the canonical pre-training data-loader job."""
     from ..operators.sampling import epoch_shuffle
 
     d = load_tables(spark, sf_dir, "documents")
