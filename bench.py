@@ -225,6 +225,15 @@ OPTIONAL = [
     "epoch_shuffle_shard_manifest",
     "token_dup_rate_by_source",
     "keeper_policy_delta",
+    # round-11b surface (post-queue wave)
+    "span_removal_rewrite",
+    "semantic_decontamination",
+    "matryoshka_recall_sweep",
+    "part_ship_overlap_pairs",
+    "token_budget_selection",
+    "curriculum_phase_manifest",
+    "scoped_vs_global_dedup",
+    "quality_ensemble_rank",
     # round-11 rotation: never-benched queries, heaviest operator
     # families first (pair-space dedup/similarity before scalar
     # one-liners), per the r10 verdict mandate

@@ -1651,3 +1651,140 @@ def span_contamination(
         .cast("long")
         .alias("is_contaminated"),
     )
+
+
+def _flagged_islands(dup: DataFrame, id_col: str) -> DataFrame:
+    """Merge flagged span intervals (id, pos, __end) per id and keep
+    the island BOUNDS: (id, __s, __e) — the interval form needed
+    when covered positions must be materialized (span removal),
+    not just counted (:func:`_merged_islands`)."""
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("__end").over(prev), F.lit(-1))
+            ).cast("long"),
+        )
+        .withColumn("__island", F.sum("__new").over(run))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("__s"),
+            F.max("__end").alias("__e"),
+        )
+        .select(id_col, "__s", "__e")
+    )
+
+
+def span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    tokenizer: Callable[[str], Column] | None = None,
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every *window*-token span seen in ≥2 documents keeps exactly ONE
+    canonical copy — the min-id holder of its fingerprint — and is
+    excised from every other document; the output carries the
+    REWRITTEN text. This is the operation the coverage stats
+    (:func:`merged_span_coverage`) only report on: the corpus that
+    actually ships to the trainer.
+
+    Semantics: a token position is removed iff it is covered by a
+    duplicated span whose canonical owner (global min id over the
+    fingerprint's holders) is a DIFFERENT document. Owners keep
+    their text even when the span repeats within the owner itself
+    (intra-doc repetition is Gopher-gate territory, not dedup).
+    Rebuilt text is the space-join of surviving tokens in position
+    order, in the tokenizer's alphabet (default: lowercased
+    whitespace tokens).
+
+    Scale shape: two linear explodes (spans, tokens — the token
+    explode cannot be avoided: the rewrite must address individual
+    positions); fingerprint owners come from ONE hash aggregate on
+    the 32-byte md5 key; flagged spans merge into islands with
+    per-doc windows over the duplicated subset only; the final
+    kept-token anti-join is a doc_id-keyed sort-merge join whose
+    range predicate (pos BETWEEN island bounds) runs as a join
+    residual — islands per doc are few, corpus tokens stream
+    through once. Rebuild is one per-doc aggregate; memory per doc
+    is the doc itself (same bound as the input text column). No
+    pair space, no broadcast of anything corpus-sized.
+
+    Output: (id, n_tokens, kept_tokens, removed_tokens,
+    rewritten_text), one row per input document; dup-free docs pass
+    through with their full (tokenizer-normalized) text.
+    """
+    sp = _span_positions(df, id_col, text_col, window, tokenizer)
+    own = (
+        sp.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__owner"),
+            F.count_distinct(F.col(id_col)).alias("__n_docs"),
+        )
+        .filter(F.col("__n_docs") >= 2)
+        .select("__fp", "__owner")
+    )
+    flagged = (
+        sp.join(own, "__fp")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            "pos",
+            (F.col("pos") + F.lit(window - 1)).alias("__end"),
+        )
+    )
+    islands = _flagged_islands(flagged, id_col)
+    toks = (
+        tokenizer(text_col)
+        if tokenizer is not None
+        else F.split(F.lower(F.col(text_col)), " ")
+    )
+    tok = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.posexplode("__toks"))
+        .select(F.col(id_col), (F.col("pos") + 1).alias("pos"), F.col("col"))
+    )
+    kept = tok.join(
+        islands,
+        on=[
+            tok[id_col] == islands[id_col],
+            tok["pos"] >= islands["__s"],
+            tok["pos"] <= islands["__e"],
+        ],
+        how="left_anti",
+    )
+    reb = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "col"))),
+                lambda s: s["col"],
+            ),
+        ).alias("rewritten_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    return base.join(reb, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.coalesce("rewritten_text", F.lit("")).alias("rewritten_text"),
+    )

@@ -475,3 +475,88 @@ def epoch_shuffle(
             (F.col("__off") + F.col("__rk")).cast("long").alias("pos"),
         )
     )
+
+
+def ranked_cumsum(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    carry_cols: list[str] | None = None,
+    score_buckets: int = 64,
+) -> DataFrame:
+    """Global rank + running weight total over the corpus ordered by
+    (*score_col* DESC, *id_col* ASC) — the primitive behind
+    budget-constrained selection ("take the best documents until the
+    token budget is full") and curriculum phase assignment, computed
+    WITHOUT a single-task global window.
+
+    Distributed rank, :func:`epoch_shuffle`'s recipe adapted to a
+    value order: ``floor(score · score_buckets)`` is a monotone
+    function of score, so bucket-descending order concatenated with
+    within-bucket (score DESC, id) order IS the global order.
+    Per-bucket row/weight offsets come from a *score_buckets*-row
+    aggregate (broadcast back); within-bucket ranks and running
+    sums are windows over ~1/score_buckets of the corpus each.
+
+    Assumes score ∈ [0, 1] (ratio-type quality scores; clamp or
+    rescale upstream otherwise). Uniform-grid buckets skew when
+    scores concentrate — at 100 TB swap the grid for
+    histogram-equalized edges (one approxQuantile pass) and keep
+    everything else; positions are invariant to the bucketing
+    because bucket order is score order. *weight_col* must be
+    integral (token counts): running totals stay exact BIGINTs.
+
+    Output: id, carry_cols, score, weight, rank (1-based, global),
+    cum_weight (inclusive running weight in rank order).
+    """
+    b = (
+        F.floor(F.col(score_col) * F.lit(score_buckets))
+        .cast("long")
+        .alias("__bkt")
+    )
+    keyed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        F.col(score_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        b,
+    )
+    # per-bucket totals, then exclusive running offsets in
+    # score-descending bucket order (bucket count is fixed and tiny)
+    off_w = Window.orderBy(F.desc("__bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        keyed.groupBy("__bkt")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(weight_col).alias("__w"),
+        )
+        .withColumn(
+            "__off_n", F.coalesce(F.sum("__n").over(off_w), F.lit(0))
+        )
+        .withColumn(
+            "__off_w", F.coalesce(F.sum("__w").over(off_w), F.lit(0))
+        )
+        .select("__bkt", "__off_n", "__off_w")
+    )
+    w = Window.partitionBy("__bkt").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__cw", F.sum(weight_col).over(wsum))
+        .join(F.broadcast(offsets), "__bkt")
+        .select(
+            id_col,
+            *(carry_cols or []),
+            score_col,
+            weight_col,
+            (F.col("__off_n") + F.col("__rk")).cast("long").alias("rank"),
+            (F.col("__off_w") + F.col("__cw"))
+            .cast("long")
+            .alias("cum_weight"),
+        )
+    )

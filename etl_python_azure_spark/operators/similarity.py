@@ -1194,3 +1194,119 @@ def hard_negative_ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    ref: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.46,
+    num_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine against ANY reference (benchmark) vector
+    reaches *threshold*. The n-gram span tier
+    (``dedup.span_contamination``) catches verbatim inclusions; this
+    catches paraphrases and translations that share no surface
+    tokens — the contamination mode n-gram matching provably misses.
+
+    Scale shape: candidates come from a sign-LSH bucket equi-join
+    (:func:`lsh_buckets`), never a cross join; the REFERENCE side is
+    broadcast — benchmark suites are a few hundred thousand rows at
+    most, tiny next to a 100 TB corpus — so the corpus streams
+    through map-side with zero shuffle before the per-vector
+    aggregate. Sign-LSH recall at one table is the documented
+    trade; raise *num_planes* tables via ``plane_offset`` OR-probing
+    (the `ann_lsh_multitable_topk` pattern) when a contamination
+    audit needs recall guarantees.
+
+    Output: (id, n_matches, max_cosine, is_contaminated) — one row
+    per corpus vector; clean vectors carry 0 / NULL / 0.
+    """
+    cb = lsh_buckets(corpus, id_col, vec_col, num_planes, dim)
+    rb = lsh_buckets(ref, id_col, vec_col, num_planes, dim)
+    c = with_norm(cb, vec_col).select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    r = with_norm(rb, vec_col).select(
+        F.col(id_col).alias("__rid"),
+        F.col("bucket"),
+        F.col(vec_col).alias("__vr"),
+        F.col("__norm").alias("__nr"),
+    )
+    cos = dot_expr("__vc", "__vr") / (F.col("__nc") * F.col("__nr"))
+    matches = (
+        c.join(F.broadcast(r), "bucket")
+        .filter(F.col(id_col) != F.col("__rid"))
+        .select(F.col(id_col), cos.alias("__cos"))
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.max("__cos").alias("max_cosine"),
+        )
+    )
+    return corpus.select(id_col).join(matches, id_col, "left").select(
+        id_col,
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.col("max_cosine"),
+        (F.coalesce("n_matches", F.lit(0)) > 0)
+        .cast("long")
+        .alias("is_contaminated"),
+    )
+
+
+def truncated_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    trunc_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-*k* by cosine over the first *trunc_dim* dimensions
+    only (prefix truncation, renormalized on the prefix): the
+    retrieval half of a Matryoshka (MRL) evaluation — embeddings
+    trained with nested objectives keep most of their ranking power
+    in a short prefix, so the index can store ``trunc_dim/dim`` of
+    the bytes and scan proportionally less. Same contract as
+    :func:`cosine_topk` (self-matches excluded, neighbor_id
+    tiebreak)."""
+    trunc = F.slice(F.col(vec_col), 1, trunc_dim)
+    c = with_norm(
+        corpus.select(id_col, trunc.alias("__t")), "__t"
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__t").alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    q = with_norm(
+        queries.select(id_col, trunc.alias("__t")), "__t"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__t").alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

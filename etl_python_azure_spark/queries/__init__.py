@@ -350,6 +350,15 @@ _R11_WINDOW = [
     "epoch_shuffle_shard_manifest",
     "token_dup_rate_by_source",
     "keeper_policy_delta",
+    # new in round 11b (post-queue wave) — first-ever driver rows
+    "span_removal_rewrite",
+    "semantic_decontamination",
+    "matryoshka_recall_sweep",
+    "part_ship_overlap_pairs",
+    "token_budget_selection",
+    "curriculum_phase_manifest",
+    "scoped_vs_global_dedup",
+    "quality_ensemble_rank",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",
@@ -597,6 +606,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round9  # noqa: F401
     from . import round10  # noqa: F401
     from . import round11  # noqa: F401
+    from . import round11b  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R11_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

@@ -202,6 +202,15 @@ QUERIES = [
     "epoch_shuffle_shard_manifest",
     "token_dup_rate_by_source",
     "keeper_policy_delta",
+    # r11b post-queue wave
+    "span_removal_rewrite",
+    "semantic_decontamination",
+    "matryoshka_recall_sweep",
+    "part_ship_overlap_pairs",
+    "token_budget_selection",
+    "curriculum_phase_manifest",
+    "scoped_vs_global_dedup",
+    "quality_ensemble_rank",
 ]
 
 

@@ -55,7 +55,7 @@ def test_streaming_ingest_curates_each_batch(spark, tmp_path):
         quota_per_source=10, near_dup_threshold=0.5,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "ingest query did not drain in 600s"
 
     got = {
         r["doc_id"]: r["source"]
@@ -74,7 +74,7 @@ def test_streaming_ingest_curates_each_batch(spark, tmp_path):
         spark, drop_dir, base_dir, str(tmp_path / "ckpt2"),
         quota_per_source=10, near_dup_threshold=0.5,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "ingest query did not drain in 600s"
     again = {
         r["doc_id"] for r in spark.read.parquet(base_dir).collect()
     }
@@ -108,7 +108,7 @@ def test_streaming_ingest_respects_quota_headroom(spark, tmp_path):
         quota_per_source=2, near_dup_threshold=0.5,
         max_files_per_trigger=None,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "ingest query did not drain in 600s"
     got = sorted(
         r["doc_id"] for r in spark.read.parquet(base_dir).collect()
     )

@@ -82,9 +82,10 @@ def test_driver_window_invariants():
     assert all(spec.oracle is not None for spec in reg.values())
     # r11 mandate (r10 verdict, top_next): slots 1-4 are the four
     # queries whose plan or oracle changed this round (the r10
-    # ADVICE items); slots 5-16 the queries NEW in round 11
-    # (first-time checks outrank re-proof fill); slots 17-27 the
-    # eleven r03-only names booked at the r10 window tail
+    # ADVICE items); slots 5-16 the queries NEW in round 11, then
+    # slots 17-24 the round-11b post-queue wave (first-time checks
+    # outrank re-proof fill); slots 25-35 the eleven r03-only names
+    # booked at the r10 window tail
     changed_r11 = [
         "epoch_shuffle_manifest", "quality_keeper_dedup",
         "curation_v3_counts_report", "lang_id_ngram_profile",
@@ -105,13 +106,20 @@ def test_driver_window_invariants():
         "views_before_purchase_ranged", "window_function_toolbox",
         "winsorized_order_stats",
     ]
+    new_r11b = [
+        "span_removal_rewrite", "semantic_decontamination",
+        "matryoshka_recall_sweep", "part_ship_overlap_pairs",
+        "token_budget_selection", "curriculum_phase_manifest",
+        "scoped_vs_global_dedup", "quality_ensemble_rank",
+    ]
     assert _R11_WINDOW[:4] == changed_r11
     assert _R11_WINDOW[4:16] == new_r11
-    assert _R11_WINDOW[16:27] == r03_eleven
+    assert _R11_WINDOW[16:24] == new_r11b
+    assert _R11_WINDOW[24:35] == r03_eleven
     # every r11-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)
-    missing = [n for n in new_r11 if n not in reg]
+    missing = [n for n in new_r11 + new_r11b if n not in reg]
     assert not missing or len(resolvable) >= 50, missing
 
 

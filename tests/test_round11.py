@@ -340,7 +340,7 @@ def test_streaming_ingest_span_tier_rejects_covered_doc(spark, tmp_path):
             near_dup_threshold=0.8,
             span_window=8 if enabled else None,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "ingest query did not drain in 600s"
         got = {
             r["doc_id"] for r in spark.read.parquet(base_dir).collect()
         }

@@ -1,0 +1,296 @@
+"""Round-11b wave: span removal, interval overlap join, distributed
+ranked cumsum, truncation recall, semantic decontamination.
+
+Differential style: every operator is checked against a brute-force
+Python twin on fixtures small enough to enumerate, plus the
+invariance that makes the distributed formulation trustworthy
+(bin-width / bucket-count knobs must not change results).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# span_removal: the rewrite transform.
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+
+
+def test_span_removal_excises_non_owner_copies(spark):
+    """The min-id holder keeps the duplicated span; every other doc
+    loses exactly the covered positions; token arithmetic adds up."""
+    from etl_python_azure_spark.operators.dedup import span_removal
+
+    span = "a b c d e f g h"  # exactly one 8-token window
+    d1 = f"{span} unique tail one"
+    d2 = f"start words {span} end"
+    d3 = "totally different words with no duplicate content here"
+    out = {
+        r["doc_id"]: r
+        for r in span_removal(
+            _docs(spark, [(1, d1), (2, d2), (3, d3)]),
+            "doc_id",
+            "text",
+            window=8,
+        ).collect()
+    }
+    # owner (min id) keeps everything
+    assert out[1]["rewritten_text"] == d1
+    assert out[1]["removed_tokens"] == 0
+    # non-owner loses the 8 covered tokens, order preserved
+    assert out[2]["rewritten_text"] == "start words end"
+    assert out[2]["removed_tokens"] == 8
+    assert out[2]["kept_tokens"] == 3
+    assert out[2]["n_tokens"] == 11
+    # dup-free doc passes through
+    assert out[3]["rewritten_text"] == d3
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_span_removal_merges_chained_windows(spark):
+    """A shared run longer than the window removes the UNION of its
+    overlapping windows (islands), not window-count tokens."""
+    from etl_python_azure_spark.operators.dedup import span_removal
+
+    run = " ".join(f"t{i}" for i in range(12))  # 5 dup windows, 12 tokens
+    out = {
+        r["doc_id"]: r
+        for r in span_removal(
+            _docs(spark, [(1, run), (2, f"pre {run} post")]),
+            "doc_id",
+            "text",
+            window=8,
+        ).collect()
+    }
+    assert out[2]["removed_tokens"] == 12
+    assert out[2]["rewritten_text"] == "pre post"
+
+
+def test_span_removal_short_docs_pass_through(spark):
+    from etl_python_azure_spark.operators.dedup import span_removal
+
+    out = span_removal(
+        _docs(spark, [(1, "too short"), (2, "too short")]),
+        "doc_id",
+        "text",
+        window=8,
+    ).collect()
+    assert all(r["removed_tokens"] == 0 for r in out)
+    assert all(r["rewritten_text"] == "too short" for r in out)
+
+
+# --------------------------------------------------------------------------
+# binned_overlap_pairs: differential + bin-width invariance.
+# --------------------------------------------------------------------------
+
+
+def test_binned_overlap_pairs_matches_bruteforce(spark):
+    rng = random.Random(11)
+    epoch = dt.date(1995, 1, 1)
+    rows = []
+    for i in range(60):
+        s = epoch + dt.timedelta(days=rng.randrange(0, 120))
+        e = s + dt.timedelta(days=rng.randrange(0, 25))
+        rows.append((rng.randrange(0, 5), i, s, e))
+    df = spark.createDataFrame(
+        rows, "grp long, item long, s date, e date"
+    )
+    expected = set()
+    for ga, ia, sa, ea in rows:
+        for gb, ib, sb, eb in rows:
+            if ga == gb and ia < ib and sa <= eb and sb <= ea:
+                ov = (min(ea, eb) - max(sa, sb)).days + 1
+                expected.add((ga, ia, ib, ov))
+
+    from etl_python_azure_spark.operators.intervals import (
+        binned_overlap_pairs,
+    )
+
+    for bin_days in (3, 30):
+        got = {
+            (r["grp"], r["item_a"], r["item_b"], r["overlap_days"])
+            for r in binned_overlap_pairs(
+                df,
+                key_cols=["grp"],
+                start_col="s",
+                end_col="e",
+                payload_cols=["item"],
+                bin_days=bin_days,
+                distinct_on="item",
+            ).collect()
+        }
+        assert got == expected, f"bin_days={bin_days}"
+
+
+# --------------------------------------------------------------------------
+# ranked_cumsum: differential + bucket-count invariance + plan shape.
+# --------------------------------------------------------------------------
+
+
+def test_ranked_cumsum_matches_single_pass(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.random(), 3), rng.randrange(1, 50))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expected = 0, {}
+    for rank, (i, s, w) in enumerate(order, start=1):
+        cum += w
+        expected[i] = (rank, cum)
+
+    from etl_python_azure_spark.operators.sampling import ranked_cumsum
+
+    for nb in (1, 64):
+        got = {
+            r["doc_id"]: (r["rank"], r["cum_weight"])
+            for r in ranked_cumsum(
+                df, "doc_id", "score", "w", score_buckets=nb
+            ).collect()
+        }
+        assert got == expected, f"score_buckets={nb}"
+
+
+def test_ranked_cumsum_plan_buckets_the_rank_window(spark, sf_dir):
+    """The corpus-sized window partitions by the score bucket (the
+    only unpartitioned windows are over the tiny bucket-offsets
+    aggregate), and offsets come back via broadcast."""
+    from etl_python_azure_spark.queries import registry
+
+    df = registry()["token_budget_selection"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    big = [s for s in specs if "score" in s]
+    assert big, "expected the rank window over the quality score"
+    assert all("__bkt" in s for s in big)
+
+
+def test_curriculum_phases_are_balanced(spark, sf_dir):
+    from etl_python_azure_spark.queries import registry
+
+    rows = registry()["curriculum_phase_manifest"].builder(
+        spark, sf_dir
+    ).collect()
+    per_phase = {}
+    for r in rows:
+        per_phase[r["phase"]] = per_phase.get(r["phase"], 0) + r["n_docs"]
+    assert set(per_phase) == {1, 2, 3}
+    assert max(per_phase.values()) - min(per_phase.values()) <= 1
+
+
+# --------------------------------------------------------------------------
+# truncated_cosine_topk / matryoshka.
+# --------------------------------------------------------------------------
+
+
+def test_truncated_topk_full_dim_equals_exact(spark, sf_dir):
+    from etl_python_azure_spark.operators.similarity import (
+        cosine_topk,
+        truncated_cosine_topk,
+    )
+    from etl_python_azure_spark.session import load_tables
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(em, q, k=5).collect()
+    }
+    trunc = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in truncated_cosine_topk(em, q, 64, k=5).collect()
+    }
+    assert trunc == exact
+
+
+def test_matryoshka_recall_monotone_anchor(spark, sf_dir):
+    """The full-dim row is exactly 1.0 and every recall is a valid
+    fraction of n_queries*k."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = {
+        r["trunc_dim"]: r
+        for r in registry()["matryoshka_recall_sweep"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert rows[64]["recall"] == pytest.approx(1.0)
+    for r in rows.values():
+        hits = r["recall"] * r["n_queries"] * 5
+        assert abs(hits - round(hits)) < 1e-9
+        assert 0.0 <= r["recall"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# semantic_contamination.
+# --------------------------------------------------------------------------
+
+
+def test_semantic_contamination_flags_scaled_copy(spark):
+    """A scaled copy of a reference vector (cosine exactly 1, same
+    LSH bucket by construction) is flagged; its negation (cosine -1)
+    is clean."""
+    from etl_python_azure_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    ref_vec = [1.0, 0.5, -0.25, 2.0]
+    rows = [
+        (0, ref_vec),  # the reference itself
+        (1, [2.0 * x for x in ref_vec]),  # scaled copy -> cos 1
+        (2, [-x for x in ref_vec]),  # negation -> cos -1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_contamination(
+            df,
+            df.filter(F.col("vec_id") == 0),
+            threshold=0.9,
+            dim=4,
+        ).collect()
+    }
+    assert out[1]["is_contaminated"] == 1
+    assert out[1]["max_cosine"] == pytest.approx(1.0)
+    assert out[2]["is_contaminated"] == 0
+    assert out[2]["max_cosine"] is None
+    # the reference vector itself is excluded from matching itself
+    assert out[0]["is_contaminated"] == 0
+
+
+# --------------------------------------------------------------------------
+# scoped vs global dedup: totals reconcile.
+# --------------------------------------------------------------------------
+
+
+def test_scoped_vs_global_dedup_reconciles(spark, sf_dir):
+    from etl_python_azure_spark.queries import registry
+    from etl_python_azure_spark.session import load_tables
+
+    rows = registry()["scoped_vs_global_dedup"].builder(
+        spark, sf_dir
+    ).collect()
+    d = load_tables(spark, sf_dir, "documents")
+    n_global = d.select(F.md5("text")).distinct().count()
+    assert sum(r["global_unique"] for r in rows) == n_global
+    for r in rows:
+        assert (
+            r["cross_source_dups"]
+            == r["local_unique"] - r["global_unique"]
+        )
+        assert r["local_unique"] <= r["n_docs"]
