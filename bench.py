@@ -234,6 +234,8 @@ OPTIONAL = [
     "curriculum_phase_manifest",
     "scoped_vs_global_dedup",
     "quality_ensemble_rank",
+    "doremi_mixture_weights",
+    "dsir_vs_nb_agreement",
     # round-11 rotation: never-benched queries, heaviest operator
     # families first (pair-space dedup/similarity before scalar
     # one-liners), per the r10 verdict mandate

@@ -484,6 +484,7 @@ def ranked_cumsum(
     weight_col: str,
     carry_cols: list[str] | None = None,
     score_buckets: int = 64,
+    equalize: bool = False,
 ) -> DataFrame:
     """Global rank + running weight total over the corpus ordered by
     (*score_col* DESC, *id_col* ASC) — the primitive behind
@@ -501,20 +502,35 @@ def ranked_cumsum(
 
     Assumes score ∈ [0, 1] (ratio-type quality scores; clamp or
     rescale upstream otherwise). Uniform-grid buckets skew when
-    scores concentrate — at 100 TB swap the grid for
-    histogram-equalized edges (one approxQuantile pass) and keep
-    everything else; positions are invariant to the bucketing
-    because bucket order is score order. *weight_col* must be
-    integral (token counts): running totals stay exact BIGINTs.
+    scores concentrate; ``equalize=True`` replaces the grid with
+    histogram-equalized edges from one ``approxQuantile`` pass (a
+    *score_buckets*-value bounded collect) — every bucket then holds
+    ~1/score_buckets of the corpus REGARDLESS of the score
+    distribution, which is the 100 TB-safe choice. Positions are
+    invariant to the bucketing (either way bucket is a monotone
+    non-decreasing function of score, so bucket order concatenated
+    with within-bucket order is score order; ties that share a value
+    always share a bucket). *weight_col* must be integral (token
+    counts): running totals stay exact BIGINTs.
 
     Output: id, carry_cols, score, weight, rank (1-based, global),
     cum_weight (inclusive running weight in rank order).
     """
-    b = (
-        F.floor(F.col(score_col) * F.lit(score_buckets))
-        .cast("long")
-        .alias("__bkt")
-    )
+    if equalize:
+        probs = [i / score_buckets for i in range(1, score_buckets)]
+        edges = sorted(
+            set(df.approxQuantile(score_col, probs, 0.001))
+        )
+        b = sum(
+            ((F.col(score_col) >= F.lit(e)).cast("long") for e in edges),
+            F.lit(0).cast("long"),
+        ).alias("__bkt")
+    else:
+        b = (
+            F.floor(F.col(score_col) * F.lit(score_buckets))
+            .cast("long")
+            .alias("__bkt")
+        )
     keyed = df.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],

@@ -359,6 +359,8 @@ _R11_WINDOW = [
     "curriculum_phase_manifest",
     "scoped_vs_global_dedup",
     "quality_ensemble_rank",
+    "doremi_mixture_weights",
+    "dsir_vs_nb_agreement",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",

@@ -697,3 +697,189 @@ def curriculum_phase_manifest(
             F.max("score").alias("max_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style multiplicative mixture reweighting (linearized,
+# integer fixed-point so both engines iterate bit-identically).
+# --------------------------------------------------------------------------
+
+_DRM_T = 3  # multiplicative-weights iterations
+_DRM_SCALE = 1_000_000_000  # 1e9 fixed-point weight scale
+
+
+def _drm_oracle() -> str:
+    s = _DRM_SCALE
+    it = """,
+    it{t} AS (
+      SELECT source, n_docs, n_tokens, mult, w0,
+             CAST((CAST(u AS HUGEINT) * {s})
+                  // SUM(u) OVER () AS BIGINT) AS w
+      FROM (
+        SELECT *, (w * mult) // {s} AS u FROM it{p}
+      )
+    )"""
+    iters = "".join(
+        it.format(t=t, p=t - 1, s=s) for t in range(1, _DRM_T + 1)
+    )
+    return f"""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_QWEIGHT_SQL}) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(FLOOR({_QSCORE_SQL} * {s}.0) AS BIGINT))
+                  AS BIGINT) AS s_q
+      FROM documents GROUP BY source
+    ),
+    base AS (
+      SELECT source, n_docs, n_tokens,
+             (s_q // n_docs)
+               - CAST(SUM(s_q) OVER () // SUM(n_docs) OVER ()
+                      AS BIGINT) AS e,
+             CAST((CAST(n_tokens AS HUGEINT) * {s})
+                  // SUM(n_tokens) OVER () AS BIGINT) AS w0
+      FROM m
+    ),
+    it0 AS (
+      SELECT source, n_docs, n_tokens,
+             {s // 2} + ((e + {s}) // 2) AS mult,
+             w0, w0 AS w
+      FROM base
+    ){iters}
+    SELECT source, n_docs, n_tokens,
+           CAST(w0 AS DOUBLE) / {s}.0 AS baseline_weight,
+           CAST(w AS DOUBLE) / {s}.0 AS final_weight,
+           CAST(w - w0 AS DOUBLE) / {s}.0 AS weight_delta
+    FROM it{_DRM_T}
+    """
+
+
+@register("doremi_mixture_weights", _drm_oracle())
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style training-mixture reweighting (Xie et al. 2023):
+    start from the token-share baseline and run multiplicative
+    weights over domains (sources), boosting domains whose quality
+    signal exceeds the corpus mean — here the excess signal is the
+    deterministic alpha-ratio proxy (a real run plugs in per-domain
+    excess loss from a proxy/reference model pair; the ITERATION is
+    the operator). Linearized update w ← w·(1 + lr·excess) with
+    lr = 1/2, renormalized each round.
+
+    Determinism: the whole iteration runs in 1e9-scale integer
+    fixed point — means, multipliers, products, and normalizations
+    are BIGINT truncating divisions, bit-identical in Spark and
+    DuckDB; doubles appear only in the final projection (exact
+    small-integer ratios). Scale shape: one corpus scan aggregates
+    to the SOURCE grain; the T iterations are window passes over
+    that domain-count-sized frame (single-task by construction and
+    bounded by the number of domains — the corpus is never touched
+    again)."""
+    from ..operators.text import bpe_ish_tokens
+
+    s = _DRM_SCALE
+    d = load_tables(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    score = (
+        F.length(F.regexp_replace(lower, "[^a-z]", ""))
+        * F.lit(1.0)
+        / F.length(F.col("text"))
+    )
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(bpe_ish_tokens("text")).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(F.floor(score * F.lit(float(s))).cast("long"))
+        .cast("long")
+        .alias("s_q"),
+    )
+    wall = Window.partitionBy()  # domain-count-sized frame (bounded)
+    base = m.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"(s_q div n_docs) - "
+            f"(sum(s_q) OVER () div sum(n_docs) OVER ())"
+        ).alias("e"),
+        F.expr(
+            f"(n_tokens * {s}L) div sum(n_tokens) OVER ()"
+        ).alias("w0"),
+    )
+    cur = base.withColumn(
+        "mult", F.expr(f"{s // 2}L + ((e + {s}L) div 2)")
+    ).withColumn("w", F.col("w0"))
+    for _t in range(_DRM_T):
+        cur = (
+            cur.withColumn("u", F.expr(f"(w * mult) div {s}L"))
+            .withColumn("z", F.sum("u").over(wall))
+            .withColumn("w", F.expr(f"(u * {s}L) div z"))
+            .drop("u", "z")
+        )
+    return cur.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("w0").cast("double") / F.lit(float(s))).alias(
+            "baseline_weight"
+        ),
+        (F.col("w").cast("double") / F.lit(float(s))).alias(
+            "final_weight"
+        ),
+        (
+            (F.col("w") - F.col("w0")).cast("double") / F.lit(float(s))
+        ).alias("weight_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Selection-method agreement: DSIR vs the NB quality classifier.
+# --------------------------------------------------------------------------
+
+
+def _dva_oracle() -> str:
+    from .round9 import _DSIR_ORACLE
+    from .round11 import _NB_ORACLE
+
+    return f"""
+    WITH d AS ({_DSIR_ORACLE}),
+    n AS ({_NB_ORACLE})
+    SELECT CAST(d.target_like AS BIGINT) AS dsir_keep,
+           CAST(n.pred_pos AS BIGINT) AS nb_keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_features) AS BIGINT) AS n_features
+    FROM d JOIN n USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@register("dsir_vs_nb_agreement", _dva_oracle())
+def dsir_vs_nb_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix between the two cheap selection signals the
+    registry already ships — DSIR importance resampling
+    (`dsir_importance_scores`, target = the English subcorpus) and
+    the NB quality classifier (`nb_quality_classifier`, positives =
+    curated sources): the 2×2 contingency of their keep decisions,
+    with feature mass per cell. Before committing a 100 TB
+    selection run, this is the sanity readout that says whether the
+    signals are redundant (diagonal-heavy) or complementary — both
+    scorers are one-scan linear jobs, so the matrix costs no more
+    than running each."""
+    from .round9 import dsir_importance_scores_q
+    from .round11 import nb_quality_classifier
+
+    d = dsir_importance_scores_q(spark, sf_dir).select(
+        "doc_id", "target_like", "n_features"
+    )
+    n = nb_quality_classifier(spark, sf_dir).select("doc_id", "pred_pos")
+    return (
+        d.join(n, "doc_id")
+        .groupBy(
+            F.col("target_like").cast("long").alias("dsir_keep"),
+            F.col("pred_pos").cast("long").alias("nb_keep"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_features").cast("long").alias("n_features"),
+        )
+    )

@@ -211,6 +211,8 @@ QUERIES = [
     "curriculum_phase_manifest",
     "scoped_vs_global_dedup",
     "quality_ensemble_rank",
+    "doremi_mixture_weights",
+    "dsir_vs_nb_agreement",
 ]
 
 

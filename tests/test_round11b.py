@@ -294,3 +294,102 @@ def test_scoped_vs_global_dedup_reconciles(spark, sf_dir):
             == r["local_unique"] - r["global_unique"]
         )
         assert r["local_unique"] <= r["n_docs"]
+
+
+def test_ranked_cumsum_equalized_buckets_invariant(spark):
+    """Equalized edges must not change ranks/cumsums even on a
+    pathologically skewed score distribution (where the uniform
+    grid would put ~everything in one bucket)."""
+    rng = random.Random(3)
+    rows = [
+        (i, 0.5 + rng.random() * 1e-6, rng.randrange(1, 9))
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expected = 0, {}
+    for rank, (i, s, w) in enumerate(order, start=1):
+        cum += w
+        expected[i] = (rank, cum)
+
+    from etl_python_azure_spark.operators.sampling import ranked_cumsum
+
+    for eq in (False, True):
+        got = {
+            r["doc_id"]: (r["rank"], r["cum_weight"])
+            for r in ranked_cumsum(
+                df, "doc_id", "score", "w", score_buckets=8, equalize=eq
+            ).collect()
+        }
+        assert got == expected, f"equalize={eq}"
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style mixture weights + selection-signal agreement.
+# --------------------------------------------------------------------------
+
+
+def test_doremi_weights_normalized_and_quality_directed(spark, sf_dir):
+    """Weights stay a (fixed-point) distribution after every
+    normalization, and mass moves toward above-mean-quality domains
+    (the multiplicative-weights direction)."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = registry()["doremi_mixture_weights"].builder(
+        spark, sf_dir
+    ).collect()
+    # truncating normalization can shave < n_domains ulps of 1e-9
+    assert abs(sum(r["baseline_weight"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["final_weight"] for r in rows) - 1.0) < 1e-6
+    assert all(r["final_weight"] >= 0.0 for r in rows)
+    # direction: at least one domain gains and one loses (the
+    # excess signal is centered on the corpus mean)
+    deltas = [r["weight_delta"] for r in rows]
+    assert max(deltas) > 0 and min(deltas) < 0
+
+
+def test_doremi_fixture_matches_hand_iteration(spark):
+    """Two synthetic domains with a known quality gap reproduce the
+    hand-run integer multiplicative-weights iteration."""
+    from etl_python_azure_spark.queries import round11b  # noqa: F401
+    from etl_python_azure_spark.queries import registry
+
+    # build a tiny documents table: srcA all-alpha (score 1 before
+    # the space), srcB digit-heavy (low alpha ratio)
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaaa bbbb cccc dddd", "en", "srcA", 19))
+    for i in range(10, 20):
+        rows.append((i, "1111 2222 3333 4444", "en", "srcB", 19))
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="doremi_fixture_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r["source"]: r
+        for r in registry()["doremi_mixture_weights"]
+        .builder(spark, tmp)
+        .collect()
+    }
+    # equal token mass -> equal baseline; all the quality signal
+    # favors srcA, so after 3 rounds srcA holds more weight
+    assert out["srcA"]["baseline_weight"] == out["srcB"]["baseline_weight"]
+    assert out["srcA"]["final_weight"] > out["srcB"]["final_weight"]
+
+
+def test_dsir_vs_nb_agreement_cells_cover_corpus(spark, sf_dir):
+    from etl_python_azure_spark.queries import registry
+    from etl_python_azure_spark.session import load_tables
+
+    rows = registry()["dsir_vs_nb_agreement"].builder(
+        spark, sf_dir
+    ).collect()
+    total = load_tables(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert all(
+        (r["dsir_keep"], r["nb_keep"]) in {(a, b) for a in (0, 1) for b in (0, 1)}
+        for r in rows
+    )
