@@ -236,6 +236,24 @@ OPTIONAL = [
     "quality_ensemble_rank",
     "doremi_mixture_weights",
     "dsir_vs_nb_agreement",
+    "unimax_language_budgets",
+    "l_diversity_report",
+    # round-11b rotation: 12 more never-benched queries — the
+    # plan-diverse tail first (sketch certificates, gapfill spine,
+    # TS regression, multimodal mapInPandas, nested flatten, skew
+    # salting), scalar one-liners stay queued for r12
+    "forecast_revenue_change",
+    "sliding_window_counts",
+    "daily_activity_gapfill",
+    "media_frame_sample",
+    "approx_distinct_certificate",
+    "approx_quantile_certificate",
+    "json_flatten_props",
+    "similar_user_activity",
+    "temperature_mixture",
+    "weighted_source_mixture",
+    "salted_quantity_by_flag",
+    "null_safe_join",
     # round-11 rotation: never-benched queries, heaviest operator
     # families first (pair-space dedup/similarity before scalar
     # one-liners), per the r10 verdict mandate

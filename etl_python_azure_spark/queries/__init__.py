@@ -361,6 +361,8 @@ _R11_WINDOW = [
     "quality_ensemble_rank",
     "doremi_mixture_weights",
     "dsir_vs_nb_agreement",
+    "unimax_language_budgets",
+    "l_diversity_report",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",

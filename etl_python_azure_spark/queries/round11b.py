@@ -883,3 +883,184 @@ def dsir_vs_nb_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_features").cast("long").alias("n_features"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax per-language token budgets (integer waterfilling).
+# --------------------------------------------------------------------------
+
+_UMX_T = 4  # waterfill rounds (>= number of cap-bind events needed)
+_UMX_CAP_EPOCHS = 2  # max epochs any language may repeat
+_UMX_BUDGET_NUM, _UMX_BUDGET_DEN = 3, 2  # budget = 1.5 x corpus tokens
+
+
+def _umx_oracle() -> str:
+    it = """,
+    it{t} AS (
+      SELECT lang, n_tokens, cap,
+             alloc + add_ AS alloc,
+             r - CAST(SUM(add_) OVER () AS BIGINT) AS r
+      FROM (
+        SELECT *,
+               CASE WHEN alloc < cap THEN
+                 LEAST(cap - alloc,
+                       r // GREATEST(SUM(CASE WHEN alloc < cap
+                                         THEN 1 ELSE 0 END) OVER (), 1))
+               ELSE 0 END AS add_
+        FROM it{p}
+      )
+    )"""
+    iters = "".join(it.format(t=t, p=t - 1) for t in range(1, _UMX_T + 1))
+    return f"""
+    WITH m AS (
+      SELECT lang,
+             CAST(SUM({_QWEIGHT_SQL}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    it0 AS (
+      SELECT lang, n_tokens,
+             n_tokens * {_UMX_CAP_EPOCHS} AS cap,
+             CAST(0 AS BIGINT) AS alloc,
+             CAST((CAST(SUM(n_tokens) OVER () AS HUGEINT)
+                   * {_UMX_BUDGET_NUM}) // {_UMX_BUDGET_DEN}
+                  AS BIGINT) AS r
+      FROM m
+    ){iters}
+    SELECT lang, n_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+           CAST(CASE WHEN alloc >= cap THEN 1 ELSE 0 END AS BIGINT)
+             AS capped
+    FROM it{_UMX_T}
+    """
+
+
+@register("unimax_language_budgets", _umx_oracle())
+def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): spread a total
+    token budget as uniformly as possible across languages, but cap
+    every language at C epochs of its own data (repeating a
+    low-resource language more than a few times hurts) and
+    waterfill the leftover into the still-open languages. Budget =
+    1.5× corpus tokens, C = 2 — small languages hit their cap, the
+    head languages absorb the remainder, exactly the UniMax shape.
+
+    Determinism: the whole waterfill is BIGINT arithmetic
+    (truncating division; the final sub-|langs| remainder stays
+    unallocated and is documented), so both engines agree exactly.
+    Scale shape: ONE corpus scan aggregates to the language grain;
+    the T waterfill rounds are window passes over the
+    language-count-sized frame (single-task by construction,
+    bounded by |languages|). The corpus is never touched again."""
+    from ..operators.text import bpe_ish_tokens
+
+    d = load_tables(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.sum(F.size(bpe_ish_tokens("text")).cast("long"))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    wall = Window.partitionBy()  # |langs|-sized frame (bounded)
+    cur = m.select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(_UMX_CAP_EPOCHS)).alias("cap"),
+        F.lit(0).cast("long").alias("alloc"),
+        F.expr(
+            f"(sum(n_tokens) OVER () * {_UMX_BUDGET_NUM}L) "
+            f"div {_UMX_BUDGET_DEN}L"
+        ).alias("r"),
+    )
+    for _t in range(_UMX_T):
+        cur = (
+            cur.withColumn(
+                "n_open",
+                F.sum((F.col("alloc") < F.col("cap")).cast("long")).over(
+                    wall
+                ),
+            )
+            .withColumn(
+                "add_",
+                F.when(
+                    F.col("alloc") < F.col("cap"),
+                    F.least(
+                        F.col("cap") - F.col("alloc"),
+                        F.expr("r div greatest(n_open, 1L)"),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .withColumn("alloc", F.col("alloc") + F.col("add_"))
+            .withColumn("r", F.col("r") - F.sum("add_").over(wall))
+            .drop("n_open", "add_")
+        )
+    return cur.select(
+        "lang",
+        "n_tokens",
+        F.col("cap").cast("long").alias("cap_tokens"),
+        F.col("alloc").cast("long").alias("alloc_tokens"),
+        (
+            F.col("alloc").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("epochs"),
+        (F.col("alloc") >= F.col("cap")).cast("long").alias("capped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# l-diversity: the sensitive-attribute refinement of k-anonymity.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+    WITH g AS (
+      SELECT c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, c_nationkey,
+           CAST(SUM(n) AS BIGINT) AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS top_sensitive_share,
+           CAST(CASE WHEN COUNT(*) >= {_LDIV_L} THEN 1 ELSE 0 END
+                AS BIGINT) AS l_diverse
+    FROM g
+    GROUP BY 1, 2
+    """
+
+
+@register("l_diversity_report", _LDIV_ORACLE)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier groups as
+    `k_anonymity_report` (market segment × nation): k-anonymity
+    alone is defeated by a homogeneous sensitive attribute (every
+    member of a large group sharing one value leaks it anyway), so
+    each group must also carry ≥ l distinct sensitive values — here
+    the account-balance band — and the top-value share approximates
+    the recursive (c,l) check. Release hygiene for user-derived
+    training tables.
+
+    Scale shape: two stacked hash aggregates (QI+sensitive, then
+    QI) — one shuffle on the fine key, map-side combine does the
+    rest; no joins, no windows."""
+    c = load_tables(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0))
+        .cast("long")
+        .alias("band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("n").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("distinct_sensitive"),
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+            "top_sensitive_share"
+        ),
+        (F.count(F.lit(1)) >= F.lit(_LDIV_L))
+        .cast("long")
+        .alias("l_diverse"),
+    )

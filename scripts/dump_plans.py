@@ -213,6 +213,8 @@ QUERIES = [
     "quality_ensemble_rank",
     "doremi_mixture_weights",
     "dsir_vs_nb_agreement",
+    "unimax_language_budgets",
+    "l_diversity_report",
 ]
 
 

@@ -393,3 +393,83 @@ def test_dsir_vs_nb_agreement_cells_cover_corpus(spark, sf_dir):
         (r["dsir_keep"], r["nb_keep"]) in {(a, b) for a in (0, 1) for b in (0, 1)}
         for r in rows
     )
+
+
+# --------------------------------------------------------------------------
+# UniMax waterfilling + l-diversity.
+# --------------------------------------------------------------------------
+
+
+def test_unimax_budgets_waterfill_invariants(spark, sf_dir):
+    """Allocations respect caps, never overspend the budget, leave
+    less than one uncapped-language share unallocated, and at this
+    budget/cap setting the small languages actually hit their
+    caps while the head language absorbs the remainder."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = registry()["unimax_language_budgets"].builder(
+        spark, sf_dir
+    ).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * 3 // 2
+    spent = sum(r["alloc_tokens"] for r in rows)
+    assert spent <= budget
+    assert all(r["alloc_tokens"] <= r["cap_tokens"] for r in rows)
+    n_open = sum(1 for r in rows if r["capped"] == 0)
+    # convergence: leftover is only integer-division remainder
+    assert budget - spent < max(n_open, 1) * 2
+    assert any(r["capped"] == 1 for r in rows)
+    assert any(r["capped"] == 0 for r in rows)
+    # uncapped languages all get the same waterline share +- 1 round
+    open_allocs = [r["alloc_tokens"] for r in rows if r["capped"] == 0]
+    assert max(open_allocs) - min(open_allocs) <= len(rows)
+
+
+def test_unimax_fixture_matches_hand_waterfill(spark):
+    """3 languages, one tiny: the tiny language caps at 2 epochs and
+    the rest split the remainder evenly."""
+    import os
+    import tempfile
+
+    from etl_python_azure_spark.queries import registry
+
+    rows = []
+    did = 0
+    for lang, n_docs in (("aa", 8), ("bb", 8), ("cc", 1)):
+        for _ in range(n_docs):
+            rows.append((did, "tok " * 9 + "tok", lang, "s", 39))
+            did += 1
+    tmp = tempfile.mkdtemp(prefix="unimax_fixture_")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in registry()["unimax_language_budgets"]
+        .builder(spark, tmp)
+        .collect()
+    }
+    # tokens: aa=80, bb=80, cc=10; budget = floor(170*1.5) = 255
+    # round 1: share 85 -> cc capped at 20; aa/bb take 85 each
+    # round 2: r = 65... aa/bb keep absorbing until their cap (160)
+    # or budget exhaustion: 255-20 = 235 split evenly = 117 each (+rem)
+    assert out["cc"]["alloc_tokens"] == 20 and out["cc"]["capped"] == 1
+    assert out["aa"]["alloc_tokens"] == out["bb"]["alloc_tokens"]
+    spent = sum(r["alloc_tokens"] for r in out.values())
+    assert 253 <= spent <= 255
+    assert out["aa"]["capped"] == 0
+
+
+def test_l_diversity_flags_homogeneous_groups(spark, sf_dir):
+    """Every group's distinct_sensitive is <= group_size, the top
+    share is a valid fraction, and the flag matches the count."""
+    from etl_python_azure_spark.queries import registry
+
+    rows = registry()["l_diversity_report"].builder(
+        spark, sf_dir
+    ).collect()
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"] <= r["group_size"]
+        assert 0.0 < r["top_sensitive_share"] <= 1.0
+        assert r["l_diverse"] == (1 if r["distinct_sensitive"] >= 3 else 0)
