@@ -57,6 +57,10 @@ def binned_overlap_pairs(
     Output: key_cols + payload ``_a``/``_b`` columns +
     ``overlap_days`` (inclusive day count of the intersection).
 
+    Precondition: ``end >= start`` on every row (``F.sequence``
+    silently DESCENDS for a reversed interval, mis-binning it) and
+    no NULL dates — validate/clamp upstream for untrusted data.
+
     Scale shape: one explode (≤ len/bin_days + 1 cells per
     interval), one equi-shuffle on (key, cell), the overlap and
     canonical-cell predicates run as join residuals. Pair output is

@@ -511,7 +511,9 @@ def ranked_cumsum(
     non-decreasing function of score, so bucket order concatenated
     with within-bucket order is score order; ties that share a value
     always share a bucket). *weight_col* must be integral (token
-    counts): running totals stay exact BIGINTs.
+    counts): running totals stay exact BIGINTs. Scores must be
+    non-null (a NULL score gets a NULL bucket and silently drops at
+    the offsets join — filter or impute upstream).
 
     Output: id, carry_cols, score, weight, rank (1-based, global),
     cum_weight (inclusive running weight in rank order).

@@ -727,8 +727,7 @@ def _drm_oracle() -> str:
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM({_QWEIGHT_SQL}) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(FLOOR({_QSCORE_SQL} * {s}.0) AS BIGINT))
-                  AS BIGINT) AS s_q
+             SUM(CAST(FLOOR({_QSCORE_SQL} * {s}.0) AS BIGINT)) AS s_q
       FROM documents GROUP BY source
     ),
     base AS (
@@ -789,8 +788,11 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(bpe_ish_tokens("text")).cast("long"))
         .cast("long")
         .alias("n_tokens"),
-        F.sum(F.floor(score * F.lit(float(s))).cast("long"))
-        .cast("long")
+        # decimal accumulation: per-doc quantized scores are ≤1e9, so
+        # a BIGINT sum overflows near 1e10 docs — decimal(38,0) keeps
+        # the fixed-point recipe exact at any corpus size (DuckDB's
+        # SUM auto-promotes to HUGEINT, the same widening)
+        F.sum(F.floor(score * F.lit(float(s))).cast("decimal(38,0)"))
         .alias("s_q"),
     )
     wall = Window.partitionBy()  # domain-count-sized frame (bounded)
@@ -802,8 +804,11 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(s_q div n_docs) - "
             f"(sum(s_q) OVER () div sum(n_docs) OVER ())"
         ).alias("e"),
+        # n_tokens·1e9 overflows BIGINT past ~9e9 tokens per domain;
+        # widen the product (mirrors the oracle's HUGEINT)
         F.expr(
-            f"(n_tokens * {s}L) div sum(n_tokens) OVER ()"
+            f"(CAST(n_tokens AS DECIMAL(38,0)) * {s}) "
+            f"div sum(n_tokens) OVER ()"
         ).alias("w0"),
     )
     cur = base.withColumn(
