@@ -238,6 +238,7 @@ OPTIONAL = [
     "dsir_vs_nb_agreement",
     "unimax_language_budgets",
     "l_diversity_report",
+    "ann_matryoshka_topk",
     # round-11b rotation: 12 more never-benched queries — the
     # plan-diverse tail first (sketch certificates, gapfill spine,
     # TS regression, multimodal mapInPandas, nested flatten, skew

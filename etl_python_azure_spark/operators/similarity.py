@@ -1310,3 +1310,72 @@ def truncated_cosine_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def matryoshka_ivf_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    trunc_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_k: int = 25,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """The Matryoshka PRODUCTION tier that
+    :func:`truncated_cosine_topk` only evaluates: build the IVF
+    index on the first *trunc_dim* dimensions (index bytes and
+    probe cost shrink to trunc_dim/dim), retrieve *rerank_k*
+    candidates per query by truncated cosine inside the probed
+    cells, then rerank just those candidates with the FULL-dim
+    cosine — the standard two-stage retrieve-then-rerank shape
+    (coarse cheap recall, exact precision on a k-sized set).
+
+    Scale shape: everything corpus-sized happens in the truncated
+    space (assignment scan, cell equi-join); the full-dim vectors
+    are touched only for rerank_k·|queries| candidate rows, joined
+    id-keyed against the corpus (candidates are tiny — Spark
+    broadcasts them). Recall is bounded by the truncated tier's
+    candidate recall; raise *rerank_k*/*nprobe* or *trunc_dim*
+    to trade cost for recall, using `matryoshka_recall_sweep` to
+    pick the dim.
+
+    Output: (query_id, neighbor_id, cosine, rank) — full-dim
+    cosine, top-*k*, self excluded, neighbor_id tiebreak.
+    """
+    t = F.slice(F.col(vec_col), 1, trunc_dim)
+    tc = corpus.select(F.col(id_col), t.alias("__tv"))
+    tq = queries.select(F.col(id_col), t.alias("__tv"))
+    cents = ivf_centroids(tc, id_col, "__tv", num_centroids)
+    index = ivf_assign(tc, cents, id_col, "__tv")
+    cand = ivf_topk_from_index(
+        index, tq, cents, id_col, "__tv", k=rerank_k, nprobe=nprobe
+    ).select("query_id", "neighbor_id")
+    cfull = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vc"),
+        F.col("__norm").alias("__nc"),
+    )
+    qfull = with_norm(queries.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__vq"),
+        F.col("__norm").alias("__nq"),
+    )
+    sims = (
+        cand.join(F.broadcast(qfull), "query_id")
+        .join(cfull, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

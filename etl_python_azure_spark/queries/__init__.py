@@ -363,6 +363,7 @@ _R11_WINDOW = [
     "dsir_vs_nb_agreement",
     "unimax_language_budgets",
     "l_diversity_report",
+    "ann_matryoshka_topk",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",

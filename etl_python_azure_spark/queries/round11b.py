@@ -1069,3 +1069,104 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("l_diverse"),
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka production tier: IVF on the 16-dim prefix, full-dim
+# rerank of the candidate set.
+# --------------------------------------------------------------------------
+
+_MIR_D = 16  # truncated index dimension
+_MIR_RK = 25  # candidates reranked per query
+
+
+def _mir_oracle() -> str:
+    from .similarity import _COS, _NORM_CTE
+
+    tcos = f"""list_reduce(
+             list_transform(range(1, {_MIR_D + 1}),
+               i -> CAST(q.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)),
+             (acc, v) -> acc + v) / (q.nrm * c.nrm)"""
+    return f"""
+    WITH {_NORM_CTE},
+    nt AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(
+               list_transform(embedding[1:{_MIR_D}],
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, v) -> acc + v)) AS nrm
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id, embedding, nrm FROM nt
+             ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT id, cell FROM (
+        SELECT q.vec_id AS id, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {tcos} DESC, c.vec_id
+               ) AS rnk
+        FROM nt q CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {tcos} DESC, c.vec_id
+               ) AS rnk
+        FROM nt q CROSS JOIN cent c
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 4
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {tcos} DESC, c.vec_id
+               ) AS rnk
+        FROM probe p
+        JOIN asg a ON a.cell = p.cell
+        JOIN nt q ON q.vec_id = p.qid
+        JOIN nt c ON c.vec_id = a.id
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rnk <= {_MIR_RK}
+    ),
+    sims AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS} AS cosine
+      FROM cand
+      JOIN n q ON q.vec_id = cand.query_id
+      JOIN n c ON c.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked
+    WHERE rank <= 5
+    """
+
+
+@register("ann_matryoshka_topk", _mir_oracle())
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production tier `matryoshka_recall_sweep` only sizes: IVF
+    built entirely in the 16-of-64-dim prefix space (index bytes and
+    probe flops ÷4), 25 candidates per query retrieved by truncated
+    cosine inside 4 probed cells of 16, then ONLY those candidates
+    reranked with the full-dim cosine — the standard two-stage
+    retrieve-then-rerank. Everything corpus-sized runs truncated;
+    full vectors are touched for 25·|queries| rows."""
+    from ..operators.similarity import matryoshka_ivf_rerank
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    return matryoshka_ivf_rerank(
+        em,
+        em.filter(F.col("vec_id") < 10),
+        trunc_dim=_MIR_D,
+        k=5,
+        rerank_k=_MIR_RK,
+        num_centroids=16,
+        nprobe=4,
+    )

@@ -215,6 +215,7 @@ QUERIES = [
     "dsir_vs_nb_agreement",
     "unimax_language_budgets",
     "l_diversity_report",
+    "ann_matryoshka_topk",
 ]
 
 

@@ -473,3 +473,40 @@ def test_l_diversity_flags_homogeneous_groups(spark, sf_dir):
         assert 1 <= r["distinct_sensitive"] <= r["group_size"]
         assert 0.0 < r["top_sensitive_share"] <= 1.0
         assert r["l_diverse"] == (1 if r["distinct_sensitive"] >= 3 else 0)
+
+
+def test_matryoshka_rerank_recall_vs_bruteforce(spark, sf_dir):
+    """The two-stage retrieve-then-rerank tier recovers most of the
+    exact full-dim top-5 (candidate recall bounds it; rerank ranks
+    whatever the truncated tier surfaced in exact full-dim order)."""
+    from etl_python_azure_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_ivf_rerank,
+    )
+    from etl_python_azure_spark.session import load_tables
+
+    em = load_tables(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(em, q, k=5).collect()
+    }
+    got_rows = matryoshka_ivf_rerank(
+        em, q, trunc_dim=16, k=5, rerank_k=25
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    assert len(got_rows) == len(truth)
+    recall = len(got & truth) / len(truth)
+    # the comparative property (the absolute number is data-bound:
+    # these synthetic embeddings are not MRL-trained, so the 16-dim
+    # prefix carries limited signal): reranking a 25-candidate pool
+    # with the exact metric must do at least as well as promoting
+    # the truncated tier's own top-5 directly
+    base_rows = matryoshka_ivf_rerank(
+        em, q, trunc_dim=16, k=5, rerank_k=5
+    ).collect()
+    base = {(r["query_id"], r["neighbor_id"]) for r in base_rows}
+    base_recall = len(base & truth) / len(truth)
+    assert recall >= base_recall, (recall, base_recall)
+    assert recall > 0.0
+    assert all(1 <= r["rank"] <= 5 for r in got_rows)
