@@ -31,10 +31,23 @@ capabilities a 100 TB training-data pipeline still reaches for:
   budget-constrained corpus selection and curriculum phase
   assignment, both on a GLOBAL quality order computed with the
   bucket-offset distributed rank (no single-task window).
+- ``doremi_mixture_weights`` — DoReMi-style multiplicative mixture
+  reweighting, linearized, in 1e9-scale integer fixed point so the
+  iteration replays bit-identically in both engines.
+- ``dsir_vs_nb_agreement`` — 2×2 keep-decision contingency of the
+  registry's two cheap selection signals.
+- ``unimax_language_budgets`` — UniMax per-language token budgets as
+  integer waterfilling with an epoch cap.
+- ``l_diversity_report`` — the sensitive-attribute refinement of the
+  k-anonymity audit.
+- ``ann_matryoshka_topk`` — the Matryoshka production tier: IVF in
+  the truncated prefix space, exact full-dim rerank of the
+  candidate set.
 
 Determinism: counts CAST AS BIGINT; doubles only from identical
 operation order both engines; ranks carry a doc_id tiebreak; no
-array/map/struct output columns.
+array/map/struct output columns; iterative algorithms (DoReMi,
+UniMax) run in integer fixed point end to end.
 """
 
 from __future__ import annotations
