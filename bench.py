@@ -239,6 +239,7 @@ OPTIONAL = [
     "unimax_language_budgets",
     "l_diversity_report",
     "ann_matryoshka_topk",
+    "dup_span_mask_manifest",
     # round-11b rotation: 12 more never-benched queries — the
     # plan-diverse tail first (sketch certificates, gapfill spine,
     # TS regression, multimodal mapInPandas, nested flatten, skew

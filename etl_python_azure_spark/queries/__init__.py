@@ -364,6 +364,7 @@ _R11_WINDOW = [
     "unimax_language_budgets",
     "l_diversity_report",
     "ann_matryoshka_topk",
+    "dup_span_mask_manifest",
     # r03-only re-proof (the booked eleven)
     "small_quantity_revenue_loss",
     "sole_late_suppliers",

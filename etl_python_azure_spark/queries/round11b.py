@@ -1183,3 +1183,99 @@ def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=16,
         nprobe=4,
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span loss-mask manifest (the non-destructive consumer
+# of the span family: mask instead of excise).
+# --------------------------------------------------------------------------
+
+_DSI_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i AS pos, i + {_SRW_W - 1} AS e,
+             md5(array_to_string(t[i:i+{_SRW_W - 1}], ' ')) AS fp
+      FROM base,
+           UNNEST(range(1, greatest(len(t) - {_SRW_W - 2}, 1))) AS u(i)
+    ),
+    own AS (
+      SELECT fp, MIN(doc_id) AS owner
+      FROM sp GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flg AS (
+      SELECT s.doc_id, s.pos, s.e
+      FROM sp s JOIN own o USING (fp)
+      WHERE s.doc_id != o.owner
+    ),
+    isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM flg
+    ),
+    isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(ni) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS mask_start,
+           CAST(MAX(e) AS BIGINT) AS mask_end,
+           CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS mask_tokens
+    FROM isl2
+    GROUP BY doc_id, island
+    """
+
+
+@register("dup_span_mask_manifest", _DSI_ORACLE)
+def dup_span_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-destructive consumer of the span-dedup family: instead
+    of excising duplicated spans (`span_removal_rewrite`), emit the
+    merged mask intervals — (doc, start, end) in 1-based token
+    positions — that a trainer applies as LOSS MASKS, keeping the
+    text intact for context but not paying gradient on text the
+    model has already seen elsewhere. Same owner semantics as the
+    rewrite (the min-id holder trains on its copy), so the two
+    consumers can never disagree about which copy is canonical.
+
+    Scale shape: identical to the rewrite minus the token explode
+    and rebuild — one span explode, one fp hash-aggregate, island
+    windows over the duplicated subset, output is islands-sized
+    (collision mass, not corpus mass)."""
+    from ..operators.dedup import (
+        _flagged_islands,
+        _span_positions,
+    )
+
+    d = load_tables(spark, sf_dir, "documents")
+    sp = _span_positions(d, "doc_id", "text", _SRW_W, None)
+    own = (
+        sp.groupBy("__fp")
+        .agg(
+            F.min("doc_id").alias("__owner"),
+            F.count_distinct(F.col("doc_id")).alias("__n_docs"),
+        )
+        .filter(F.col("__n_docs") >= 2)
+        .select("__fp", "__owner")
+    )
+    flagged = (
+        sp.join(own, "__fp")
+        .filter(F.col("doc_id") != F.col("__owner"))
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("pos") + F.lit(_SRW_W - 1)).alias("__end"),
+        )
+    )
+    return _flagged_islands(flagged, "doc_id").select(
+        "doc_id",
+        F.col("__s").cast("long").alias("mask_start"),
+        F.col("__e").cast("long").alias("mask_end"),
+        (F.col("__e") - F.col("__s") + 1).cast("long").alias("mask_tokens"),
+    )

@@ -216,6 +216,7 @@ QUERIES = [
     "unimax_language_budgets",
     "l_diversity_report",
     "ann_matryoshka_topk",
+    "dup_span_mask_manifest",
 ]
 
 

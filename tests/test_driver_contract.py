@@ -83,8 +83,8 @@ def test_driver_window_invariants():
     # r11 mandate (r10 verdict, top_next): slots 1-4 are the four
     # queries whose plan or oracle changed this round (the r10
     # ADVICE items); slots 5-16 the queries NEW in round 11, then
-    # slots 17-29 the round-11b post-queue wave (first-time checks
-    # outrank re-proof fill); slots 30-40 the eleven r03-only names
+    # slots 17-30 the round-11b post-queue wave (first-time checks
+    # outrank re-proof fill); slots 31-41 the eleven r03-only names
     # booked at the r10 window tail
     changed_r11 = [
         "epoch_shuffle_manifest", "quality_keeper_dedup",
@@ -113,12 +113,12 @@ def test_driver_window_invariants():
         "scoped_vs_global_dedup", "quality_ensemble_rank",
         "doremi_mixture_weights", "dsir_vs_nb_agreement",
         "unimax_language_budgets", "l_diversity_report",
-        "ann_matryoshka_topk",
+        "ann_matryoshka_topk", "dup_span_mask_manifest",
     ]
     assert _R11_WINDOW[:4] == changed_r11
     assert _R11_WINDOW[4:16] == new_r11
-    assert _R11_WINDOW[16:29] == new_r11b
-    assert _R11_WINDOW[29:40] == r03_eleven
+    assert _R11_WINDOW[16:30] == new_r11b
+    assert _R11_WINDOW[30:41] == r03_eleven
     # every r11-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)

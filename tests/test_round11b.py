@@ -510,3 +510,31 @@ def test_matryoshka_rerank_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= base_recall, (recall, base_recall)
     assert recall > 0.0
     assert all(1 <= r["rank"] <= 5 for r in got_rows)
+
+
+def test_mask_manifest_consistent_with_rewrite(spark, sf_dir):
+    """The mask intervals and the rewrite are two consumers of the
+    same verdict: per doc, total masked tokens == removed tokens,
+    and intervals are disjoint and ordered."""
+    from etl_python_azure_spark.queries import registry
+
+    masks = {}
+    for r in registry()["dup_span_mask_manifest"].builder(
+        spark, sf_dir
+    ).collect():
+        masks.setdefault(r["doc_id"], []).append(
+            (r["mask_start"], r["mask_end"], r["mask_tokens"])
+        )
+    removed = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in registry()["span_removal_rewrite"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert masks, "expected at least one duplicated span in testdata"
+    for doc, spans in masks.items():
+        spans.sort()
+        assert sum(t for _s, _e, t in spans) == removed[doc]
+        for (s1, e1, t1), (s2, _e2, _t2) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint (adjacent islands are legal)
+            assert t1 == e1 - s1 + 1
