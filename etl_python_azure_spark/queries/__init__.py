@@ -425,8 +425,11 @@ _R11_WINDOW = [
     "zorder_key_stats",
     # r12 window queue: lead with any queries whose plan or oracle
     # changes in r12 and the queries new in r12, then the r04-cohort
-    # names above that miss this window's 50-cut (the alphabetical
-    # tail from slot 51 on), then re-proof fill from the r05 cohort,
+    # names above that miss this window's 50-cut — the round-11b
+    # waves grew the new-query block to 14, so the fill cut now
+    # falls after bpe_pair_counts: the 35 r04 names from
+    # cms_token_frequency (alphabetical) on are the booked r12
+    # re-proof head — then re-proof fill from the r05 cohort,
     # stalest first. Write the list AS CODE in the first r12 commit
     # and repin tests/test_driver_contract.py's
     # test_driver_window_invariants to _R12_WINDOW in the same
