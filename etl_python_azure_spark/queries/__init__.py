@@ -423,16 +423,123 @@ _R11_WINDOW = [
     "value_median_mad_by_type",
     "zipf_fit_top_tokens",
     "zorder_key_stats",
-    # r12 window queue: lead with any queries whose plan or oracle
-    # changes in r12 and the queries new in r12, then the r04-cohort
-    # names above that miss this window's 50-cut — the round-11b
-    # waves grew the new-query block to 14, so the fill cut now
-    # falls after bpe_pair_counts: the 35 r04 names from
-    # cms_token_frequency (alphabetical) on are the booked r12
-    # re-proof head — then re-proof fill from the r05 cohort,
-    # stalest first. Write the list AS CODE in the first r12 commit
+    # (r12 queue drained: see _R12_WINDOW below, written as code in
+    # the first r12 commit per the r07/r08 lesson.)
+]
+
+# The r12 window drains the queue the r11 verdict booked at
+# _R11_WINDOW's tail: lead with the queries whose plan or oracle
+# changes in r12 (the lang-id single-explode tf rework, the
+# part_ship floor-cast alignment, the unimax budget widening — the
+# r11 ADVICE/perf items), then the queries NEW in r12 (the dedup
+# sidecar equivalence fold and the histogram-equalized
+# ranked_cumsum exercise), then the 35 r04-cohort names from
+# cms_token_frequency (alphabetical) on — exactly the tail past the
+# r11 window's 50-cut — then re-proof fill from the r05 cohort
+# (44 queries whose newest driver evidence is round 5),
+# alphabetical. The list deliberately overflows 50 so a missing
+# name cannot shrink the window — the driver records the first 50
+# resolvable entries. Whichever r05 names miss the cut head the
+# r13 queue.
+_R12_WINDOW = [
+    # plan/oracle changed in r12 — re-prove (r11 ADVICE/perf items)
+    "lang_id_ngram_profile",
+    "part_ship_overlap_pairs",
+    "unimax_language_budgets",
+    # new in round 12 — first-ever driver rows
+    "dedup_sidecar_equiv",
+    "token_budget_equalized",
+    # r04-cohort re-proof (the booked 35: the alphabetical tail past
+    # the r11 window's 50-cut, cms_token_frequency on)
+    "cms_token_frequency",
+    "daily_purchase_rate_ci",
+    "doc_novelty_scores",
+    "dup_cluster_histogram",
+    "event_value_outliers",
+    "ewma_user_daily_value",
+    "hybrid_search_topk",
+    "interpolated_daily_values",
+    "k_anonymity_report",
+    "label_centroid_quality",
+    "label_noise_scan",
+    "nation_triangle_counts",
+    "native_session_rollup",
+    "ohlc_daily_bars",
+    "pagerank_trade_graph",
+    "positional_unnest_embeddings",
+    "psi_value_drift",
+    "quality_pr_curve",
+    "quota_sample_sources",
+    "rrf_fusion_topk",
+    "scd2_point_in_time",
+    "scd2_priority_history",
+    "session_funnel",
+    "snapshot_diff_orders",
+    "sorted_neighborhood_dups",
+    "source_pair_jaccard",
+    "stateful_session_equiv",
+    "tfidf_cosine_pairs",
+    "touch_attribution_paths",
+    "ts_similarity_blocked_pairs",
+    "ts_similarity_bruteforce_topk",
+    "unigram_logprob_scores",
+    "value_median_mad_by_type",
+    "zipf_fit_top_tokens",
+    "zorder_key_stats",
+    # r05-cohort re-proof fill (alphabetical; tail past slot 50
+    # feeds the r13 queue)
+    "adamic_adar_order_links",
+    "ann_pq_adc_recall",
+    "ann_pq_rerank_recall",
+    "argmax_order_per_status",
+    "cooccurrence_rec_hitrate",
+    "corpus_budget_coverage",
+    "cube_order_counts",
+    "customers_without_orders",
+    "derived_surrogate_key",
+    "doc_length_auc_by_source",
+    "embedding_norm_health",
+    "event_pair_rules",
+    "filter_project_scale",
+    "first_last_order_price",
+    "gopher_quality_report",
+    "iso_split_and_parse",
+    "label_projection_stats",
+    "lang_id_confusion",
+    "left_join_enrich",
+    "monthly_order_volume",
+    "null_fill_cast",
+    "null_safe_join",
+    "outlier_orders_p95",
+    "pca_top2_components",
+    "pca_top_component",
+    "pivot_qty_by_status",
+    "pricing_summary",
+    "purged_fold_report",
+    "rank_normalized_value_by_type",
+    "revenue_by_nation",
+    "running_customer_spend",
+    "score_reliability_bins",
+    "segment_target_encoding",
+    "source_dup_health",
+    "source_signature_terms",
+    "source_temperature_mix",
+    "split_leakage_report",
+    "top100_orders",
+    "top3_orders_per_segment",
+    "union_with_drift",
+    "unpivot_order_metrics",
+    "value_quartiles_by_type",
+    "weighted_sample_docs",
+    "window_toolbox_orders",
+    # r13 window queue: lead with any queries whose plan or oracle
+    # changes in r13 and the queries new in r13, then the r05-cohort
+    # names above that miss this window's 50-cut (the 34 from
+    # embedding_norm_health, alphabetical, assuming the 5-name r12
+    # head lands in full), then re-proof fill from the r08 cohort,
+    # stalest first. Write the list AS CODE in the first r13 commit
     # and repin tests/test_driver_contract.py's
-    # test_driver_window_invariants to _R12_WINDOW in the same
+    # test_driver_window_invariants to _R13_WINDOW in the same
     # commit (it asserts first-50 == registry order).
 ]
 
@@ -616,7 +723,8 @@ def registry() -> dict[str, QuerySpec]:
     from . import round10  # noqa: F401
     from . import round11  # noqa: F401
     from . import round11b  # noqa: F401
+    from . import round12  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R11_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R12_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

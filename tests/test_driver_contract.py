@@ -69,60 +69,58 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R11_WINDOW, registry
+    from etl_python_azure_spark.queries import _R12_WINDOW, registry
 
     reg = registry()
-    # the r11 list deliberately OVERFLOWS 50 (missing-name armor:
+    # the r12 list deliberately OVERFLOWS 50 (missing-name armor:
     # the driver records the first 50 resolvable entries, so a typo
     # slides fill up instead of shrinking the window)
-    resolvable = [n for n in _R11_WINDOW if n in reg]
+    resolvable = [n for n in _R12_WINDOW if n in reg]
     assert len(resolvable) >= 50
-    assert len(set(_R11_WINDOW)) == len(_R11_WINDOW)
+    assert len(set(_R12_WINDOW)) == len(_R12_WINDOW)
     assert list(reg)[:50] == resolvable[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r11 mandate (r10 verdict, top_next): slots 1-4 are the four
-    # queries whose plan or oracle changed this round (the r10
-    # ADVICE items); slots 5-16 the queries NEW in round 11, then
-    # slots 17-30 the round-11b post-queue wave (first-time checks
-    # outrank re-proof fill); slots 31-41 the eleven r03-only names
-    # booked at the r10 window tail
-    changed_r11 = [
-        "epoch_shuffle_manifest", "quality_keeper_dedup",
-        "curation_v3_counts_report", "lang_id_ngram_profile",
+    # r12 mandate (r11 verdict, top_next): slots 1-3 are the queries
+    # whose plan or oracle changed this round (the r11 ADVICE/perf
+    # items), slots 4-5 the queries NEW in round 12, slots 6-40 the
+    # 35 r04-cohort names booked at the r11 window tail
+    # (cms_token_frequency on, alphabetical), then r05-cohort fill
+    changed_r12 = [
+        "lang_id_ngram_profile", "part_ship_overlap_pairs",
+        "unimax_language_budgets",
     ]
-    new_r11 = [
-        "token_ngram_contamination", "token_contamination_rollup",
-        "token_span_coverage", "streaming_span_dedup_equiv",
-        "curation_v3_counts_lite", "keeper_fallback_drops",
-        "nb_quality_classifier", "curation_drop_attribution",
-        "span_threshold_sweep", "epoch_shuffle_shard_manifest",
-        "token_dup_rate_by_source", "keeper_policy_delta",
+    new_r12 = ["dedup_sidecar_equiv", "token_budget_equalized"]
+    r04_thirty_five = [
+        "cms_token_frequency", "daily_purchase_rate_ci",
+        "doc_novelty_scores", "dup_cluster_histogram",
+        "event_value_outliers", "ewma_user_daily_value",
+        "hybrid_search_topk", "interpolated_daily_values",
+        "k_anonymity_report", "label_centroid_quality",
+        "label_noise_scan", "nation_triangle_counts",
+        "native_session_rollup", "ohlc_daily_bars",
+        "pagerank_trade_graph", "positional_unnest_embeddings",
+        "psi_value_drift", "quality_pr_curve",
+        "quota_sample_sources", "rrf_fusion_topk",
+        "scd2_point_in_time", "scd2_priority_history",
+        "session_funnel", "snapshot_diff_orders",
+        "sorted_neighborhood_dups", "source_pair_jaccard",
+        "stateful_session_equiv", "tfidf_cosine_pairs",
+        "touch_attribution_paths", "ts_similarity_blocked_pairs",
+        "ts_similarity_bruteforce_topk", "unigram_logprob_scores",
+        "value_median_mad_by_type", "zipf_fit_top_tokens",
+        "zorder_key_stats",
     ]
-    r03_eleven = [
-        "small_quantity_revenue_loss", "sole_late_suppliers",
-        "source_lang_affinity", "supplier_variety_by_part",
-        "temperature_mixture", "tokenizer_fertility_by_lang",
-        "top_revenue_supplier", "variant_props_rollup",
-        "views_before_purchase_ranged", "window_function_toolbox",
-        "winsorized_order_stats",
-    ]
-    new_r11b = [
-        "span_removal_rewrite", "semantic_decontamination",
-        "matryoshka_recall_sweep", "part_ship_overlap_pairs",
-        "token_budget_selection", "curriculum_phase_manifest",
-        "scoped_vs_global_dedup", "quality_ensemble_rank",
-        "doremi_mixture_weights", "dsir_vs_nb_agreement",
-        "unimax_language_budgets", "l_diversity_report",
-        "ann_matryoshka_topk", "dup_span_mask_manifest",
-    ]
-    assert _R11_WINDOW[:4] == changed_r11
-    assert _R11_WINDOW[4:16] == new_r11
-    assert _R11_WINDOW[16:30] == new_r11b
-    assert _R11_WINDOW[30:41] == r03_eleven
-    # every r11-new name must resolve by round end (they land over
+    assert _R12_WINDOW[:3] == changed_r12
+    assert _R12_WINDOW[3:5] == new_r12
+    assert _R12_WINDOW[5:40] == r04_thirty_five
+    # the r05-cohort fill is alphabetical (stalest cohort first; the
+    # tail past the 50-cut heads the r13 queue)
+    r05_fill = _R12_WINDOW[40:]
+    assert r05_fill == sorted(r05_fill)
+    # every r12-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)
-    missing = [n for n in new_r11 + new_r11b if n not in reg]
+    missing = [n for n in new_r12 if n not in reg]
     assert not missing or len(resolvable) >= 50, missing
 
 
@@ -168,9 +166,13 @@ def _coupled_names(source: str) -> list[str]:
             _R05_WINDOW,
             _R06_WINDOW,
             _R10_WINDOW,
+            _R11_WINDOW,
         )
 
-        return [*_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW, *_R10_WINDOW]
+        return [
+            *_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW, *_R10_WINDOW,
+            *_R11_WINDOW,
+        ]
     if source == "artifact_consumers":
         from etl_python_azure_spark.queries._artifacts import (
             artifact_consumers,
