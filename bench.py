@@ -212,8 +212,11 @@ OPTIONAL = [
     "sketch_distinct_maintenance",
     "maintained_rollup_equiv",
     "oov_rate_by_lang",
-    # round-11 surface
-    "curation_v3_counts_lite",
+    # round-11 surface (curation_v3_counts_lite's bench slot was cut
+    # in r12: curation_drop_attribution rebuilds the same full v3
+    # chain and its rollup SUBSUMES the lite counts — benching both
+    # double-paid ~31 s ≈ 10% of the total for zero information;
+    # both oracle rows stay in the registry/driver window)
     "token_ngram_contamination",
     "token_contamination_rollup",
     "token_span_coverage",
@@ -275,6 +278,29 @@ OPTIONAL = [
     "doc_fingerprints",
     "top_distinctive_terms",
     "stable_sample_docs",
+    # round-12 surface
+    "dedup_sidecar_equiv",
+    "token_budget_equalized",
+    # round-12 rotation: 16 more never-benched queries — array/nested
+    # plans and multi-level aggregates first, then the remaining
+    # window/rollup/cube shapes; the untimed tail is now ≤40 scalar
+    # one-liners
+    "window_function_toolbox",
+    "array_toolbox_embeddings",
+    "positional_unnest_embeddings",
+    "embedding_array_stats",
+    "deterministic_split_counts",
+    "avg_inter_event_gap",
+    "event_value_histogram",
+    "rollup_quantity",
+    "cube_order_stats",
+    "distinct_cardinalities",
+    "trailing_week_revenue",
+    "order_value_quantiles",
+    "custdist_order_counts",
+    "profit_by_nation_year",
+    "min_cost_supplier_per_part",
+    "dominant_part_suppliers",
 ]
 
 

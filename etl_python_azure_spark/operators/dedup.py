@@ -344,6 +344,7 @@ def incremental_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING a delta of new documents, against an
     existing corpus — without re-pairing base×base.
@@ -355,14 +356,33 @@ def incremental_lsh_pairs(
     with |delta| and the touched buckets, not |corpus|² or even
     |corpus| — yesterday's pairs are never recomputed.
 
+    *base_bands* (optional) is a PRECOMPUTED (id, band, band_sig)
+    index for the base — the maintained ``bands`` sidecar table
+    (:mod:`..plans.sidecars`). With it, the base's shingles are
+    computed ONLY for confirmation-candidate documents (a semi-join
+    on the collision ids), so the base text is never scanned in
+    full — the 100 TB ingest shape. It MUST have been built with
+    the same (*n*, *num_hashes*, *band_size*) as this call (the
+    sidecar ``_meta.json`` pins that); a mismatched index silently
+    changes the candidate set.
+
     Identical collision guarantees to :func:`minhash_lsh_pairs`
     restricted to delta-involving pairs: a delta doc collides with
     any base doc it would have collided with in the full run.
     """
-    sh_b = word_shingles(base, id_col, text_col, n, distinct=False).persist()
     sh_d = word_shingles(delta, id_col, text_col, n, distinct=False).persist()
-    bands_b = band_assignments(sh_b, id_col, num_hashes, band_size)
     bands_d = band_assignments(sh_d, id_col, num_hashes, band_size)
+    if base_bands is None:
+        sh_b = word_shingles(
+            base, id_col, text_col, n, distinct=False
+        ).persist()
+        bands_b = band_assignments(sh_b, id_col, num_hashes, band_size)
+    else:
+        sh_b = None
+        key = id_col if id_col in base_bands.columns else "doc_id"
+        bands_b = base_bands.select(
+            F.col(key).alias(id_col), "band", "band_sig"
+        )
     all_bands = bands_b.unionByName(bands_d)
     cand = (
         bands_d.alias("a")
@@ -381,6 +401,16 @@ def incremental_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    if sh_b is None:
+        # confirmation shingles for the candidate BASE docs only —
+        # the sole base-text read, bounded by the collision set
+        sh_b = word_shingles(
+            base.join(cand_ids, id_col, "left_semi"),
+            id_col,
+            text_col,
+            n,
+            distinct=False,
+        )
     sh_all = sh_b.unionByName(sh_d)
     sh_cand = sh_all.join(cand_ids, id_col, "left_semi").distinct()
     return _jaccard_on_pairs(sh_cand, id_col, cand).filter(
@@ -1686,6 +1716,38 @@ def _flagged_islands(dup: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _owner_flagged_spans(
+    sp: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Flag every span position whose fingerprint is held by ≥2 docs
+    and whose canonical owner (global min id over the fingerprint's
+    holders) is a DIFFERENT document — the Lee-et-al owner policy
+    shared by :func:`span_removal` (excise) and the loss-mask
+    manifest (mask): one place for the keeper rule, so a policy
+    change can never make the two consumers disagree about which
+    copy is canonical. Input: a :func:`_span_positions` frame;
+    output (id, pos, __end) inclusive intervals. SQL twin:
+    ``queries._span_sql.ownership_flagged``."""
+    own = (
+        sp.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__owner"),
+            F.count_distinct(F.col(id_col)).alias("__n_docs"),
+        )
+        .filter(F.col("__n_docs") >= 2)
+        .select("__fp", "__owner")
+    )
+    return (
+        sp.join(own, "__fp")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            "pos",
+            (F.col("pos") + F.lit(window - 1)).alias("__end"),
+        )
+    )
+
+
 def span_removal(
     df: DataFrame,
     id_col: str,
@@ -1728,24 +1790,7 @@ def span_removal(
     through with their full (tokenizer-normalized) text.
     """
     sp = _span_positions(df, id_col, text_col, window, tokenizer)
-    own = (
-        sp.groupBy("__fp")
-        .agg(
-            F.min(id_col).alias("__owner"),
-            F.count_distinct(F.col(id_col)).alias("__n_docs"),
-        )
-        .filter(F.col("__n_docs") >= 2)
-        .select("__fp", "__owner")
-    )
-    flagged = (
-        sp.join(own, "__fp")
-        .filter(F.col(id_col) != F.col("__owner"))
-        .select(
-            F.col(id_col),
-            "pos",
-            (F.col("pos") + F.lit(window - 1)).alias("__end"),
-        )
-    )
+    flagged = _owner_flagged_spans(sp, id_col, window)
     islands = _flagged_islands(flagged, id_col)
     toks = (
         tokenizer(text_col)

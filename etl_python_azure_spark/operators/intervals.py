@@ -54,6 +54,17 @@ def binned_overlap_pairs(
     (a < b) so each unordered pair appears once and self/same-value
     pairs are excluded.
 
+    ``distinct_on=None`` means RAW pair semantics, stated here
+    because it surprises (r11 ADVICE): every row pairs with ITSELF
+    (a self-pair passes both the overlap and canonical-cell
+    filters) and every unordered pair of distinct rows appears
+    TWICE (once per orientation). That form is only useful for
+    callers that post-filter on their own row identity; for
+    counting, always pass *distinct_on* (there is deliberately no
+    hidden row-id fallback — synthesizing one would pick an
+    arbitrary orientation for payload-identical rows and silently
+    drop genuine duplicate-interval pairs).
+
     Output: key_cols + payload ``_a``/``_b`` columns +
     ``overlap_days`` (inclusive day count of the intersection).
 

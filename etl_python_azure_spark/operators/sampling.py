@@ -506,7 +506,14 @@ def ranked_cumsum(
     histogram-equalized edges from one ``approxQuantile`` pass (a
     *score_buckets*-value bounded collect) — every bucket then holds
     ~1/score_buckets of the corpus REGARDLESS of the score
-    distribution, which is the 100 TB-safe choice. Positions are
+    distribution, which is the 100 TB-safe choice. NOTE that the
+    quantile pass is an EAGER Spark action at DataFrame-CONSTRUCTION
+    time (r11 ADVICE): it executes *df*'s upstream lineage once
+    before this function returns, and the returned frame recomputes
+    that lineage again when acted on — callers building the frame
+    without executing it still pay one pass, and callers with an
+    expensive upstream should persist/localCheckpoint *df* first
+    (the train-once artifact discipline). Positions are
     invariant to the bucketing (either way bucket is a monotone
     non-decreasing function of score, so bucket order concatenated
     with within-bucket order is score order; ties that share a value
@@ -520,8 +527,12 @@ def ranked_cumsum(
     """
     if equalize:
         probs = [i / score_buckets for i in range(1, score_buckets)]
+        # explicit single-column projection: approxQuantile does NOT
+        # column-prune its input, so without the select the eager
+        # pass would compute every upstream column (e.g. a token
+        # count) just to sketch the score (measured 7× at sf0.1)
         edges = sorted(
-            set(df.approxQuantile(score_col, probs, 0.001))
+            set(df.select(score_col).approxQuantile(score_col, probs, 0.001))
         )
         b = sum(
             ((F.col(score_col) >= F.lit(e)).cast("long") for e in edges),

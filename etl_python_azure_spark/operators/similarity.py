@@ -1204,6 +1204,7 @@ def semantic_contamination(
     threshold: float = 0.46,
     num_planes: int = 4,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: flag every corpus
     vector whose cosine against ANY reference (benchmark) vector
@@ -1211,6 +1212,14 @@ def semantic_contamination(
     (``dedup.span_contamination``) catches verbatim inclusions; this
     catches paraphrases and translations that share no surface
     tokens — the contamination mode n-gram matching provably misses.
+
+    *exclude_self* (default True) drops candidate pairs whose corpus
+    and reference ids are EQUAL — correct when the reference is a
+    subset of the corpus sharing its id space (the registered-query
+    shape: a doc must not count as contaminating itself). When the
+    reference is a genuinely separate table with an independent id
+    space, a coincidental id collision would silently suppress a
+    real match — pass ``exclude_self=False`` there (r11 ADVICE).
 
     Scale shape: candidates come from a sign-LSH bucket equi-join
     (:func:`lsh_buckets`), never a cross join; the REFERENCE side is
@@ -1240,10 +1249,11 @@ def semantic_contamination(
         F.col("__norm").alias("__nr"),
     )
     cos = dot_expr("__vc", "__vr") / (F.col("__nc") * F.col("__nr"))
+    joined = c.join(F.broadcast(r), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("__rid"))
     matches = (
-        c.join(F.broadcast(r), "bucket")
-        .filter(F.col(id_col) != F.col("__rid"))
-        .select(F.col(id_col), cos.alias("__cos"))
+        joined.select(F.col(id_col), cos.alias("__cos"))
         .filter(F.col("__cos") >= F.lit(threshold))
         .groupBy(id_col)
         .agg(

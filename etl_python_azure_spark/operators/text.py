@@ -1120,29 +1120,36 @@ def language_id_ngram(
        DuckDB oracle replays it exactly.
     3. Winner by (score desc, lang asc); no profile overlap → 'und'.
 
-    Scale shape: the explode is linear in corpus characters; the
-    profile table collapses to |langs|·profile_size rows, which is
-    EAGERLY collected and rebroadcast as a local relation (the
-    K-row-bounded centroid-collect discipline — ~1k rows for 5
-    langs × 200 grams), so no corpus-sized persist lingers in
-    executor memory for the session (the r10-ADVICE fix). The
-    profile-training pass and the scoring pass each run the explode
-    once — recomputing a linear explode beats caching the
-    corpus-sized gram table at 100 TB. Scoring is one explode, one
-    broadcast join, one per-doc aggregate: no pair space, no
-    corpus-sized shuffle beyond the per-doc gram counts.
+    Scale shape: ONE explode, aggregated ONCE into the
+    (doc, lang, gram, tf) frame; the per-language profiles are
+    derived FROM that frame as an inline broadcast subplan (sum tf
+    over docs → rank → top *profile_size*), so the whole job is a
+    single query plan in which Catalyst's exchange reuse
+    materializes the tf shuffle once and feeds BOTH the profile
+    subplan and the scoring join from it — no corpus-sized persist
+    outliving the call (the r10-ADVICE leak), no second explode
+    (the r11 regression), no eager collect. Profiles collapse to
+    |langs|·profile_size rows inside a BroadcastExchange (~1k rows
+    for 5 langs × 200 grams). Scoring is one broadcast join and one
+    per-doc aggregate: no pair space, no corpus-sized shuffle
+    beyond the per-doc gram counts.
     Self-labeled resubstitution here; production splits train/score
     frames by passing a labeled subset as *df* and unioning.
     """
-    spark = df.sparkSession
     grams = char_ngrams(df, id_col, text_col, n, carry_cols=[lang_col])
+    # the ONE corpus-sized aggregate both passes share: per-doc term
+    # frequencies with the doc's label carried (one lang per doc, so
+    # (doc, gram) grain == (doc, lang, gram) grain)
+    tf = grams.groupBy(id_col, lang_col, "gram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
 
     pw = Window.partitionBy(lang_col).orderBy(
         F.desc("cnt"), F.asc("gram")
     )
     profile_plan = (
-        grams.groupBy(lang_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tf.groupBy(lang_col, "gram")
+        .agg(F.sum("tf").alias("cnt"))
         .withColumn("rank", F.row_number().over(pw))
         .filter(F.col("rank") <= profile_size)
         .select(
@@ -1151,14 +1158,8 @@ def language_id_ngram(
             (F.lit(profile_size + 1) - F.col("rank")).alias("weight"),
         )
     )
-    # bounded collect: |langs|·profile_size rows → local relation
-    profiles = spark.createDataFrame(
-        profile_plan.collect(), profile_plan.schema
-    )
-
-    tf = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("tf"))
     scores = (
-        tf.join(F.broadcast(profiles), "gram")
+        tf.join(F.broadcast(profile_plan), "gram")
         .groupBy(id_col, "cand_lang")
         .agg(F.sum(F.col("tf") * F.col("weight")).alias("score"))
     )

@@ -173,6 +173,7 @@ def curate_increment(
     quota_per_source: int = 100_000,
     near_dup_threshold: float = 0.8,
     span_window: int | None = None,
+    sidecar_dir: str | None = None,
 ) -> DataFrame:
     """The nightly form of :func:`curate_corpus`: admit a DELTA batch
     of new documents against an already-curated base — without
@@ -183,9 +184,7 @@ def curate_increment(
 
     1. Gopher quality gate on the delta.
     2. Exact dedup: within-delta keep-min window, then an anti-join
-       of delta fingerprints against base fingerprints (computed by
-       projection from the base parquet — at 100 TB keep the (fp)
-       sidecar table maintained at write time instead).
+       of delta fingerprints against base fingerprints.
     3. Near-dedup via :func:`incremental_lsh_pairs` — delta bands
        probe (base ∪ delta) bands; base×base is never recomputed. A
        delta doc near-duplicating EITHER a base doc or a surviving
@@ -196,11 +195,26 @@ def curate_increment(
        surviving delta doc (integer 2·covered ≥ total — the batch v3
        span rule, so streaming and batch converge at the span level
        too; the ``streaming_span_dedup_equiv`` registry query pins
-       the fold). At 100 TB the base span probe comes from a
-       maintained bucketed (sfp) sidecar, like the exact tier.
+       the fold).
     5. Per-source quota re-check: delta rows only fill whatever
        headroom the base leaves under the cap (rank offset by the
        base's per-source counts).
+
+    *sidecar_dir* selects where the base-side probes come from:
+
+    - ``None`` (default): fingerprints, LSH bands, and span
+      fingerprints are RE-PROJECTED from the base parquet — correct
+      at any scale, but each batch pays a full base text scan.
+    - a :mod:`.sidecars` directory: every base probe is a narrow
+      sidecar read (the 100 TB form — base text is only touched for
+      LSH confirmation candidates, a collision-bounded semi-join).
+      :func:`.sidecars.sync_sidecars` runs first, so a crash between
+      a base append and its sidecar append self-heals here; the
+      caller MUST append the admitted rows to the base FIRST and
+      then :func:`.sidecars.append_sidecars` (the crash-ordering
+      contract — `streaming_curated_ingest` does both). The
+      ``dedup_sidecar_equiv`` registry query pins sidecar-probe ≡
+      re-projection, and the crash replay is pytest-pinned.
 
     Returns the admitted delta rows (doc_id, source, text) — the
     caller appends them to the base (`jdbc`/parquet append or the
@@ -222,6 +236,20 @@ def curate_increment(
     base = spark.read.parquet(base_train_dir).select(
         "doc_id", "source", "text"
     )
+    base_bands = None
+    if sidecar_dir is not None:
+        from .sidecars import read_sidecar, sync_sidecars
+
+        # crash repair first: a batch that died between the base
+        # append and the sidecar append left the sidecars behind
+        sync_sidecars(spark, base_train_dir, sidecar_dir,
+                      span_window=span_window)
+        base_fps = read_sidecar(spark, sidecar_dir, "fp").select(
+            F.col("fp").alias("__fp")
+        ).distinct()
+        base_bands = read_sidecar(spark, sidecar_dir, "bands")
+    else:
+        base_fps = base.select(F.md5("text").alias("__fp")).distinct()
 
     kept = gopher_quality_flags(
         delta.select("doc_id", "source", "text"),
@@ -235,14 +263,15 @@ def curate_increment(
         .drop("__rn")
     )
     vs_base = in_delta.join(
-        base.select(F.md5("text").alias("__fp")).distinct(),
+        base_fps,
         F.md5(in_delta.text) == F.col("__fp"),
         "left_anti",
     # three consumers below (LSH shingles, pair drop, quota rank)
     ).persist()  # deliberately-leaked handle — caller's clearCache()
 
     pairs = incremental_lsh_pairs(
-        base, vs_base, "doc_id", "text", threshold=near_dup_threshold
+        base, vs_base, "doc_id", "text", threshold=near_dup_threshold,
+        base_bands=base_bands,
     )
     # greedy keep-first: drop the delta side of every confirmed pair
     # (a pair's delta doc is the newer one whenever the other side is
@@ -276,9 +305,16 @@ def curate_increment(
         ssp = word_shingles(
             survivors, "doc_id", "text", n=span_window
         ).select("doc_id", F.md5("shingle").alias("__sfp"))
-        base_sp = word_shingles(
-            base, "doc_id", "text", n=span_window
-        ).select(F.md5("shingle").alias("__sfp")).distinct()
+        if sidecar_dir is not None:
+            from .sidecars import read_sidecar
+
+            base_sp = read_sidecar(spark, sidecar_dir, "spans").select(
+                F.col("sfp").alias("__sfp")
+            ).distinct()
+        else:
+            base_sp = word_shingles(
+                base, "doc_id", "text", n=span_window
+            ).select(F.md5("shingle").alias("__sfp")).distinct()
         in_base = ssp.join(base_sp, "__sfp", "left_semi")
         in_lower = ssp.alias("s").join(
             ssp.alias("s2"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_tables
-from . import register
+from . import _span_sql, register
 from .round5 import _HASH32
 
 # --------------------------------------------------------------------------
@@ -422,33 +422,7 @@ _MSC_ORACLE = f"""
     dup AS (
       SELECT s.doc_id, s.pos, s.pos + {_MSC_W - 1} AS e
       FROM sp s JOIN nd USING (fp) WHERE nd.n_docs >= 2
-    ),
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM dup
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    ),
-    cov AS (
-      SELECT doc_id, island,
-             MAX(e) - MIN(pos) + 1 AS covered,
-             COUNT(*) AS n_spans
-      FROM isl2 GROUP BY 1, 2
-    ),
-    agg AS (
-      SELECT doc_id, SUM(covered) AS covered_tokens,
-             SUM(n_spans) AS n_dup_spans
-      FROM cov GROUP BY doc_id
-    )
+    ),{_span_sql.numbered_islands('dup')},{_span_sql.coverage_agg('n_dup_spans')}
     SELECT d.doc_id,
            CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
              AS n_tokens,
@@ -1078,33 +1052,7 @@ _SBC_ORACLE = f"""
     flg AS (
       SELECT DISTINCT s.doc_id, s.pos, s.pos + {_SBC_W - 1} AS e
       FROM sp s JOIN ref r ON r.fp = s.fp AND r.rid != s.doc_id
-    ),
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM flg
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    ),
-    cov AS (
-      SELECT doc_id, island,
-             MAX(e) - MIN(pos) + 1 AS covered,
-             COUNT(*) AS n_spans
-      FROM isl2 GROUP BY 1, 2
-    ),
-    agg AS (
-      SELECT doc_id, SUM(covered) AS covered_tokens,
-             SUM(n_spans) AS n_spans
-      FROM cov GROUP BY doc_id
-    )
+    ),{_span_sql.numbered_islands('flg')},{_span_sql.coverage_agg('n_spans')}
     SELECT d.doc_id,
            CAST(len(string_split(lower(d.text), ' ')) AS BIGINT)
              AS n_tokens,
@@ -1163,30 +1111,7 @@ _SCR_ORACLE = f"""
     flg AS (
       SELECT DISTINCT s.doc_id, s.pos, s.pos + {_SBC_W - 1} AS e
       FROM sp s JOIN ref r ON r.fp = s.fp AND r.rid != s.doc_id
-    ),
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM flg
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    ),
-    cov AS (
-      SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered
-      FROM isl2 GROUP BY 1, 2
-    ),
-    agg AS (
-      SELECT doc_id, SUM(covered) AS covered_tokens FROM cov
-      GROUP BY doc_id
-    )
+    ),{_span_sql.numbered_islands('flg')},{_span_sql.coverage_agg(None)}
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN COALESCE(a.covered_tokens, 0) > 0

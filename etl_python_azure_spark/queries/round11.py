@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
-from . import register
+from . import _span_sql, register
 from .round10 import _V3_CTES, _V3_DSIR_B, _V3_QUOTA, _V3_SPAN_W, _v3_url_expr
 
 # --------------------------------------------------------------------------
@@ -70,32 +70,9 @@ def _token_span_cte(w: int) -> str:
     )"""
 
 
-_ISLANDS_SQL = """
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM flg
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    ),
-    cov AS (
-      SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered,
-             COUNT(*) AS n_spans
-      FROM isl2 GROUP BY 1, 2
-    ),
-    agg AS (
-      SELECT doc_id, SUM(covered) AS covered_tokens,
-             SUM(n_spans) AS n_spans
-      FROM cov GROUP BY doc_id
-    )"""
+_ISLANDS_SQL = _span_sql.numbered_islands("flg") + "," + _span_sql.coverage_agg(
+    "n_spans"
+)
 
 
 # --------------------------------------------------------------------------

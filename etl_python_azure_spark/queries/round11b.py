@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
-from . import register
+from . import _span_sql, register
 
 # --------------------------------------------------------------------------
 # Scoped (per-source) vs global exact dedup — the cross-source
@@ -247,30 +247,7 @@ _SRW_ORACLE = f"""
       FROM base,
            UNNEST(range(1, greatest(len(t) - {_SRW_W - 2}, 1))) AS u(i)
     ),
-    own AS (
-      SELECT fp, MIN(doc_id) AS owner
-      FROM sp GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
-    flg AS (
-      SELECT s.doc_id, s.pos, s.e
-      FROM sp s JOIN own o USING (fp)
-      WHERE s.doc_id != o.owner
-    ),
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM flg
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    ),
+{_span_sql.ownership_flagged('sp')},{_span_sql.numbered_islands('flg')},
     bounds AS (
       SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
       FROM isl2 GROUP BY 1, 2
@@ -496,7 +473,8 @@ _IOP_ORACLE = """
     WITH iv AS (
       SELECT l_partkey, l_suppkey,
              CAST(l_shipdate AS DATE) AS s,
-             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e
+             CAST(l_shipdate AS DATE)
+               + CAST(FLOOR(l_quantity) AS INTEGER) AS e
       FROM lineitem
     )
     SELECT a.l_partkey,
@@ -533,7 +511,11 @@ def part_ship_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "l_suppkey",
         ship.alias("ship_date"),
-        F.date_add(ship, F.col("l_quantity").cast("int")).alias(
+        # explicit floor on BOTH engines: Spark's decimal→int cast
+        # truncates while DuckDB's rounds half-away-from-zero — they
+        # only coincided because TPC-H quantities are integral
+        # (r11 ADVICE); floor() makes the agreement by construction
+        F.date_add(ship, F.floor("l_quantity").cast("int")).alias(
             "end_date"
         ),
     )
@@ -985,9 +967,14 @@ def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens") * F.lit(_UMX_CAP_EPOCHS)).alias("cap"),
         F.lit(0).cast("long").alias("alloc"),
+        # widen the corpus-total product to DECIMAL(38,0) before the
+        # truncating division — mirrors the oracle's HUGEINT
+        # widening (and doremi's decimal fix) so the two engines
+        # agree past the ~3e18-token point where a plain BIGINT
+        # product would wrap (r11 ADVICE)
         F.expr(
-            f"(sum(n_tokens) OVER () * {_UMX_BUDGET_NUM}L) "
-            f"div {_UMX_BUDGET_DEN}L"
+            f"CAST((CAST(sum(n_tokens) OVER () AS DECIMAL(38,0))"
+            f" * {_UMX_BUDGET_NUM}) div {_UMX_BUDGET_DEN} AS BIGINT)"
         ).alias("r"),
     )
     for _t in range(_UMX_T):
@@ -1200,30 +1187,7 @@ _DSI_ORACLE = f"""
       FROM base,
            UNNEST(range(1, greatest(len(t) - {_SRW_W - 2}, 1))) AS u(i)
     ),
-    own AS (
-      SELECT fp, MIN(doc_id) AS owner
-      FROM sp GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
-    flg AS (
-      SELECT s.doc_id, s.pos, s.e
-      FROM sp s JOIN own o USING (fp)
-      WHERE s.doc_id != o.owner
-    ),
-    isl AS (
-      SELECT doc_id, pos, e,
-             CASE WHEN pos > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM flg
-    ),
-    isl2 AS (
-      SELECT doc_id, pos, e,
-             SUM(ni) OVER (
-               PARTITION BY doc_id ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS island
-      FROM isl
-    )
+{_span_sql.ownership_flagged('sp')},{_span_sql.numbered_islands('flg')}
     SELECT doc_id,
            CAST(MIN(pos) AS BIGINT) AS mask_start,
            CAST(MAX(e) AS BIGINT) AS mask_end,
@@ -1250,29 +1214,13 @@ def dup_span_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collision mass, not corpus mass)."""
     from ..operators.dedup import (
         _flagged_islands,
+        _owner_flagged_spans,
         _span_positions,
     )
 
     d = load_tables(spark, sf_dir, "documents")
     sp = _span_positions(d, "doc_id", "text", _SRW_W, None)
-    own = (
-        sp.groupBy("__fp")
-        .agg(
-            F.min("doc_id").alias("__owner"),
-            F.count_distinct(F.col("doc_id")).alias("__n_docs"),
-        )
-        .filter(F.col("__n_docs") >= 2)
-        .select("__fp", "__owner")
-    )
-    flagged = (
-        sp.join(own, "__fp")
-        .filter(F.col("doc_id") != F.col("__owner"))
-        .select(
-            "doc_id",
-            "pos",
-            (F.col("pos") + F.lit(_SRW_W - 1)).alias("__end"),
-        )
-    )
+    flagged = _owner_flagged_spans(sp, "doc_id", _SRW_W)
     return _flagged_islands(flagged, "doc_id").select(
         "doc_id",
         F.col("__s").cast("long").alias("mask_start"),

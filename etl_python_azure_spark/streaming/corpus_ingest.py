@@ -48,6 +48,7 @@ def streaming_curated_ingest(
     near_dup_threshold: float = 0.8,
     max_files_per_trigger: int | None = 1,
     span_window: int | None = None,
+    sidecar_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream; returns the `StreamingQuery` (caller
     drives it with `awaitTermination`/`processAllAvailable` and
@@ -59,6 +60,17 @@ def streaming_curated_ingest(
     admit fold — streaming admission then applies the batch v3 span
     rule per micro-batch (see ``curate_increment`` stage 4 and the
     ``streaming_span_dedup_equiv`` registry query).
+
+    *sidecar_dir* (opt-in) maintains the :mod:`..plans.sidecars`
+    fingerprint/band/span tables: each micro-batch probes the base
+    through the sidecars instead of re-projecting it, and appends
+    the admitted rows' projections after the base append (base
+    first, sidecars second — a crash in between self-heals via
+    ``sync_sidecars`` at the next batch's probe). This is the
+    100 TB form: per-batch cost stays delta-sized instead of
+    growing with the base. If the sidecars don't exist yet, the
+    first batch bootstraps them from the base (one full projection,
+    paid once).
     """
     from ..plans.curation import curate_increment
 
@@ -87,11 +99,23 @@ def streaming_curated_ingest(
             quota_per_source=quota_per_source,
             near_dup_threshold=near_dup_threshold,
             span_window=span_window,
+            sidecar_dir=sidecar_dir,
         )
+        if sidecar_dir is not None:
+            # materialize the (delta-sized) admitted set once, so the
+            # sidecar append below doesn't re-run the curation chain
+            admitted = admitted.localCheckpoint()
         # append writes fresh uniquely-named part files; input listing
         # snapshots before the write, so reading the base inside the
         # same action is safe
         admitted.write.mode("append").parquet(base_train_dir)
+        if sidecar_dir is not None:
+            from ..plans.sidecars import append_sidecars
+
+            # AFTER the base append (crash-ordering contract)
+            append_sidecars(
+                sess, admitted, sidecar_dir, span_window=span_window
+            )
         sess.catalog.clearCache()  # release the stage persists
 
     return (

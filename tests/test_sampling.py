@@ -123,3 +123,48 @@ def test_weighted_sample_inclusion_tracks_weights(spark):
     }
     ranked.unpersist()
     assert inc[8.0] > inc[2.0] > inc[1.0], inc
+
+
+def test_ranked_cumsum_equalize_spreads_skewed_scores(spark):
+    """The 100 TB-safe property of equalize=True: when every score
+    lands in a sliver of [0,1], the uniform floor(score*64) grid
+    degenerates to ONE bucket (a single-task window at scale) while
+    the histogram-equalized edges keep the corpus spread across many
+    buckets — with positions identical in both modes."""
+    from pyspark.sql import functions as F
+
+    from etl_python_azure_spark.operators.sampling import ranked_cumsum
+
+    n = 400
+    rows = [(i, 0.5 + (i % 97) * 1e-4, 1 + i % 7) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+
+    # the uniform grid collapses: every row hashes to bucket 32
+    uni = (
+        df.select(F.floor(F.col("score") * 64).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert uni == 1
+
+    # equalized edges spread the same rows across many buckets
+    probs = [i / 64 for i in range(1, 64)]
+    edges = sorted(set(df.select("score").approxQuantile("score", probs, 0.001)))
+    assert len(edges) >= 16
+    bucket = sum(
+        ((F.col("score") >= F.lit(e)).cast("long") for e in edges),
+        F.lit(0).cast("long"),
+    )
+    spread = df.select(bucket.alias("b")).distinct().count()
+    assert spread >= 16
+
+    # and the positions are the same under BOTH bucketings
+    def res(equalize):
+        return {
+            r["doc_id"]: (r["rank"], r["cum_weight"])
+            for r in ranked_cumsum(
+                df, "doc_id", "score", "w", equalize=equalize
+            ).collect()
+        }
+
+    assert res(True) == res(False)

@@ -1,0 +1,226 @@
+"""Maintained dedup sidecar tables (`plans.sidecars`):
+sidecar-probe ≡ base-reprojection, crash replay between a base
+append and its sidecar append, the meta param guard, and the
+short-document repair-loop regression."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+_BASE_ROWS = [
+    (1, "s1", "the seed corpus document number one is a long text"),
+    (2, "s2", "the seed corpus document number two is a long text"),
+    (3, "s1", "an entirely different seed document about query engines here"),
+]
+
+# delta: 10 novel, 11 exact dup of base 1, 12 near dup of base 3,
+# 13 junk (quality-rejected), 14 novel
+_DELTA_ROWS = [
+    (10, "s1", "a brand new crawled document all about the spark engine"),
+    (11, "s2", "the seed corpus document number one is a long text"),
+    (12, "s1", "an entirely different seed document about query engines now"),
+    (13, "s1", "tiny"),
+    (14, "s2", "the totally separate second delta document is right here now"),
+]
+
+
+def _admit_ids(spark, base_dir, delta, sidecar_dir=None, span_window=None):
+    from etl_python_azure_spark.plans.curation import curate_increment
+
+    admitted = curate_increment(
+        spark,
+        base_dir,
+        delta,
+        quota_per_source=10,
+        near_dup_threshold=0.5,
+        span_window=span_window,
+        sidecar_dir=sidecar_dir,
+    )
+    ids = sorted(r["doc_id"] for r in admitted.collect())
+    spark.catalog.clearCache()
+    return ids
+
+
+@pytest.mark.parametrize("span_window", [None, 4])
+def test_sidecar_probe_equals_reprojection(spark, tmp_path, span_window):
+    """curate_increment through sidecars admits EXACTLY the rows the
+    legacy base-reprojection path admits — every tier (exact fp,
+    LSH bands, span fps) probed from the maintained tables."""
+    from etl_python_azure_spark.plans.sidecars import build_sidecars
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=span_window)
+
+    delta = _docs(spark, _DELTA_ROWS)
+    legacy = _admit_ids(spark, base_dir, delta, span_window=span_window)
+    sidecar = _admit_ids(
+        spark, base_dir, delta, sidecar_dir=sc_dir, span_window=span_window
+    )
+    assert sidecar == legacy
+    assert 11 not in sidecar  # exact dup caught via the fp sidecar
+    assert 12 not in sidecar  # near dup caught via the bands sidecar
+
+
+def test_sidecar_crash_replay(spark, tmp_path):
+    """Crash between the base append and the sidecar append: the
+    replayed batch self-heals (sync repairs the sidecars from the
+    base) and admits NOTHING — idempotent admission holds with
+    sidecar probes exactly as it does with reprojection."""
+    from etl_python_azure_spark.plans.curation import curate_increment
+    from etl_python_azure_spark.plans.sidecars import (
+        build_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+
+    delta = _docs(spark, _DELTA_ROWS)
+    admitted = curate_increment(
+        spark, base_dir, delta,
+        quota_per_source=10, near_dup_threshold=0.5,
+        span_window=4, sidecar_dir=sc_dir,
+    ).localCheckpoint()
+    got = {r["doc_id"] for r in admitted.collect()}
+    assert got == {10, 14}
+    # the CRASH: base append lands, sidecar append never runs
+    admitted.select("doc_id", "source", "text").write.mode(
+        "append"
+    ).parquet(base_dir)
+    spark.catalog.clearCache()
+    behind = read_sidecar(spark, sc_dir, "fp").count()
+    assert behind == len(_BASE_ROWS)  # sidecars are behind the base
+
+    # replay of the same delta: sync repairs, fp anti-join rejects
+    replay = _admit_ids(
+        spark, base_dir, delta, sidecar_dir=sc_dir, span_window=4
+    )
+    assert replay == []
+    # sidecars caught up to the base (fp is the completion ledger)
+    assert read_sidecar(spark, sc_dir, "fp").count() == len(
+        _BASE_ROWS
+    ) + len(got)
+    # and the repair is convergent: a second sync is a no-op
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
+
+
+def test_sidecar_meta_guard(spark, tmp_path):
+    """Appending/probing with different projection params than the
+    table was built with raises instead of silently mixing
+    incompatible fingerprints."""
+    from etl_python_azure_spark.plans.sidecars import (
+        append_sidecars,
+        build_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    with pytest.raises(ValueError, match="params mismatch"):
+        append_sidecars(
+            spark, _docs(spark, _DELTA_ROWS), sc_dir, span_window=8
+        )
+
+
+def test_sync_tolerates_shingleless_docs(spark, tmp_path):
+    """A document too short for band/span shingles still completes:
+    the repair set keys on the fp LEDGER, so sync converges to 0
+    instead of re-flagging shingle-less docs forever (the repair
+    loop the per-table diff would have caused)."""
+    from etl_python_azure_spark.plans.sidecars import (
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(
+        spark,
+        [(1, "s1", "ok"), (2, "s1", "one two three four five six")],
+    ).write.parquet(base_dir)
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 2
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
+    # doc 1 has no 3-word shingles and no 4-token spans — present in
+    # the ledger, absent from the derived tables, and that's fine
+    assert read_sidecar(spark, sc_dir, "fp").count() == 2
+    bands_ids = {
+        r["doc_id"]
+        for r in read_sidecar(spark, sc_dir, "bands")
+        .select("doc_id").distinct().collect()
+    }
+    assert bands_ids == {2}
+
+
+def test_streaming_ingest_maintains_sidecars(spark, tmp_path):
+    """End-to-end `streaming_curated_ingest(sidecar_dir=...)`: the
+    admitted base matches the legacy (reprojection) stream run, and
+    the fp sidecar tracks the base exactly, batch over batch."""
+    from etl_python_azure_spark.plans.sidecars import read_sidecar
+    from etl_python_azure_spark.streaming.corpus_ingest import (
+        streaming_curated_ingest,
+    )
+
+    def _run(root, sidecar_dir=None):
+        base_dir = str(root / "base")
+        drop_dir = str(root / "drop")
+        ckpt = str(root / "ckpt")
+        os.makedirs(drop_dir)
+        _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+        _docs(spark, _DELTA_ROWS).write.parquet(
+            os.path.join(drop_dir, "b1")
+        )
+        _docs(
+            spark,
+            [
+                # exact dup of b1's admitted 10 — must be rejected
+                # via state that includes batch 1's admissions
+                (20, "s2",
+                 "a brand new crawled document all about the spark engine"),
+                (21, "s1",
+                 "the closing third batch document lives over here instead"),
+            ],
+        ).write.parquet(os.path.join(drop_dir, "b2"))
+        q = streaming_curated_ingest(
+            spark, drop_dir, base_dir, ckpt,
+            quota_per_source=10, near_dup_threshold=0.5,
+            span_window=4, sidecar_dir=sidecar_dir,
+        )
+        assert q.awaitTermination(600), "ingest did not drain"
+        return base_dir, sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(base_dir).collect()
+        )
+
+    sc_dir = str(tmp_path / "sc")
+    _, legacy_ids = _run(tmp_path / "legacy")
+    base_dir, sidecar_ids = _run(tmp_path / "side", sidecar_dir=sc_dir)
+    assert sidecar_ids == legacy_ids
+    fp = read_sidecar(spark, sc_dir, "fp")
+    base = spark.read.parquet(base_dir)
+    assert fp.count() == base.count()
+    assert (
+        base.select("doc_id").exceptAll(fp.select("doc_id")).count() == 0
+    )
