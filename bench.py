@@ -301,6 +301,53 @@ OPTIONAL = [
     "profit_by_nation_year",
     "min_cost_supplier_per_part",
     "dominant_part_suppliers",
+    # round-12 rotation, closing wave: the ENTIRE remaining untimed
+    # tail (38 scalar/relational one-liners). After this, every
+    # registry query has a recurring bench row except the two v3
+    # counts twins, which deliberately stay out: counts_report is
+    # the write-path form (parquet writes don't belong in the query
+    # bench; its e2e pytest times the write) and counts_lite's
+    # chain cost is carried by curation_drop_attribution (see the
+    # r12 cut note above) — a regression in either chain shows up
+    # in the attribution row.
+    "argmax_order_per_status",
+    "customers_without_orders",
+    "filter_project_scale",
+    "first_last_order_price",
+    "iso_split_and_parse",
+    "monthly_order_volume",
+    "null_fill_cast",
+    "top100_orders",
+    "union_with_drift",
+    "filter_events",
+    "drift_tolerant_select",
+    "customers_with_big_order",
+    "cdc_split_new",
+    "customer_set_ops",
+    "dropna_after_left_join",
+    "drop_all_null_columns_q",
+    "string_length_gate",
+    "string_toolbox",
+    "filter_variety",
+    "acctbal_dominance",
+    "scalar_null_toolbox",
+    "orders_with_large_items",
+    "brand_price_stats",
+    "order_rank_stats",
+    "large_volume_customers",
+    "rich_inactive_customers",
+    "nation_revenue_share",
+    "supplier_variety_by_part",
+    "bilateral_trade_volume",
+    "variant_props_rollup",
+    "filtered_aggregates",
+    "profile_orders_columns",
+    "priority_orders_with_big_items",
+    "top_revenue_supplier",
+    "small_quantity_revenue_loss",
+    "disjunctive_band_revenue",
+    "late_ship_priority_orders",
+    "source_lang_affinity",
 ]
 
 

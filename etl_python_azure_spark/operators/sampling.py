@@ -506,14 +506,17 @@ def ranked_cumsum(
     histogram-equalized edges from one ``approxQuantile`` pass (a
     *score_buckets*-value bounded collect) — every bucket then holds
     ~1/score_buckets of the corpus REGARDLESS of the score
-    distribution, which is the 100 TB-safe choice. NOTE that the
-    quantile pass is an EAGER Spark action at DataFrame-CONSTRUCTION
-    time (r11 ADVICE): it executes *df*'s upstream lineage once
-    before this function returns, and the returned frame recomputes
-    that lineage again when acted on — callers building the frame
-    without executing it still pay one pass, and callers with an
-    expensive upstream should persist/localCheckpoint *df* first
-    (the train-once artifact discipline). Positions are
+    distribution, which is the 100 TB-safe choice. NOTE that
+    ``equalize=True`` is EAGER at DataFrame-CONSTRUCTION time (r11
+    ADVICE): it localCheckpoints the narrow
+    (id, carry, score, weight) projection — executing *df*'s
+    upstream lineage once — and runs the quantile pass over it
+    before this function returns; the returned frame then reads the
+    checkpointed projection, never the upstream lineage. Callers
+    building the frame without executing it still pay that one
+    pass, and the checkpoint blocks occupy executor storage until
+    the frame is garbage-collected (id + two scalars per row — the
+    operator's own shuffle bound, never the corpus text). Positions are
     invariant to the bucketing (either way bucket is a monotone
     non-decreasing function of score, so bucket order concatenated
     with within-bucket order is score order; ties that share a value
@@ -525,18 +528,38 @@ def ranked_cumsum(
     Output: id, carry_cols, score, weight, rank (1-based, global),
     cum_weight (inclusive running weight in rank order).
     """
+    narrow = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
+        F.col(score_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+    )
     if equalize:
+        # the branch is eager anyway (the quantile pass), so
+        # materialize the NARROW projection once and derive both the
+        # edges and the plan from it: without the barrier, project
+        # collapse re-inlines the (often expensive) score/weight
+        # expressions into the bucket HOF and the window stages —
+        # measured 5× the uniform-grid runtime at sf0.1, vs ~parity
+        # with this checkpoint. The materialized frame is id + carry
+        # + two scalars per document (never text), the same bound as
+        # the operator's own shuffle.
+        narrow = narrow.localCheckpoint()
         probs = [i / score_buckets for i in range(1, score_buckets)]
-        # explicit single-column projection: approxQuantile does NOT
-        # column-prune its input, so without the select the eager
-        # pass would compute every upstream column (e.g. a token
-        # count) just to sketch the score (measured 7× at sf0.1)
         edges = sorted(
-            set(df.select(score_col).approxQuantile(score_col, probs, 0.001))
+            set(
+                narrow.select(score_col).approxQuantile(
+                    score_col, probs, 0.001
+                )
+            )
         )
-        b = sum(
-            ((F.col(score_col) >= F.lit(e)).cast("long") for e in edges),
+        # flat ARRAY + aggregate loop, not a chained sum of ~64
+        # comparisons (that nests the expression tree 64 deep)
+        b = F.aggregate(
+            F.array(*[F.lit(float(e)) for e in edges]),
             F.lit(0).cast("long"),
+            lambda acc, e: acc
+            + (F.col(score_col) >= e).cast("long"),
         ).alias("__bkt")
     else:
         b = (
@@ -544,11 +567,11 @@ def ranked_cumsum(
             .cast("long")
             .alias("__bkt")
         )
-    keyed = df.select(
+    keyed = narrow.select(
         F.col(id_col),
         *[F.col(c) for c in (carry_cols or [])],
         F.col(score_col),
-        F.col(weight_col).cast("long").alias(weight_col),
+        F.col(weight_col),
         b,
     )
     # per-bucket totals, then exclusive running offsets in

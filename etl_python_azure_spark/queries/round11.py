@@ -746,9 +746,10 @@ def streaming_span_dedup_equiv(
     Scale shape per batch: one within-batch fingerprint window, one
     anti-join against the state, one span explode of the batch and
     two fp-keyed semi-joins (state spans + lower-id batch spans) —
-    all delta-sized except the span-state probe, which at 100 TB is
-    a bucketed fingerprint table co-partitioned with the probe key
-    (the incremental_dedup_pairs discipline)."""
+    all delta-sized except the span-state probe, which at 100 TB
+    reads the maintained spans sidecar instead of a state
+    re-projection (implemented in r12: ``plans.sidecars``, pinned
+    end-to-end by the ``dedup_sidecar_equiv`` twin of this query)."""
     from ..operators.dedup import word_shingles
 
     d = load_tables(spark, sf_dir, "documents").select(

@@ -40,7 +40,12 @@ from .round11b import _QSCORE_SQL, _QWEIGHT_SQL, _quality_weighted
 # --------------------------------------------------------------------------
 
 _DSE_W = 8
-_DSE_BATCHES = 4
+# 3 batches (vs the reprojection twin's 4): the equivalence proof
+# needs >= 2 state-probing batches; the fold's cost is fixed
+# overhead per batch (3 writes + 2 lineage checkpoints + sidecar
+# read-backs), so the trim buys ~25% off the driver-gate row
+# without weakening what the shared oracle pins
+_DSE_BATCHES = 3
 
 
 @register("dedup_sidecar_equiv", _ssde_oracle(_DSE_BATCHES, _DSE_W))

@@ -17,11 +17,15 @@ named part files, so there is no file-overwrite hazard either —
 semantic dedup is the idempotence mechanism, the same property the
 batch pipeline's re-run test pins.
 
-Scale shape per micro-batch: all stages are delta-sized except one
-fingerprint projection and one LSH band probe of the base (at
-100 TB both come from maintained sidecar tables rather than a
-re-projection — see `curate_increment`'s docstring). State lives in
-the file-source checkpoint (processed-file offsets), not the driver.
+Scale shape per micro-batch: with ``sidecar_dir`` set (the 100 TB
+form, implemented in r12) ALL stages are delta-sized — the base's
+fingerprint, LSH-band, and span-fingerprint probes read the
+maintained :mod:`..plans.sidecars` tables appended at admission
+time, and base text is only fetched for LSH confirmation candidates.
+Without it, each batch re-projects those probes from the base
+parquet (correct, but per-batch cost grows with the base). State
+lives in the file-source checkpoint (processed-file offsets) and
+the sidecar tables, not the driver.
 """
 
 from __future__ import annotations
