@@ -61,8 +61,61 @@ def main(argv: list[str] | None = None) -> int:
         "--explain", action="store_true", help="print the physical plan"
     )
 
+    sc = sub.add_parser(
+        "sidecars",
+        help="maintain the dedup sidecar tables the incremental "
+        "curation probes (plans.sidecars): build bootstraps from an "
+        "existing base corpus, sync repairs after a crash, compact "
+        "dedupes and sorts by probe key",
+    )
+    sc.add_argument("action", choices=["build", "sync", "compact"])
+    sc.add_argument("--dir", required=True, help="sidecar directory")
+    sc.add_argument(
+        "--base", help="base corpus parquet dir (build/sync)"
+    )
+    sc.add_argument("--span-window", type=int, default=None)
+    sc.add_argument("--files-per-table", type=int, default=4)
+
     args = ap.parse_args(argv)
     from .session import get_spark
+
+    if args.pipeline == "sidecars":
+        from .plans import sidecars as sctbl
+
+        spark = get_spark(f"sidecars-{args.action}")
+        t0 = time.time()
+        if args.action in ("build", "sync") and not args.base:
+            print("--base is required for build/sync", file=sys.stderr)
+            return 2
+        if args.action == "build":
+            sctbl.build_sidecars(
+                spark, args.base, args.dir, span_window=args.span_window
+            )
+            detail: dict = {}
+        elif args.action == "sync":
+            detail = {
+                "repaired_docs": sctbl.sync_sidecars(
+                    spark, args.base, args.dir,
+                    span_window=args.span_window,
+                )
+            }
+        else:
+            detail = {
+                "rows": sctbl.compact_sidecars(
+                    spark, args.dir, files_per_table=args.files_per_table
+                )
+            }
+        print(
+            json.dumps(
+                {
+                    "sidecars": args.action,
+                    "dir": args.dir,
+                    "elapsed_sec": round(time.time() - t0, 1),
+                    **detail,
+                }
+            )
+        )
+        return 0
 
     if args.pipeline == "query":
         from .queries import registry

@@ -218,6 +218,64 @@ def build_sidecars(
     )
 
 
+_PROBE_KEYS = {
+    "fp": ["fp"],
+    "bands": ["band", "band_sig"],
+    "spans": ["sfp"],
+}
+
+
+def compact_sidecars(
+    spark: SparkSession,
+    sidecar_dir: str,
+    files_per_table: int = 4,
+) -> dict[str, tuple[int, int]]:
+    """Maintenance rewrite of every existing sidecar table:
+    ``distinct`` rows (folds the band/span duplicates a crash repair
+    may have appended), range-partitioned and sorted by the table's
+    PROBE key (fp / (band, band_sig) / sfp) so parquet row-group
+    min/max statistics prune the per-batch probe joins, and the
+    append-accumulated small files collapse to *files_per_table*
+    (size by bytes — ~128 MB row groups — on a real cluster; file
+    count is the lever that matters at local scale). Returns
+    {table: (rows_before, rows_after)}.
+
+    Swap protocol: write to ``<table>__compact``, rename the live
+    table to ``<table>__old``, rename the compact dir in, delete the
+    old. A crash between the two renames leaves NO live table — and
+    that is SAFE by construction: the fp ledger is then empty, so
+    the next batch's :func:`sync_sidecars` re-appends every base
+    document's projections (expensive once, never wrong), exactly
+    the self-heal path crash repair already exercises. Run
+    compaction between batches, not concurrently with one.
+    """
+    out: dict[str, tuple[int, int]] = {}
+    for which, keys in _PROBE_KEYS.items():
+        path = os.path.join(sidecar_dir, which)
+        if not os.path.isdir(path):
+            continue
+        df = read_sidecar(spark, sidecar_dir, which)
+        before = df.count()
+        compact = (
+            df.distinct()
+            .repartitionByRange(files_per_table, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+        )
+        tmp = path + "__compact"
+        old = path + "__old"
+        compact.write.mode("overwrite").parquet(tmp)
+        after = spark.read.schema(_SCHEMAS[which]).parquet(tmp).count()
+        import shutil
+
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        out[which] = (before, after)
+    return out
+
+
 def sync_sidecars(
     spark: SparkSession,
     base_dir: str,
@@ -244,12 +302,24 @@ def sync_sidecars(
     _check_meta(sidecar_dir, shingle_n, num_hashes, band_size, span_window)
     if not os.path.isdir(base_dir):
         return 0
+    base = spark.read.parquet(base_dir).select("doc_id", "text")
+    # a DERIVED table can vanish entirely while the fp ledger
+    # survives (a compaction crash between its two renames) — the
+    # ledger diff below cannot see that, so snapshot which tables
+    # are absent NOW (the ledger append creates their dirs) and
+    # rebuild those from the full base afterwards. Full-base work,
+    # but only on the compaction-crash path; never on the per-batch
+    # fast path. The rebuild may duplicate rows the ledger append
+    # just wrote for the same crash window — set-semantics probes,
+    # folded by the next compaction.
+    derived = ["bands"] + (["spans"] if span_window is not None else [])
+    absent = [
+        w for w in derived
+        if not os.path.isdir(os.path.join(sidecar_dir, w))
+        and os.path.isdir(os.path.join(sidecar_dir, "fp"))
+    ]
     have = read_sidecar(spark, sidecar_dir, "fp").select("doc_id")
-    missing = (
-        spark.read.parquet(base_dir)
-        .select("doc_id", "text")
-        .join(have, "doc_id", "left_anti")
-    )
+    missing = base.join(have, "doc_id", "left_anti")
     # bounded eager count: the missing set is at most one crashed
     # batch's worth of rows, and the append below needs to know
     # whether there is anything to write at all
@@ -258,5 +328,12 @@ def sync_sidecars(
         append_sidecars(
             spark, missing, sidecar_dir, shingle_n, num_hashes,
             band_size, span_window,
+        )
+    for which in absent:
+        frame = sidecar_frames(
+            base, shingle_n, num_hashes, band_size, span_window
+        )[which]
+        frame.write.mode("append").parquet(
+            os.path.join(sidecar_dir, which)
         )
     return n

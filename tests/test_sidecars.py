@@ -224,3 +224,97 @@ def test_streaming_ingest_maintains_sidecars(spark, tmp_path):
     assert (
         base.select("doc_id").exceptAll(fp.select("doc_id")).count() == 0
     )
+
+
+def test_compact_folds_duplicates_and_preserves_probes(spark, tmp_path):
+    """Compaction: distinct rows (folds crash-repair duplicates),
+    sorted/range-partitioned by probe key, and the admit decision is
+    IDENTICAL through the compacted tables."""
+    from etl_python_azure_spark.plans.sidecars import (
+        build_sidecars,
+        compact_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    # manufacture crash-repair duplicates: drop the fp LEDGER only,
+    # then sync — bands/spans rows for every base doc get re-appended
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "sc" / "fp"))
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == len(
+        _BASE_ROWS
+    )
+    bands_dup = read_sidecar(spark, sc_dir, "bands").count()
+    assert bands_dup == 2 * read_sidecar(
+        spark, sc_dir, "bands"
+    ).distinct().count()
+
+    stats = compact_sidecars(spark, sc_dir, files_per_table=1)
+    assert stats["bands"][0] == bands_dup
+    assert stats["bands"][1] == bands_dup // 2
+    # probes unchanged: same admit decision as the legacy path
+    delta = _docs(spark, _DELTA_ROWS)
+    legacy = _admit_ids(spark, base_dir, delta, span_window=4)
+    compacted = _admit_ids(
+        spark, base_dir, delta, sidecar_dir=sc_dir, span_window=4
+    )
+    assert compacted == legacy
+
+
+def test_sync_rebuilds_vanished_derived_table(spark, tmp_path):
+    """A compaction crash between its two renames can leave a
+    derived table ABSENT while the fp ledger survives — the
+    ledger-keyed diff can't see that, so sync must rebuild the
+    table from the full base."""
+    import shutil
+
+    from etl_python_azure_spark.plans.sidecars import (
+        build_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    shutil.rmtree(str(tmp_path / "sc" / "bands"))
+    # ledger is complete, so repaired-doc count is 0 — but the
+    # vanished table must come back fully populated
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
+    bands_ids = {
+        r["doc_id"]
+        for r in read_sidecar(spark, sc_dir, "bands")
+        .select("doc_id").distinct().collect()
+    }
+    assert bands_ids == {1, 2, 3}
+
+
+def test_cli_sidecars_roundtrip(spark, tmp_path, capsys):
+    """The sidecars CLI: build → sync (no-op) → compact, one JSON
+    line each."""
+    import json
+
+    from etl_python_azure_spark.cli import main
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    assert main(["sidecars", "build", "--dir", sc_dir,
+                 "--base", base_dir, "--span-window", "4"]) == 0
+    assert main(["sidecars", "sync", "--dir", sc_dir,
+                 "--base", base_dir, "--span-window", "4"]) == 0
+    assert main(["sidecars", "compact", "--dir", sc_dir]) == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert [o["sidecars"] for o in lines] == ["build", "sync", "compact"]
+    assert lines[1]["repaired_docs"] == 0
+    assert lines[2]["rows"]["fp"][1] == len(_BASE_ROWS)
