@@ -385,9 +385,19 @@ def curate_corpus_v3_frames(
     semantics and scale shape are documented on
     :func:`curate_corpus_v3`.
 
-    Persists the flags / exact / near / span / tagged frames (each
-    feeds 2+ consumers) — deliberately-leaked handles, released by
-    the caller's ``spark.catalog.clearCache()``.
+    localCheckpoints the flags / exact / near / span / tagged frames
+    (each feeds 2+ consumers) — EAGER: the chain materializes stage
+    by stage during this call, each stage reading the previous
+    stage's checkpoint. Two reasons over lazy persist (both r12,
+    both measured): consumers run in concurrently scheduled stages
+    where an unmaterialized cache dedupes nothing (the
+    curate_increment 6× re-eval), and the un-truncated lineage
+    compounds across stages into multi-megabyte logical plans whose
+    ANALYSIS alone OOMed a default-heap driver session on the
+    attribution query's join union (5.4 MB plan string; found by the
+    vanilla-session oracle sweep). Checkpoint blocks free when the
+    frames dict is garbage-collected; callers' clearCache() stays
+    harmless.
 
     Returns frames keyed: ``input`` (pre-URL), ``url`` (URL-kept),
     ``flags`` (Gopher flags over the URL-kept set), ``quality``,
@@ -421,7 +431,7 @@ def curate_corpus_v3_frames(
     # one-pass n_url/n_quality aggregate of the counts consumer
     flags = gopher_quality_flags(
         d, carry_cols=["source", "lang", "text"]
-    ).persist()
+    ).localCheckpoint()
     frames["flags"] = flags
     kept = flags.filter(F.col("pass_all")).select(
         "doc_id", "source", "lang", "text"
@@ -433,7 +443,7 @@ def curate_corpus_v3_frames(
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-    ).persist()
+    ).localCheckpoint()
     frames["exact"] = exact
 
     pairs = minhash_lsh_pairs(
@@ -449,7 +459,7 @@ def curate_corpus_v3_frames(
         )
     else:
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    near = exact.join(drop, "doc_id", "left_anti").persist()
+    near = exact.join(drop, "doc_id", "left_anti").localCheckpoint()
     frames["near"] = near
 
     # span dedup: a doc at least half of whose W-token spans are
@@ -467,7 +477,7 @@ def curate_corpus_v3_frames(
         .filter(F.lit(2) * F.col("__nc") >= F.col("__ns"))
         .select("doc_id")
     )
-    span_kept = near.join(span_drop, "doc_id", "left_anti").persist()
+    span_kept = near.join(span_drop, "doc_id", "left_anti").localCheckpoint()
     frames["span"] = span_kept
 
     # DSIR gate: keep docs scoring more English-subcorpus-like than
@@ -487,7 +497,7 @@ def curate_corpus_v3_frames(
 
     b = hash_bucket("doc_id", 100)
     split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    tagged = selected.withColumn("split", split).persist()
+    tagged = selected.withColumn("split", split).localCheckpoint()
     frames["tagged"] = tagged
     ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
     frames["leaked"] = (

@@ -442,10 +442,17 @@ _R11_WINDOW = [
 # resolvable entries. Whichever r05 names miss the cut head the
 # r13 queue.
 _R12_WINDOW = [
-    # plan/oracle changed in r12 — re-prove (r11 ADVICE/perf items)
+    # plan/oracle changed in r12 — re-prove (r11 ADVICE/perf items,
+    # plus the v3 chain whose stage frames moved from lazy persist
+    # to eager localCheckpoint after the vanilla-session sweep OOMed
+    # the attribution join's 5.4MB un-truncated logical plan on a
+    # default-heap driver)
     "lang_id_ngram_profile",
     "part_ship_overlap_pairs",
     "unimax_language_budgets",
+    "curation_v3_counts_report",
+    "curation_v3_counts_lite",
+    "curation_drop_attribution",
     # new in round 12 — first-ever driver rows
     "dedup_sidecar_equiv",
     "token_budget_equalized",

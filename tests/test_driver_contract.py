@@ -80,14 +80,16 @@ def test_driver_window_invariants():
     assert len(set(_R12_WINDOW)) == len(_R12_WINDOW)
     assert list(reg)[:50] == resolvable[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r12 mandate (r11 verdict, top_next): slots 1-3 are the queries
+    # r12 mandate (r11 verdict, top_next): slots 1-6 are the queries
     # whose plan or oracle changed this round (the r11 ADVICE/perf
-    # items), slots 4-5 the queries NEW in round 12, slots 6-40 the
-    # 35 r04-cohort names booked at the r11 window tail
-    # (cms_token_frequency on, alphabetical), then r05-cohort fill
+    # items + the v3-chain lineage-truncation fix), slots 7-8 the
+    # queries NEW in round 12, then the 35 r04-cohort names booked
+    # at the r11 window tail (cms_token_frequency on, alphabetical),
+    # then r05-cohort fill
     changed_r12 = [
         "lang_id_ngram_profile", "part_ship_overlap_pairs",
-        "unimax_language_budgets",
+        "unimax_language_budgets", "curation_v3_counts_report",
+        "curation_v3_counts_lite", "curation_drop_attribution",
     ]
     new_r12 = ["dedup_sidecar_equiv", "token_budget_equalized"]
     r04_thirty_five = [
@@ -110,12 +112,12 @@ def test_driver_window_invariants():
         "value_median_mad_by_type", "zipf_fit_top_tokens",
         "zorder_key_stats",
     ]
-    assert _R12_WINDOW[:3] == changed_r12
-    assert _R12_WINDOW[3:5] == new_r12
-    assert _R12_WINDOW[5:40] == r04_thirty_five
+    assert _R12_WINDOW[:6] == changed_r12
+    assert _R12_WINDOW[6:8] == new_r12
+    assert _R12_WINDOW[8:43] == r04_thirty_five
     # the r05-cohort fill is alphabetical (stalest cohort first; the
     # tail past the 50-cut heads the r13 queue)
-    r05_fill = _R12_WINDOW[40:]
+    r05_fill = _R12_WINDOW[43:]
     assert r05_fill == sorted(r05_fill)
     # every r12-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
