@@ -541,13 +541,18 @@ _R12_WINDOW = [
     "window_toolbox_orders",
     # r13 window queue: lead with any queries whose plan or oracle
     # changes in r13 and the queries new in r13, then the r05-cohort
-    # names above that miss this window's 50-cut (the 34 from
-    # embedding_norm_health, alphabetical, assuming the 5-name r12
+    # names above that miss this window's 50-cut (the 37 from
+    # embedding_norm_health, alphabetical, assuming the 8-name r12
     # head lands in full), then re-proof fill from the r08 cohort,
     # stalest first. Write the list AS CODE in the first r13 commit
     # and repin tests/test_driver_contract.py's
     # test_driver_window_invariants to _R13_WINDOW in the same
-    # commit (it asserts first-50 == registry order).
+    # commit (it asserts first-50 == registry order). One booked
+    # plan change for r13: convert curate_corpus (v2)'s two lazy
+    # persists to eager localCheckpoints, the same
+    # concurrent-stage/lineage fix r12 applied to curate_increment
+    # and the v3 frames (SCALING.md r12 section) — re-prove
+    # curation_counts_report (v2's registry caller) in that head.
 ]
 
 _R05_WINDOW = [
