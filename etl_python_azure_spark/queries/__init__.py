@@ -539,20 +539,134 @@ _R12_WINDOW = [
     "value_quartiles_by_type",
     "weighted_sample_docs",
     "window_toolbox_orders",
-    # r13 window queue: lead with any queries whose plan or oracle
-    # changes in r13 and the queries new in r13, then the r05-cohort
-    # names above that miss this window's 50-cut (the 37 from
-    # embedding_norm_health, alphabetical, assuming the 8-name r12
-    # head lands in full), then re-proof fill from the r08 cohort,
-    # stalest first. Write the list AS CODE in the first r13 commit
-    # and repin tests/test_driver_contract.py's
-    # test_driver_window_invariants to _R13_WINDOW in the same
-    # commit (it asserts first-50 == registry order). One booked
-    # plan change for r13: convert curate_corpus (v2)'s two lazy
-    # persists to eager localCheckpoints, the same
-    # concurrent-stage/lineage fix r12 applied to curate_increment
-    # and the v3 frames (SCALING.md r12 section) — re-prove
-    # curation_counts_report (v2's registry caller) in that head.
+    # (r13 queue drained: see _R13_WINDOW below, written as code in
+    # the first r13 commit per the r07/r08 lesson.)
+]
+
+# The r13 window drains the queue the r12 verdict booked at
+# _R12_WINDOW's tail: lead with the queries whose plan changes in
+# r13 — curation_counts_report (curate_corpus v2's two lazy persists
+# become eager localCheckpoints, the same concurrent-stage/lineage
+# fix r12 applied to curate_increment and the v3 frames) and
+# dedup_sidecar_equiv (the driver-side report collect drops — every
+# fold step is localCheckpointed so the returned union reads
+# checkpoint blocks, not the deleted temp parquet; plus the span
+# fingerprint recipe unification) — then the query NEW in r13
+# (sidecar_compaction_equiv: the admit fold with a mid-fold
+# compact_sidecars, proving the compaction swap preserves probe
+# semantics under the driver), then the 37 r05-stale names (the
+# _R12_WINDOW tail past slot 50 — computed from the CORRECTNESS_r*
+# union, customers_without_orders on, alphabetical), then re-proof
+# fill from the r08 cohort (newest driver evidence round 8),
+# alphabetical. The list deliberately overflows 50 so a missing
+# name cannot shrink the window — the driver records the first 50
+# resolvable entries. Whichever r08 names miss the cut head the
+# r14 queue.
+_R13_WINDOW = [
+    # plan changed in r13 — re-prove
+    "curation_counts_report",
+    "dedup_sidecar_equiv",
+    # new in round 13 — first-ever driver row
+    "sidecar_compaction_equiv",
+    # r05-cohort re-proof (the booked 37: newest driver evidence is
+    # still round 5; alphabetical)
+    "customers_without_orders",
+    "derived_surrogate_key",
+    "doc_length_auc_by_source",
+    "embedding_norm_health",
+    "event_pair_rules",
+    "filter_project_scale",
+    "first_last_order_price",
+    "gopher_quality_report",
+    "iso_split_and_parse",
+    "label_projection_stats",
+    "lang_id_confusion",
+    "left_join_enrich",
+    "monthly_order_volume",
+    "null_fill_cast",
+    "null_safe_join",
+    "outlier_orders_p95",
+    "pca_top2_components",
+    "pca_top_component",
+    "pivot_qty_by_status",
+    "pricing_summary",
+    "purged_fold_report",
+    "rank_normalized_value_by_type",
+    "revenue_by_nation",
+    "running_customer_spend",
+    "score_reliability_bins",
+    "segment_target_encoding",
+    "source_dup_health",
+    "source_signature_terms",
+    "source_temperature_mix",
+    "split_leakage_report",
+    "top100_orders",
+    "top3_orders_per_segment",
+    "union_with_drift",
+    "unpivot_order_metrics",
+    "value_quartiles_by_type",
+    "weighted_sample_docs",
+    "window_toolbox_orders",
+    # r08-cohort re-proof fill (alphabetical; curation_counts_report
+    # already heads the window — tail past slot 50 feeds the r14
+    # queue)
+    "acctbal_dominance",
+    "ann_ivf_topk",
+    "approx_distinct_certificate",
+    "approx_quantile_certificate",
+    "brand_price_stats",
+    "cc_cluster_sizes",
+    "cdc_split_new",
+    "cdc_split_updated",
+    "containment_dedup_pairs",
+    "corr_regression_qty_price",
+    "cube_order_stats",
+    "custdist_order_counts",
+    "customer_set_ops",
+    "customers_with_big_order",
+    "distinct_cardinalities",
+    "drift_tolerant_select",
+    "drop_all_null_columns_q",
+    "dropna_after_left_join",
+    "filter_variety",
+    "grouping_sets_revenue",
+    "heaps_law_vocab_fit",
+    "hll_source_overlap",
+    "incremental_dedup_pairs",
+    "json_flatten_props",
+    "large_volume_customers",
+    "mase_seasonal_screen",
+    "minhash_dedup_pairs",
+    "minhash_jaccard_calibration",
+    "mmr_diversified_topk",
+    "mmr_ivf_topk",
+    "nation_revenue_share",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "order_rank_stats",
+    "order_value_quantiles",
+    "orders_with_large_items",
+    "prefix_jaccard_pairs",
+    "promo_revenue_by_supp_nation",
+    "rich_inactive_customers",
+    "rm3_expanded_bm25",
+    "rollup_quantity",
+    "scalar_null_toolbox",
+    "shipping_priority",
+    "sliding_window_refresh",
+    "string_length_gate",
+    "string_toolbox",
+    "top3_per_segment_agg",
+    "trailing_week_revenue",
+    "trigram_lm_scores",
+    # r14 window queue: lead with any queries whose plan or oracle
+    # changes in r14 and the queries new in r14, then the r08-cohort
+    # names above that miss this window's 50-cut, then re-proof fill
+    # from the r09 cohort (next-stalest), alphabetical. Write the
+    # list AS CODE in the first r14 commit and repin
+    # tests/test_driver_contract.py's test_driver_window_invariants
+    # to _R14_WINDOW in the same commit (it asserts first-50 ==
+    # registry order).
 ]
 
 _R05_WINDOW = [
@@ -737,6 +851,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round11b  # noqa: F401
     from . import round12  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R12_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R13_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

@@ -69,60 +69,58 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R12_WINDOW, registry
+    from etl_python_azure_spark.queries import _R13_WINDOW, registry
 
     reg = registry()
-    # the r12 list deliberately OVERFLOWS 50 (missing-name armor:
+    # the r13 list deliberately OVERFLOWS 50 (missing-name armor:
     # the driver records the first 50 resolvable entries, so a typo
     # slides fill up instead of shrinking the window)
-    resolvable = [n for n in _R12_WINDOW if n in reg]
+    resolvable = [n for n in _R13_WINDOW if n in reg]
     assert len(resolvable) >= 50
-    assert len(set(_R12_WINDOW)) == len(_R12_WINDOW)
+    assert len(set(_R13_WINDOW)) == len(_R13_WINDOW)
     assert list(reg)[:50] == resolvable[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r12 mandate (r11 verdict, top_next): slots 1-6 are the queries
-    # whose plan or oracle changed this round (the r11 ADVICE/perf
-    # items + the v3-chain lineage-truncation fix), slots 7-8 the
-    # queries NEW in round 12, then the 35 r04-cohort names booked
-    # at the r11 window tail (cms_token_frequency on, alphabetical),
-    # then r05-cohort fill
-    changed_r12 = [
-        "lang_id_ngram_profile", "part_ship_overlap_pairs",
-        "unimax_language_budgets", "curation_v3_counts_report",
-        "curation_v3_counts_lite", "curation_drop_attribution",
+    # r13 mandate (r12 verdict, top_next): slots 1-2 are the queries
+    # whose plan changed this round (curate_corpus v2's
+    # persist→localCheckpoint conversion; dedup_sidecar_equiv's
+    # report-collect drop + span-recipe unification), slot 3 the
+    # query NEW in round 13 (mid-fold compaction equivalence), then
+    # the 37 r05-stale names (computed from the CORRECTNESS_r* union
+    # — the _R12_WINDOW tail past the 50-cut), then r08-cohort fill
+    changed_r13 = ["curation_counts_report", "dedup_sidecar_equiv"]
+    new_r13 = ["sidecar_compaction_equiv"]
+    r05_thirty_seven = [
+        "customers_without_orders", "derived_surrogate_key",
+        "doc_length_auc_by_source", "embedding_norm_health",
+        "event_pair_rules", "filter_project_scale",
+        "first_last_order_price", "gopher_quality_report",
+        "iso_split_and_parse", "label_projection_stats",
+        "lang_id_confusion", "left_join_enrich",
+        "monthly_order_volume", "null_fill_cast",
+        "null_safe_join", "outlier_orders_p95",
+        "pca_top2_components", "pca_top_component",
+        "pivot_qty_by_status", "pricing_summary",
+        "purged_fold_report", "rank_normalized_value_by_type",
+        "revenue_by_nation", "running_customer_spend",
+        "score_reliability_bins", "segment_target_encoding",
+        "source_dup_health", "source_signature_terms",
+        "source_temperature_mix", "split_leakage_report",
+        "top100_orders", "top3_orders_per_segment",
+        "union_with_drift", "unpivot_order_metrics",
+        "value_quartiles_by_type", "weighted_sample_docs",
+        "window_toolbox_orders",
     ]
-    new_r12 = ["dedup_sidecar_equiv", "token_budget_equalized"]
-    r04_thirty_five = [
-        "cms_token_frequency", "daily_purchase_rate_ci",
-        "doc_novelty_scores", "dup_cluster_histogram",
-        "event_value_outliers", "ewma_user_daily_value",
-        "hybrid_search_topk", "interpolated_daily_values",
-        "k_anonymity_report", "label_centroid_quality",
-        "label_noise_scan", "nation_triangle_counts",
-        "native_session_rollup", "ohlc_daily_bars",
-        "pagerank_trade_graph", "positional_unnest_embeddings",
-        "psi_value_drift", "quality_pr_curve",
-        "quota_sample_sources", "rrf_fusion_topk",
-        "scd2_point_in_time", "scd2_priority_history",
-        "session_funnel", "snapshot_diff_orders",
-        "sorted_neighborhood_dups", "source_pair_jaccard",
-        "stateful_session_equiv", "tfidf_cosine_pairs",
-        "touch_attribution_paths", "ts_similarity_blocked_pairs",
-        "ts_similarity_bruteforce_topk", "unigram_logprob_scores",
-        "value_median_mad_by_type", "zipf_fit_top_tokens",
-        "zorder_key_stats",
-    ]
-    assert _R12_WINDOW[:6] == changed_r12
-    assert _R12_WINDOW[6:8] == new_r12
-    assert _R12_WINDOW[8:43] == r04_thirty_five
-    # the r05-cohort fill is alphabetical (stalest cohort first; the
-    # tail past the 50-cut heads the r13 queue)
-    r05_fill = _R12_WINDOW[43:]
-    assert r05_fill == sorted(r05_fill)
-    # every r12-new name must resolve by round end (they land over
+    assert _R13_WINDOW[:2] == changed_r13
+    assert _R13_WINDOW[2:3] == new_r13
+    assert _R13_WINDOW[3:40] == r05_thirty_seven
+    # the r08-cohort fill is alphabetical (stalest cohort first; the
+    # tail past the 50-cut heads the r14 queue)
+    r08_fill = _R13_WINDOW[40:]
+    assert r08_fill == sorted(r08_fill)
+    # every r13-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)
-    missing = [n for n in new_r12 if n not in reg]
+    missing = [n for n in new_r13 if n not in reg]
     assert not missing or len(resolvable) >= 50, missing
 
 
@@ -169,11 +167,12 @@ def _coupled_names(source: str) -> list[str]:
             _R06_WINDOW,
             _R10_WINDOW,
             _R11_WINDOW,
+            _R12_WINDOW,
         )
 
         return [
             *_R04_WINDOW, *_R05_WINDOW, *_R06_WINDOW, *_R10_WINDOW,
-            *_R11_WINDOW,
+            *_R11_WINDOW, *_R12_WINDOW,
         ]
     if source == "artifact_consumers":
         from etl_python_azure_spark.queries._artifacts import (
