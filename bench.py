@@ -160,6 +160,10 @@ OPTIONAL = [
     "adamic_adar_order_links",
     "mmr_diversified_topk",
     "unpivot_order_metrics",
+    # r13: the orders-status melt relational.py had registered under
+    # the same name as round5's lineitem-profile melt (import-order
+    # race, now a hard error) — renamed, timed here
+    "unpivot_status_metrics",
     # round-6
     "rm3_expanded_bm25",
     "minhash_jaccard_calibration",

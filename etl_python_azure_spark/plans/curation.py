@@ -86,9 +86,15 @@ def curate_corpus(
     )
     # near-dedup feeds THREE consumers (pair gen reads it twice via
     # the LSH join, the anti-join reads it once) and sits above the
-    # dedup window shuffle — materialize once. Deliberately-leaked
-    # handle: released by the caller's clearCache() (bench does so).
-    exact = exact.persist()
+    # dedup window shuffle. localCheckpoint, NOT persist (r13, the
+    # same fix r12 applied to curate_increment and the v3 frames):
+    # all three consumers land in stages the scheduler can run
+    # CONCURRENTLY inside the ONE train-write action, where a
+    # lazily-cached frame gives zero compute dedup — each stage
+    # re-ran the quality gate + dedup window. Eager checkpoint
+    # materializes once, serially, and truncates lineage; blocks
+    # free when the frame is GC'd at call end.
+    exact = exact.localCheckpoint()
 
     # near-dedup: LSH candidates verified by exact Jaccard; greedy
     # drop of the higher id in every confirmed pair (the standard
@@ -105,12 +111,15 @@ def curate_corpus(
     near = exact.join(drop, "doc_id", "left_anti")
 
     # deterministic split + leakage audit (fp crossing splits).
-    # `tagged` sits above the LSH candidate join — persist it so the
-    # split counts, the audit, and the train write don't re-run the
-    # near-dedup (deliberately-leaked handle, as above).
+    # `tagged` sits above the LSH candidate join — checkpoint it so
+    # the split counts, the audit, and the train write don't re-run
+    # the near-dedup (eager localCheckpoint, as above: the leakage
+    # audit and the quota rank are concurrent consumers within the
+    # write action, and the un-truncated LSH plan is what OOMed a
+    # default-heap driver in the v3 chain before r12's fix).
     b = hash_bucket("doc_id", 100)
     split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    tagged = near.withColumn("split", split).persist()
+    tagged = near.withColumn("split", split).localCheckpoint()
     ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
     leaked = (
         ps.groupBy("fp")

@@ -69,6 +69,12 @@ def register(name: str, oracle: str | None):
     """Decorator: add a builder to the registry."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # duplicate names made registry CONTENT depend on module
+        # import order (whichever module a process imported last
+        # won — r13 found round5 vs relational racing on
+        # unpivot_order_metrics); fail loudly instead
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         _REGISTRY[name] = QuerySpec(builder=fn, oracle=oracle)
         return fn
 
@@ -660,10 +666,13 @@ _R13_WINDOW = [
     "trailing_week_revenue",
     "trigram_lm_scores",
     # r14 window queue: lead with any queries whose plan or oracle
-    # changes in r14 and the queries new in r14, then the r08-cohort
-    # names above that miss this window's 50-cut, then re-proof fill
-    # from the r09 cohort (next-stalest), alphabetical. Write the
-    # list AS CODE in the first r14 commit and repin
+    # changes in r14 and the queries new in r14 — plus
+    # unpivot_status_metrics, registered mid-r13 (the de-collided
+    # orders-status melt) after this window was booked, so its first
+    # driver row is r14's to record — then the r08-cohort names
+    # above that miss this window's 50-cut, then re-proof fill from
+    # the r09 cohort (next-stalest), alphabetical. Write the list AS
+    # CODE in the first r14 commit and repin
     # tests/test_driver_contract.py's test_driver_window_invariants
     # to _R14_WINDOW in the same commit (it asserts first-50 ==
     # registry order).

@@ -1741,9 +1741,14 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNPIVOT (wide → long): per-status metric columns melted to
 # (status, metric, value) rows — Spark's unpivot/melt; the oracle
 # states the equivalent UNION ALL (engine-neutral form).
+# (Renamed from `unpivot_order_metrics` in r13: round5.py had
+# re-registered that name with different lineitem-profile semantics,
+# leaving the registry content dependent on module import order —
+# whichever module a test process imported LAST won. register()
+# now raises on duplicates.)
 # --------------------------------------------------------------------------
 @register(
-    "unpivot_order_metrics",
+    "unpivot_status_metrics",
     """
     WITH m AS (
       SELECT o_orderstatus,
@@ -1760,7 +1765,7 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, 'min_price', min_price FROM m
     """,
 )
-def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir, "orders")
     m = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n_orders"),

@@ -48,24 +48,24 @@ _DSE_W = 8
 _DSE_BATCHES = 3
 
 
-@register("dedup_sidecar_equiv", _ssde_oracle(_DSE_BATCHES, _DSE_W))
-def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`streaming_span_dedup_equiv`'s admit fold re-run through the
-    MAINTAINED SIDECAR TABLES (`plans.sidecars`): the base corpus and
-    its exact-fingerprint + span-fingerprint sidecars live as real
-    parquet directories; each batch's state probes READ THE SIDECARS
-    (never re-project fingerprints from base text), and admission
-    appends base rows first, sidecar rows second — the crash-ordering
-    the `sync_sidecars` repair path assumes. The oracle is the
-    reprojection-semantics fold (shared with
-    `streaming_span_dedup_equiv`), so a green row proves
-    sidecar-probe ≡ base-reprojection — the "maintained sidecars are
-    the 100 TB form" claim, demonstrated rather than documented.
+def _sidecar_admit_fold(
+    spark: SparkSession,
+    sf_dir: str,
+    batches: int,
+    span_w: int,
+    compact_after: frozenset[int] = frozenset(),
+) -> DataFrame:
+    """The exact+span streaming admit fold through MAINTAINED SIDECAR
+    TABLES under a temp root — shared by ``dedup_sidecar_equiv`` and
+    ``sidecar_compaction_equiv`` (which runs ``compact_sidecars``
+    after the batches named in *compact_after*, proving the swap
+    protocol preserves probe semantics mid-fold).
 
-    Scale shape per batch: all probes are delta × sidecar joins; the
-    sidecar tables are append-only projections sized by admitted
-    fingerprints/spans, and the base text is touched exactly once
-    per document (at admission), never again.
+    Every fold step is ``localCheckpoint()``ed, so the returned
+    union reads checkpoint blocks — NOT the temp parquet — and the
+    temp root is removed before returning (no driver-side collect;
+    the r12-verdict nit). ``tests/test_sidecars.py`` pins that the
+    returned frame stays re-executable after the cleanup.
     """
     import shutil
     import tempfile
@@ -73,6 +73,7 @@ def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import word_shingles
     from ..plans.sidecars import (
         append_sidecars,
+        compact_sidecars,
         read_sidecar,
     )
 
@@ -85,9 +86,9 @@ def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc_dir = f"{root}/sidecars"
     try:
         out = None
-        for k in range(_DSE_BATCHES):
+        for k in range(batches):
             batch = d.filter(
-                F.pmod("doc_id", F.lit(_DSE_BATCHES)) == k
+                F.pmod("doc_id", F.lit(batches)) == k
             ).select("doc_id", "source", "text", fp.alias("fp"))
             from pyspark.sql import Window
 
@@ -105,7 +106,7 @@ def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             # span tier: batch spans vs the span SIDECAR or a
             # lower-id same-batch exact survivor
             bsp = (
-                word_shingles(survivors, "doc_id", "text", n=_DSE_W)
+                word_shingles(survivors, "doc_id", "text", n=span_w)
                 .select("doc_id", F.md5("shingle").alias("sfp"))
                 .distinct()
                 .localCheckpoint()  # fold-step lineage truncation
@@ -154,8 +155,12 @@ def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark,
                 adm.select("doc_id", "source", "text"),
                 sc_dir,
-                span_window=_DSE_W,
+                span_window=span_w,
             )
+            if k in compact_after:
+                # between batches, never concurrently with one — the
+                # documented compaction window
+                compact_sidecars(spark, sc_dir, files_per_table=1)
             rep = adm.select(
                 "doc_id",
                 "batch_idx",
@@ -163,13 +168,34 @@ def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nc").cast("long").alias("n_covered"),
             )
             out = rep if out is None else out.unionByName(rep)
-        # the fold already materialized every step via
-        # localCheckpoint; collect the (admitted-sized) report so the
-        # temp dirs can be removed before returning
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # every step above is checkpointed, so `out` reads checkpoint
+        # blocks, not the temp parquet — return it directly (no
+        # driver-side collect) and let the finally remove the files
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register("dedup_sidecar_equiv", _ssde_oracle(_DSE_BATCHES, _DSE_W))
+def dedup_sidecar_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_span_dedup_equiv`'s admit fold re-run through the
+    MAINTAINED SIDECAR TABLES (`plans.sidecars`): the base corpus and
+    its exact-fingerprint + span-fingerprint sidecars live as real
+    parquet directories; each batch's state probes READ THE SIDECARS
+    (never re-project fingerprints from base text), and admission
+    appends base rows first, sidecar rows second — the crash-ordering
+    the `sync_sidecars` repair path assumes. The oracle is the
+    reprojection-semantics fold (shared with
+    `streaming_span_dedup_equiv`), so a green row proves
+    sidecar-probe ≡ base-reprojection — the "maintained sidecars are
+    the 100 TB form" claim, demonstrated rather than documented.
+
+    Scale shape per batch: all probes are delta × sidecar joins; the
+    sidecar tables are append-only projections sized by admitted
+    fingerprints/spans, and the base text is touched exactly once
+    per document (at admission), never again.
+    """
+    return _sidecar_admit_fold(spark, sf_dir, _DSE_BATCHES, _DSE_W)
 
 
 # --------------------------------------------------------------------------

@@ -295,6 +295,25 @@ def test_sync_rebuilds_vanished_derived_table(spark, tmp_path):
     assert bands_ids == {1, 2, 3}
 
 
+def test_fold_frame_survives_tempdir_cleanup(spark, sf_dir):
+    """`_sidecar_admit_fold` (dedup_sidecar_equiv's body) returns its
+    report WITHOUT a driver-side collect: every fold step is
+    localCheckpointed, so the frame reads checkpoint blocks and must
+    stay fully re-executable after the temp base/sidecar dirs are
+    removed in the builder's finally — the driver collects AFTER the
+    builder returns."""
+    from etl_python_azure_spark.queries.round12 import (
+        dedup_sidecar_equiv,
+    )
+
+    df = dedup_sidecar_equiv(spark, sf_dir)
+    # two separate actions on the returned frame, both after cleanup
+    n = df.count()
+    rows = df.collect()
+    assert n == len(rows) > 0
+    assert {r["batch_idx"] for r in rows} == {0, 1, 2}
+
+
 def test_cli_sidecars_roundtrip(spark, tmp_path, capsys):
     """The sidecars CLI: build → sync (no-op) → compact, one JSON
     line each."""
