@@ -68,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
         "existing base corpus, sync repairs after a crash, compact "
         "dedupes and sorts by probe key",
     )
-    sc.add_argument("action", choices=["build", "sync", "compact"])
+    sc.add_argument(
+        "action", choices=["build", "sync", "compact", "unlock"]
+    )
     sc.add_argument("--dir", required=True, help="sidecar directory")
     sc.add_argument(
         "--base", help="base corpus parquet dir (build/sync)"
@@ -82,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.pipeline == "sidecars":
         from .plans import sidecars as sctbl
 
+        if args.action == "unlock":
+            # no Spark session needed: operator action after a
+            # compaction crash (follow with `sidecars sync`)
+            removed = sctbl.force_unlock_sidecars(args.dir)
+            print(json.dumps(
+                {"sidecars": "unlock", "dir": args.dir,
+                 "removed_lock": removed}
+            ))
+            return 0
         spark = get_spark(f"sidecars-{args.action}")
         t0 = time.time()
         if args.action in ("build", "sync") and not args.base:

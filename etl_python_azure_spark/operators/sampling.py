@@ -490,7 +490,10 @@ def ranked_cumsum(
     (*score_col* DESC, *id_col* ASC) — the primitive behind
     budget-constrained selection ("take the best documents until the
     token budget is full") and curriculum phase assignment, computed
-    WITHOUT a single-task global window.
+    WITHOUT a single-task global window. ``equalize=True`` is EAGER:
+    it executes *df*'s upstream lineage at construction time (details
+    below) — callers building frames speculatively should pass
+    ``equalize=False`` or delay the call.
 
     Distributed rank, :func:`epoch_shuffle`'s recipe adapted to a
     value order: ``floor(score · score_buckets)`` is a monotone

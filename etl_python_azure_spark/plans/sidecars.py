@@ -52,6 +52,16 @@ parameters (shingle n, minhash width, band size, span window);
 appends and probes with mismatched parameters raise instead of
 silently mixing incompatible fingerprints in one table.
 
+Two more loud-failure guards (r12 ADVICE): paths with a URI scheme
+(``abfss://``, ``s3a://``...) raise — this module's existence
+checks and swap are local-FS primitives and a remote URI would
+silently read every table as empty, disabling dedup; and a
+``_maintenance.lock`` held for the whole of :func:`compact_sidecars`
+makes any probe/append DURING (or after a crashed) compaction raise
+instead of reading the swap window's missing table as empty.
+:func:`force_unlock_sidecars` (CLI ``sidecars unlock``) clears a
+crashed lock; the follow-up ``sync`` self-heals the tables.
+
 Scale shape: appends are delta-sized projections; ``sync_sidecars``
 scans only the base's ``doc_id`` column (parquet column pruning)
 plus the text of the missing ids (normally zero rows; after a crash,
@@ -88,6 +98,62 @@ _SPANS_SCHEMA = T.StructType(
     ]
 )
 _SCHEMAS = {"fp": _FP_SCHEMA, "bands": _BANDS_SCHEMA, "spans": _SPANS_SCHEMA}
+
+
+def _check_local(path: str, param: str) -> None:
+    """This module's existence checks, meta guard, and compaction
+    swap are LOCAL-FS primitives (os.path.isdir / os.rename / open).
+    Pointed at a remote URI (abfss://, s3a://, hdfs://...) those
+    would silently see nothing — read_sidecar would return an EMPTY
+    frame, sync would repair 0 docs, and every base probe would pass
+    everything: duplicate documents admitted with no error. Fail
+    loudly instead (r12 ADVICE). The remote form needs these checks
+    routed through the Hadoop FileSystem API."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        raise ValueError(
+            f"{param}={path!r} has a URI scheme: plans.sidecars uses "
+            "local-filesystem primitives and would silently read "
+            "empty sidecar tables from a remote store, disabling "
+            "dedup. Use a local path (or mount), or port the "
+            "existence/meta/swap IO to the Hadoop FileSystem API."
+        )
+
+
+_LOCK_NAME = "_maintenance.lock"
+
+
+def _lock_path(sidecar_dir: str) -> str:
+    return os.path.join(sidecar_dir, _LOCK_NAME)
+
+
+def _check_unlocked(sidecar_dir: str) -> None:
+    """Raise while a compaction holds (or died holding) the
+    maintenance lock — a batch running inside compaction's two-rename
+    swap window would read a missing table as an EMPTY frame and
+    silently admit duplicates (r12 ADVICE). After confirming no
+    compactor is live, clear with :func:`force_unlock_sidecars` (CLI:
+    ``sidecars unlock``) and run ``sync`` — the vanished-table
+    rebuild self-heals whatever state the crash left."""
+    if os.path.exists(_lock_path(sidecar_dir)):
+        raise RuntimeError(
+            f"sidecar maintenance lock present at "
+            f"{_lock_path(sidecar_dir)} — a compaction is running or "
+            "crashed mid-swap. Probing now could silently read an "
+            "empty table. If no compactor is live: force_unlock_"
+            "sidecars() / `sidecars unlock`, then `sidecars sync`."
+        )
+
+
+def force_unlock_sidecars(sidecar_dir: str) -> bool:
+    """Remove a stale maintenance lock (operator action after a
+    compaction crash). Returns whether a lock existed."""
+    try:
+        os.remove(_lock_path(sidecar_dir))
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def _meta_path(sidecar_dir: str) -> str:
@@ -167,7 +233,17 @@ def read_sidecar(
 ) -> DataFrame:
     """Read one sidecar table; an empty correctly-typed frame when
     the table doesn't exist yet (first batch against an empty
-    base)."""
+    base). Raises on a remote URI or while the maintenance lock is
+    held — both are states where "empty frame" would silently
+    disable dedup."""
+    _check_local(sidecar_dir, "sidecar_dir")
+    _check_unlocked(sidecar_dir)
+    return _read(spark, sidecar_dir, which)
+
+
+def _read(spark: SparkSession, sidecar_dir: str, which: str) -> DataFrame:
+    """read_sidecar without the lock guard — for compact_sidecars
+    itself, which reads while HOLDING the lock."""
     schema = _SCHEMAS[which]
     path = os.path.join(sidecar_dir, which)
     if not os.path.isdir(path):
@@ -189,6 +265,8 @@ def append_sidecars(
     Delta-sized work: one text projection per table, no base read.
     ``fp`` is written LAST — it is the completion ledger
     :func:`sync_sidecars` keys on (see the module docstring)."""
+    _check_local(sidecar_dir, "sidecar_dir")
+    _check_unlocked(sidecar_dir)
     _check_meta(sidecar_dir, shingle_n, num_hashes, band_size, span_window)
     frames = sidecar_frames(
         admitted, shingle_n, num_hashes, band_size, span_window
@@ -210,7 +288,20 @@ def build_sidecars(
 ) -> None:
     """Bootstrap: full sidecar build from an existing base corpus
     (one base scan — the LAST full-base projection the ingest ever
-    pays; every later batch appends deltas only)."""
+    pays; every later batch appends deltas only). Refuses when the
+    fp ledger already exists — re-building onto a populated sidecar
+    dir would append a SECOND full copy of every row (probes stay
+    correct via set semantics, but size and probe cost double
+    silently until a compaction folds it; r12 ADVICE): use ``sync``
+    to catch up or ``compact`` to fold."""
+    _check_local(base_dir, "base_dir")
+    _check_local(sidecar_dir, "sidecar_dir")
+    if os.path.isdir(os.path.join(sidecar_dir, "fp")):
+        raise ValueError(
+            f"sidecars already exist at {sidecar_dir} — build would "
+            "append a duplicate copy of every row. Use sync_sidecars "
+            "to repair/catch up, or compact_sidecars to fold."
+        )
     base = spark.read.parquet(base_dir).select("doc_id", "text")
     append_sidecars(
         spark, base, sidecar_dir, shingle_n, num_hashes, band_size,
@@ -242,19 +333,38 @@ def compact_sidecars(
 
     Swap protocol: write to ``<table>__compact``, rename the live
     table to ``<table>__old``, rename the compact dir in, delete the
-    old. A crash between the two renames leaves NO live table — and
-    that is SAFE by construction: the fp ledger is then empty, so
-    the next batch's :func:`sync_sidecars` re-appends every base
-    document's projections (expensive once, never wrong), exactly
-    the self-heal path crash repair already exercises. Run
-    compaction between batches, not concurrently with one.
+    old. A crash between the two renames leaves NO live table — the
+    MAINTENANCE LOCK (acquired exclusively for the whole compaction,
+    released only on success) keeps that window safe: every probe
+    and append raises while the lock is present instead of silently
+    reading a missing table as empty (r12 ADVICE), and after an
+    operator clears a crashed lock (:func:`force_unlock_sidecars`),
+    the next :func:`sync_sidecars` re-appends every base document's
+    projections from the surviving fp ledger — or, if the ledger
+    itself vanished, from the full base (expensive once, never
+    wrong). Raises RuntimeError if another compaction holds the
+    lock.
     """
+    _check_local(sidecar_dir, "sidecar_dir")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    try:
+        fd = os.open(
+            _lock_path(sidecar_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        raise RuntimeError(
+            f"another compaction holds {_lock_path(sidecar_dir)} "
+            "(or crashed holding it) — force_unlock_sidecars() / "
+            "`sidecars unlock` after confirming no compactor is live."
+        )
+    with os.fdopen(fd, "w") as fh:
+        fh.write(f"pid={os.getpid()}\n")
     out: dict[str, tuple[int, int]] = {}
     for which, keys in _PROBE_KEYS.items():
         path = os.path.join(sidecar_dir, which)
         if not os.path.isdir(path):
             continue
-        df = read_sidecar(spark, sidecar_dir, which)
+        df = _read(spark, sidecar_dir, which)
         before = df.count()
         compact = (
             df.distinct()
@@ -273,6 +383,9 @@ def compact_sidecars(
         os.rename(tmp, path)
         shutil.rmtree(old)
         out[which] = (before, after)
+    # released ONLY on success: an exception mid-swap leaves the lock
+    # so batches fail loudly instead of probing a missing table
+    os.remove(_lock_path(sidecar_dir))
     return out
 
 
@@ -299,6 +412,9 @@ def sync_sidecars(
     re-appended for the missing ids (band/span rows may duplicate
     for the crashed slice — set-semantics probes, see module
     docstring)."""
+    _check_local(base_dir, "base_dir")
+    _check_local(sidecar_dir, "sidecar_dir")
+    _check_unlocked(sidecar_dir)
     _check_meta(sidecar_dir, shingle_n, num_hashes, band_size, span_window)
     if not os.path.isdir(base_dir):
         return 0

@@ -295,6 +295,87 @@ def test_sync_rebuilds_vanished_derived_table(spark, tmp_path):
     assert bands_ids == {1, 2, 3}
 
 
+def test_sidecar_uri_scheme_rejected(spark, tmp_path):
+    """Remote URIs would make the local-FS existence checks silently
+    read every table as empty (dedup bypass) — they must raise."""
+    from etl_python_azure_spark.plans.sidecars import (
+        append_sidecars,
+        build_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        read_sidecar(spark, "abfss://corpus@acct.dfs.example/sc", "fp")
+    with pytest.raises(ValueError, match="URI scheme"):
+        append_sidecars(
+            spark, _docs(spark, _BASE_ROWS), "s3a://bucket/sc"
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        sync_sidecars(
+            spark, "hdfs://nn/base", str(tmp_path / "sc"), span_window=4
+        )
+    with pytest.raises(ValueError, match="URI scheme"):
+        build_sidecars(
+            spark, str(tmp_path / "base"), "abfss://c@a.example/sc"
+        )
+
+
+def test_build_refuses_populated_dir(spark, tmp_path):
+    """Re-building onto populated sidecars would silently append a
+    full duplicate copy of every row — refuse and point at
+    sync/compact."""
+    from etl_python_azure_spark.plans.sidecars import build_sidecars
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    with pytest.raises(ValueError, match="already exist"):
+        build_sidecars(spark, base_dir, sc_dir, span_window=4)
+
+
+def test_maintenance_lock_blocks_probes_until_unlock(spark, tmp_path):
+    """A crashed compaction leaves the maintenance lock: every
+    probe/append/sync/compact then raises LOUDLY (instead of reading
+    the swap window's missing table as an empty frame), and the
+    documented recovery — unlock, then sync — restores service."""
+    from etl_python_azure_spark.cli import main
+    from etl_python_azure_spark.plans.sidecars import (
+        _lock_path,
+        append_sidecars,
+        build_sidecars,
+        compact_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    # simulate the compactor dying mid-swap: lock file left behind
+    with open(_lock_path(sc_dir), "w") as fh:
+        fh.write("pid=0\n")
+    with pytest.raises(RuntimeError, match="maintenance lock"):
+        read_sidecar(spark, sc_dir, "fp")
+    with pytest.raises(RuntimeError, match="maintenance lock"):
+        append_sidecars(
+            spark, _docs(spark, _DELTA_ROWS), sc_dir, span_window=4
+        )
+    with pytest.raises(RuntimeError, match="maintenance lock"):
+        sync_sidecars(spark, base_dir, sc_dir, span_window=4)
+    with pytest.raises(RuntimeError, match="another compaction"):
+        compact_sidecars(spark, sc_dir)
+    # recovery: unlock (CLI form), then sync converges
+    assert main(["sidecars", "unlock", "--dir", sc_dir]) == 0
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
+    assert read_sidecar(spark, sc_dir, "fp").count() == len(_BASE_ROWS)
+    # a successful compaction releases its lock
+    compact_sidecars(spark, sc_dir, files_per_table=1)
+    assert not os.path.exists(_lock_path(sc_dir))
+
+
 def test_fold_frame_survives_tempdir_cleanup(spark, sf_dir):
     """`_sidecar_admit_fold` (dedup_sidecar_equiv's body) returns its
     report WITHOUT a driver-side collect: every fold step is
