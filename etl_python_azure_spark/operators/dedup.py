@@ -86,6 +86,31 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    fp_col: str = "sfp",
+) -> DataFrame:
+    """THE span-fingerprint recipe — the single definition of "a
+    document's *window*-token span set": distinct
+    (*id_col*, md5(space-joined slice of the lowercased whitespace
+    tokenization)). Shared by the cross-doc span-dedup family, the
+    incremental/streaming admit folds, AND the maintained sidecar
+    ``spans`` table (`plans.sidecars`), so a window/tokenization
+    change cannot silently diverge the sidecar index from the batch
+    rule (r12 verdict item 5). Documents shorter than *window*
+    tokens yield no rows. The positional variant (`_span_positions`)
+    keeps its own explode — it needs token offsets, but uses the
+    same tokenizer and span key by construction."""
+    return (
+        word_shingles(df, id_col, text_col, n=window, distinct=False)
+        .select(F.col(id_col), F.md5("shingle").alias(fp_col))
+        .distinct()
+    )
+
+
 def _jaccard_on_pairs(
     shingles: DataFrame, id_col: str, pairs: DataFrame | None
 ) -> DataFrame:
@@ -1377,11 +1402,7 @@ def cross_doc_span_stats(
     Output: (id, n_spans, n_dup_spans, dup_span_rate), one row per
     document with at least one span.
     """
-    spans = (
-        word_shingles(df, id_col, text_col, n=window, distinct=False)
-        .select(F.col(id_col), F.md5("shingle").alias("__fp"))
-        .distinct()
-    )
+    spans = span_fingerprints(df, id_col, text_col, window, fp_col="__fp")
     n_docs = F.count("*").over(Window.partitionBy("__fp"))
     return (
         spans.withColumn("__n_docs", n_docs)

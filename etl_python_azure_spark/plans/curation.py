@@ -320,11 +320,11 @@ def curate_increment(
     survivors = vs_base.join(drop, "doc_id", "left_anti").localCheckpoint()
 
     if span_window is not None:
-        from ..operators.dedup import word_shingles
+        from ..operators.dedup import span_fingerprints
 
-        ssp = word_shingles(
-            survivors, "doc_id", "text", n=span_window
-        ).select("doc_id", F.md5("shingle").alias("__sfp"))
+        ssp = span_fingerprints(
+            survivors, "doc_id", "text", span_window, fp_col="__sfp"
+        )
         if sidecar_dir is not None:
             from .sidecars import read_sidecar
 
@@ -332,9 +332,9 @@ def curate_increment(
                 F.col("sfp").alias("__sfp")
             ).distinct()
         else:
-            base_sp = word_shingles(
-                base, "doc_id", "text", n=span_window
-            ).select(F.md5("shingle").alias("__sfp")).distinct()
+            base_sp = span_fingerprints(
+                base, "doc_id", "text", span_window, fp_col="__sfp"
+            ).select("__sfp").distinct()
         in_base = ssp.join(base_sp, "__sfp", "left_semi")
         in_lower = ssp.alias("s").join(
             ssp.alias("s2"),
@@ -414,7 +414,7 @@ def curate_corpus_v3_frames(
     ``split`` column), ``leaked`` (cross-split fps) and ``capped``
     (quota-capped train rows).
     """
-    from ..operators.dedup import normalize_url, word_shingles
+    from ..operators.dedup import normalize_url, span_fingerprints
     from ..operators.sampling import dsir_importance_scores
 
     if keeper not in ("min_id", "quality"):
@@ -475,8 +475,8 @@ def curate_corpus_v3_frames(
     # covered by a lower-id doc (2·covered ≥ total, ties dropped) is
     # residual duplicated text the fuzzy tier missed (different
     # enough globally, same long spans locally)
-    spans = word_shingles(near, "doc_id", "text", n=span_window).select(
-        "doc_id", F.md5("shingle").alias("__fp")
+    spans = span_fingerprints(
+        near, "doc_id", "text", span_window, fp_col="__fp"
     )
     mn = F.min("doc_id").over(Window.partitionBy("__fp"))
     span_drop = (

@@ -197,8 +197,15 @@ def sidecar_frames(
     span_window: int | None = None,
 ) -> dict[str, DataFrame]:
     """The three sidecar projections of a (doc_id, ..., text) frame
-    — lazy; ``spans`` present only when *span_window* is set."""
-    from ..operators.dedup import band_assignments, word_shingles
+    — lazy; ``spans`` present only when *span_window* is set. The
+    span projection is :func:`..operators.dedup.span_fingerprints` —
+    the SAME definition the batch/streaming span rules probe with,
+    so index and rule cannot silently diverge."""
+    from ..operators.dedup import (
+        band_assignments,
+        span_fingerprints,
+        word_shingles,
+    )
 
     out = {
         "fp": docs.select(
@@ -217,14 +224,9 @@ def sidecar_frames(
         ),
     }
     if span_window is not None:
-        out["spans"] = (
-            word_shingles(docs, "doc_id", "text", n=span_window)
-            .select(
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.md5("shingle").alias("sfp"),
-            )
-            .distinct()
-        )
+        out["spans"] = span_fingerprints(
+            docs, "doc_id", "text", span_window
+        ).select(F.col("doc_id").cast("long").alias("doc_id"), "sfp")
     return out
 
 

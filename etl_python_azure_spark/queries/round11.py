@@ -750,7 +750,7 @@ def streaming_span_dedup_equiv(
     reads the maintained spans sidecar instead of a state
     re-projection (implemented in r12: ``plans.sidecars``, pinned
     end-to-end by the ``dedup_sidecar_equiv`` twin of this query)."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import span_fingerprints
 
     d = load_tables(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("fp"), "text"
@@ -761,12 +761,9 @@ def streaming_span_dedup_equiv(
     # consumer (measured 119s → ~10s at sf0.001). localCheckpoint
     # materializes once per fold step, the dedup_clusters
     # per-round discipline.
-    spans_all = (
-        word_shingles(d, "doc_id", "text", n=_SSD_W)
-        .select("doc_id", F.md5("shingle").alias("sfp"))
-        .distinct()
-        .localCheckpoint()
-    )
+    spans_all = span_fingerprints(
+        d, "doc_id", "text", _SSD_W
+    ).localCheckpoint()
     ns = spans_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
 
     admitted = None  # (doc_id, fp, batch_idx, ns, nc)
@@ -883,12 +880,10 @@ def span_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc (covered, total) pair is computed ONCE; the grid is a
     broadcast 3-row dim (integer nc·100 ≥ ns·pct compares, no
     floats)."""
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import span_fingerprints
 
     d = load_tables(spark, sf_dir, "documents")
-    spans = word_shingles(d, "doc_id", "text", n=_STS_W).select(
-        "doc_id", F.md5("shingle").alias("fp")
-    )
+    spans = span_fingerprints(d, "doc_id", "text", _STS_W, fp_col="fp")
     mn = F.min("doc_id").over(Window.partitionBy("fp"))
     per = (
         spans.withColumn("__cov", (mn < F.col("doc_id")).cast("long"))

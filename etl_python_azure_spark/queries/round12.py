@@ -70,7 +70,7 @@ def _sidecar_admit_fold(
     import shutil
     import tempfile
 
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import span_fingerprints
     from ..plans.sidecars import (
         append_sidecars,
         compact_sidecars,
@@ -105,12 +105,9 @@ def _sidecar_admit_fold(
             )
             # span tier: batch spans vs the span SIDECAR or a
             # lower-id same-batch exact survivor
-            bsp = (
-                word_shingles(survivors, "doc_id", "text", n=span_w)
-                .select("doc_id", F.md5("shingle").alias("sfp"))
-                .distinct()
-                .localCheckpoint()  # fold-step lineage truncation
-            )
+            bsp = span_fingerprints(
+                survivors, "doc_id", "text", span_w
+            ).localCheckpoint()  # fold-step lineage truncation
             ns = bsp.groupBy("doc_id").agg(
                 F.count(F.lit(1)).alias("ns")
             )
