@@ -285,6 +285,8 @@ OPTIONAL = [
     # round-12 surface
     "dedup_sidecar_equiv",
     "token_budget_equalized",
+    # round-13 surface
+    "sidecar_compaction_equiv",
     # round-12 rotation: 16 more never-benched queries — array/nested
     # plans and multi-level aggregates first, then the remaining
     # window/rollup/cube shapes; the untimed tail is now ≤40 scalar

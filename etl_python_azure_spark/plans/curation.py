@@ -183,6 +183,7 @@ def curate_increment(
     near_dup_threshold: float = 0.8,
     span_window: int | None = None,
     sidecar_dir: str | None = None,
+    compact_max_files: int | None = 64,
 ) -> DataFrame:
     """The nightly form of :func:`curate_corpus`: admit a DELTA batch
     of new documents against an already-curated base — without
@@ -224,6 +225,12 @@ def curate_increment(
       contract — `streaming_curated_ingest` does both). The
       ``dedup_sidecar_equiv`` registry query pins sidecar-probe ≡
       re-projection, and the crash replay is pytest-pinned.
+      *compact_max_files* (default 64; None disables) makes sidecar
+      compaction a batch-top POLICY: when any sidecar table has
+      accumulated more data files than the threshold, the tables
+      are compacted (distinct + probe-key sort) before this batch's
+      probes — the ``sidecar_compaction_equiv`` registry query pins
+      that a mid-fold compaction leaves admit decisions unchanged.
 
     Returns the admitted delta rows (doc_id, source, text) — the
     caller appends them to the base (`jdbc`/parquet append or the
@@ -247,12 +254,25 @@ def curate_increment(
     )
     base_bands = None
     if sidecar_dir is not None:
-        from .sidecars import read_sidecar, sync_sidecars
+        from .sidecars import (
+            maybe_compact_sidecars,
+            read_sidecar,
+            sync_sidecars,
+        )
 
         # crash repair first: a batch that died between the base
         # append and the sidecar append left the sidecars behind
         sync_sidecars(spark, base_train_dir, sidecar_dir,
                       span_window=span_window)
+        # then the size-triggered compaction POLICY (after repair,
+        # before any probe — exactly the between-batches window the
+        # compaction lock requires): append-only maintenance
+        # accumulates one small file set per batch, and the probe
+        # joins degrade with listing/open cost until folded
+        if compact_max_files is not None:
+            maybe_compact_sidecars(
+                spark, sidecar_dir, max_files_per_table=compact_max_files
+            )
         base_fps = read_sidecar(spark, sidecar_dir, "fp").select(
             F.col("fp").alias("__fp")
         ).distinct()

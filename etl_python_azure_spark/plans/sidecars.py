@@ -391,6 +391,48 @@ def compact_sidecars(
     return out
 
 
+def sidecar_file_counts(sidecar_dir: str) -> dict[str, int]:
+    """Data-file count per existing sidecar table (parquet parts,
+    not _SUCCESS/metadata) — the compaction-trigger metric. Append-
+    only maintenance grows file count monotonically with batches, so
+    it is a cheap, deterministic proxy for accumulated fragmentation
+    (row-count would need a Spark job; bytes conflate fragmentation
+    with corpus growth)."""
+    out: dict[str, int] = {}
+    for which in _SCHEMAS:
+        path = os.path.join(sidecar_dir, which)
+        if not os.path.isdir(path):
+            continue
+        out[which] = sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return out
+
+
+def maybe_compact_sidecars(
+    spark: SparkSession,
+    sidecar_dir: str,
+    max_files_per_table: int = 64,
+    files_per_table: int = 4,
+) -> dict[str, tuple[int, int]] | None:
+    """Size-triggered :func:`compact_sidecars` — compaction as
+    POLICY inside the ingest loop, not a manually-run CLI (r12
+    verdict item 2): compact when ANY table's data-file count
+    exceeds *max_files_per_table*, else no-op (a listdir, no Spark
+    job). Callers invoke it BETWEEN batches (the incremental path
+    runs it at batch top, before any probe), which is exactly the
+    window the compaction lock protocol requires. Returns the
+    compaction stats when it fired, None when it didn't."""
+    counts = sidecar_file_counts(sidecar_dir)
+    if not counts or max(counts.values()) <= max_files_per_table:
+        return None
+    return compact_sidecars(
+        spark, sidecar_dir, files_per_table=files_per_table
+    )
+
+
 def sync_sidecars(
     spark: SparkSession,
     base_dir: str,

@@ -859,6 +859,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round11  # noqa: F401
     from . import round11b  # noqa: F401
     from . import round12  # noqa: F401
+    from . import round13  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R13_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

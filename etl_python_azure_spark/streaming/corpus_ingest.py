@@ -53,6 +53,7 @@ def streaming_curated_ingest(
     max_files_per_trigger: int | None = 1,
     span_window: int | None = None,
     sidecar_dir: str | None = None,
+    compact_max_files: int | None = 64,
 ) -> StreamingQuery:
     """Start the ingest stream; returns the `StreamingQuery` (caller
     drives it with `awaitTermination`/`processAllAvailable` and
@@ -74,7 +75,12 @@ def streaming_curated_ingest(
     100 TB form: per-batch cost stays delta-sized instead of
     growing with the base. If the sidecars don't exist yet, the
     first batch bootstraps them from the base (one full projection,
-    paid once).
+    paid once). Crash repair AND the *compact_max_files* size-
+    triggered compaction policy both run inside `curate_increment`
+    at the top of every micro-batch — foreachBatch serializes
+    batches, so that batch-top slot is exactly the between-batches
+    window the compaction lock protocol requires; streaming and the
+    nightly batch increment share one crash/compaction contract.
     """
     from ..plans.curation import curate_increment
 
@@ -104,6 +110,7 @@ def streaming_curated_ingest(
             near_dup_threshold=near_dup_threshold,
             span_window=span_window,
             sidecar_dir=sidecar_dir,
+            compact_max_files=compact_max_files,
         )
         if sidecar_dir is not None:
             # materialize the (delta-sized) admitted set once, so the

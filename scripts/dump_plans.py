@@ -218,11 +218,12 @@ QUERIES = [
     "l_diversity_report",
     "ann_matryoshka_topk",
     "dup_span_mask_manifest",
-    # round-12 (dedup_sidecar_equiv is deliberately absent: its
-    # builder executes the per-batch fold through real sidecar
-    # files, so the returned frame's plan is a local relation —
-    # nothing for a static audit to read; the per-batch probe plans
-    # are the same shapes streaming_span_dedup_equiv audits)
+    # round-12/13 (dedup_sidecar_equiv and sidecar_compaction_equiv
+    # are deliberately absent: their builders execute the per-batch
+    # fold through real sidecar files, so the returned frame's plan
+    # is a local relation — nothing for a static audit to read; the
+    # per-batch probe plans are the same shapes
+    # streaming_span_dedup_equiv audits)
     "token_budget_equalized",
 ]
 

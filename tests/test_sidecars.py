@@ -376,6 +376,66 @@ def test_maintenance_lock_blocks_probes_until_unlock(spark, tmp_path):
     assert not os.path.exists(_lock_path(sc_dir))
 
 
+def test_compaction_trigger_fires_and_preserves_probes(spark, tmp_path):
+    """The size-triggered policy (`maybe_compact_sidecars`, wired
+    into curate_increment's batch top): below the threshold it
+    no-ops; above it, compaction fires inside the admit call, file
+    counts collapse, and the admit decision is IDENTICAL to the
+    legacy reprojection path."""
+    from etl_python_azure_spark.plans.sidecars import (
+        append_sidecars,
+        build_sidecars,
+        maybe_compact_sidecars,
+        sidecar_file_counts,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    # fragment: several tiny appends — file counts grow per append
+    for i in range(3):
+        _docs(
+            spark,
+            [(100 + i, "s1",
+              f"filler document number {i} with enough words to span")],
+        ).write.mode("append").parquet(base_dir)
+        append_sidecars(
+            spark,
+            _docs(
+                spark,
+                [(100 + i, "s1",
+                  f"filler document number {i} with enough words to span")],
+            ),
+            sc_dir,
+            span_window=4,
+        )
+    frag = sidecar_file_counts(sc_dir)
+    assert max(frag.values()) > 2
+    # below threshold: no-op (file counts unchanged)
+    assert maybe_compact_sidecars(
+        spark, sc_dir, max_files_per_table=10_000
+    ) is None
+    assert sidecar_file_counts(sc_dir) == frag
+    # curate_increment with a low threshold: the batch-top policy
+    # fires, tables collapse to files_per_table, and the admitted
+    # set still matches the legacy reprojection path exactly
+    delta = _docs(spark, _DELTA_ROWS)
+    legacy = _admit_ids(spark, base_dir, delta, span_window=4)
+    from etl_python_azure_spark.plans.curation import curate_increment
+
+    admitted = curate_increment(
+        spark, base_dir, delta,
+        quota_per_source=10, near_dup_threshold=0.5,
+        span_window=4, sidecar_dir=sc_dir, compact_max_files=2,
+    )
+    got = sorted(r["doc_id"] for r in admitted.collect())
+    spark.catalog.clearCache()
+    assert got == legacy
+    compacted = sidecar_file_counts(sc_dir)
+    assert all(v <= 4 for v in compacted.values()), compacted
+
+
 def test_fold_frame_survives_tempdir_cleanup(spark, sf_dir):
     """`_sidecar_admit_fold` (dedup_sidecar_equiv's body) returns its
     report WITHOUT a driver-side collect: every fold step is
