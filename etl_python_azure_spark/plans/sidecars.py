@@ -326,12 +326,23 @@ def compact_sidecars(
     """Maintenance rewrite of every existing sidecar table:
     ``distinct`` rows (folds the band/span duplicates a crash repair
     may have appended), range-partitioned and sorted by the table's
-    PROBE key (fp / (band, band_sig) / sfp) so parquet row-group
-    min/max statistics prune the per-batch probe joins, and the
+    PROBE key (fp / (band, band_sig) / sfp), and the
     append-accumulated small files collapse to *files_per_table*
     (size by bytes — ~128 MB row groups — on a real cluster; file
     count is the lever that matters at local scale). Returns
     {table: (rows_before, rows_after)}.
+
+    What the rewrite buys (measured, scripts/sidecar_compact_bench.py
+    at a 50k-doc base — SCALING.md r13): bounding file-count growth
+    from O(batches) to O(1) — the per-batch probe re-lists and
+    re-opens every file, so an append-only ingest degrades without a
+    fold (probe 7.9→6.8 s already at 16-batch fragmentation, and the
+    listing term keeps growing with batch count) — plus folding
+    crash-repair duplicates out of the probe build sides. The
+    probe-key sort buys run-length/dictionary compression and scan
+    locality; it does NOT row-group-prune the shuffled probe joins
+    themselves (min/max pruning applies to pushed filters, not
+    shuffle-join keys), so it is a layout nicety, not the headline.
 
     Swap protocol: write to ``<table>__compact``, rename the live
     table to ``<table>__old``, rename the compact dir in, delete the

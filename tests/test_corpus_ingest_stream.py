@@ -121,3 +121,65 @@ def test_streaming_ingest_respects_quota_headroom(spark, tmp_path):
         .count()
     )
     assert n_s1 == 2
+
+
+def test_streaming_crash_between_base_and_sidecar_append(spark, tmp_path):
+    """Stream-side mirror of test_sidecar_crash_replay: a micro-batch
+    dies AFTER its base append but BEFORE its sidecar append AND
+    before the checkpoint commit. On restart the file source replays
+    the batch; curate_increment's batch-top sync repairs the lagging
+    sidecars from the base, the repaired fp anti-join rejects every
+    replayed row, and the base gains nothing — the streaming and
+    nightly-batch increment paths share one crash contract."""
+    from etl_python_azure_spark.plans.sidecars import (
+        build_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+    from etl_python_azure_spark.streaming.corpus_ingest import (
+        streaming_curated_ingest,
+    )
+
+    base_dir = str(tmp_path / "base")
+    drop_dir = str(tmp_path / "drop")
+    sc_dir = str(tmp_path / "sc")
+    os.makedirs(drop_dir)
+    seed = _mkdocs(
+        spark,
+        [
+            (1, "s1", "the seed corpus document number one is a long text"),
+            (2, "s2", "the seed corpus document number two is a long text"),
+        ],
+    )
+    seed.write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+
+    b1 = _mkdocs(
+        spark,
+        [
+            (10, "s1",
+             "a brand new crawled document all about the spark engine"),
+            (11, "s1", "the seed corpus document number one is a long text"),
+        ],
+    )
+    b1.write.parquet(os.path.join(drop_dir, "b1"))
+
+    # the CRASH: the micro-batch's admit ran and its BASE append
+    # landed, but the process died before append_sidecars and before
+    # the checkpoint commit — base ahead of sidecars, batch unacked
+    b1.filter(F.col("doc_id") == 10).write.mode("append").parquet(base_dir)
+    assert read_sidecar(spark, sc_dir, "fp").count() == 2  # behind
+
+    # restart: fresh checkpoint → the file source REPLAYS b1
+    q = streaming_curated_ingest(
+        spark, drop_dir, base_dir, str(tmp_path / "ckpt"),
+        quota_per_source=10, near_dup_threshold=0.5,
+        span_window=4, sidecar_dir=sc_dir,
+    )
+    assert q.awaitTermination(600), "ingest did not drain"
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(base_dir).collect())
+    assert got == [1, 2, 10]  # replay admitted NOTHING new
+    # sidecars caught up to the base (batch-top sync repaired 10)
+    assert read_sidecar(spark, sc_dir, "fp").count() == 3
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
