@@ -544,19 +544,27 @@ def main() -> None:
     # per-query map (116 queries, ~3.6 KB) outgrew that capture and
     # the round's bench gate recorded "parsed": null. Keep the final
     # line under ~2 KB: totals plus the 20 slowest queries. The full
-    # per-query map goes to BENCH_DETAIL.json next to this script.
+    # per-query map goes to the detail file (default: gitignored
+    # .scratch/BENCH_DETAIL.json).
     # write the full map FIRST so a malformed summary line can never
     # discard a completed (multi-minute) run's timings.
-    # SPARK_GRAFT_BENCH_DETAIL redirects it (the contract test and
-    # scale rehearsals use temp paths so they never clobber the
-    # committed sf0.1 artifact)
+    # SPARK_GRAFT_BENCH_DETAIL redirects it. The DEFAULT is the
+    # gitignored scratch dir (r12 verdict item 4): the committed
+    # repo-root BENCH_DETAIL.json is the deliberate quiet repeats=3
+    # artifact, and four rounds running the driver's repeats=1 run
+    # overwrote it in the working tree — a driver-style
+    # `python bench.py` must leave `git status` clean. To refresh
+    # the committed artifact: SPARK_GRAFT_BENCH_DETAIL=
+    # BENCH_DETAIL.json SPARK_GRAFT_BENCH_REPEATS=3 python bench.py
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
+            ".scratch",
             "BENCH_DETAIL.json",
         ),
     )
+    os.makedirs(os.path.dirname(detail_path) or ".", exist_ok=True)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
