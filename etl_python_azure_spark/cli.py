@@ -85,9 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         from .plans import sidecars as sctbl
 
         if args.action == "unlock":
-            # no Spark session needed: operator action after a
-            # compaction crash (follow with `sidecars sync`)
-            removed = sctbl.force_unlock_sidecars(args.dir)
+            # operator action after a compaction crash (follow with
+            # `sidecars sync`); a session is only needed when the dir
+            # is URI-addressed (Hadoop FS routing)
+            sess = (
+                get_spark("sidecars-unlock")
+                if sctbl._has_scheme(args.dir)
+                else None
+            )
+            removed = sctbl.force_unlock_sidecars(args.dir, sess)
             print(json.dumps(
                 {"sidecars": "unlock", "dir": args.dir,
                  "removed_lock": removed}

@@ -52,15 +52,22 @@ parameters (shingle n, minhash width, band size, span window);
 appends and probes with mismatched parameters raise instead of
 silently mixing incompatible fingerprints in one table.
 
-Two more loud-failure guards (r12 ADVICE): paths with a URI scheme
-(``abfss://``, ``s3a://``...) raise — this module's existence
-checks and swap are local-FS primitives and a remote URI would
-silently read every table as empty, disabling dedup; and a
+Maintenance IO (existence checks, meta guard, lock, compaction
+swap) routes through the Hadoop FileSystem API whenever the path
+carries a URI scheme (``file://``, ``hdfs://``, ``abfss://``,
+``s3a://``...), so the guards operate against the SAME store the
+parquet reads/writes use — a remote sidecar dir works instead of
+being silently read as empty (r12 ADVICE, implemented in r13; an
+unjarred scheme fails loudly at FileSystem resolution). A
 ``_maintenance.lock`` held for the whole of :func:`compact_sidecars`
 makes any probe/append DURING (or after a crashed) compaction raise
 instead of reading the swap window's missing table as empty.
 :func:`force_unlock_sidecars` (CLI ``sidecars unlock``) clears a
-crashed lock; the follow-up ``sync`` self-heals the tables.
+crashed lock; the follow-up ``sync`` self-heals the tables. Rename
+atomicity caveat: HDFS/ABFS/local renames are atomic; S3A renames
+are copies, so there the lock is the only mutual exclusion and the
+swap window is wider — probes still fail loudly while the lock
+exists, which is the safety property the protocol needs.
 
 Scale shape: appends are delta-sized projections; ``sync_sidecars``
 scans only the base's ``doc_id`` column (parquet column pruning)
@@ -100,25 +107,159 @@ _SPANS_SCHEMA = T.StructType(
 _SCHEMAS = {"fp": _FP_SCHEMA, "bands": _BANDS_SCHEMA, "spans": _SPANS_SCHEMA}
 
 
-def _check_local(path: str, param: str) -> None:
-    """This module's existence checks, meta guard, and compaction
-    swap are LOCAL-FS primitives (os.path.isdir / os.rename / open).
-    Pointed at a remote URI (abfss://, s3a://, hdfs://...) those
-    would silently see nothing — read_sidecar would return an EMPTY
-    frame, sync would repair 0 docs, and every base probe would pass
-    everything: duplicate documents admitted with no error. Fail
-    loudly instead (r12 ADVICE). The remote form needs these checks
-    routed through the Hadoop FileSystem API."""
+# ---------------------------------------------------------------------------
+# Filesystem routing: local paths use os/shutil; paths with a URI
+# scheme (file://, hdfs://, abfss://, s3a://...) route through the
+# Hadoop FileSystem API via the session JVM, so the existence
+# checks, meta guard, lock, and compaction swap work against the
+# SAME store the parquet reads/writes use (r12 ADVICE: the earlier
+# local-only primitives would have silently read remote tables as
+# empty, disabling dedup). An unknown/unjarred scheme fails loudly
+# at FileSystem resolution. Atomicity notes: the two-rename swap
+# and the create-exclusive lock are atomic on HDFS/ABFS and the
+# local FS; S3A renames are copies and creates are not exclusive —
+# there the lock is best-effort mutual exclusion and the swap
+# window is wider, but probes still fail loudly while the lock
+# object exists, which is the safety property the protocol needs.
+# ---------------------------------------------------------------------------
+
+
+def _has_scheme(path: str) -> bool:
     import re
 
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://?", path)) and (
+        "://" in path or path.startswith("file:/")
+    )
+
+
+class _LocalIO:
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def rename(self, a: str, b: str) -> None:
+        os.rename(a, b)
+
+    def rmtree(self, p: str) -> None:
+        import shutil
+
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def create_excl(self, p: str, text: str) -> None:
+        fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def write_text(self, p: str, text: str) -> None:
+        with open(p, "w") as fh:
+            fh.write(text)
+
+    def list_names(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+
+class _HadoopIO:
+    """The same primitives through org.apache.hadoop.fs.FileSystem
+    (resolved from the path's scheme + the session Hadoop conf)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._P = jvm.org.apache.hadoop.fs.Path
+        try:
+            self._fs = self._P(root).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+        except Exception as e:  # unknown scheme / missing connector jar
+            raise ValueError(
+                f"cannot resolve a Hadoop FileSystem for {root!r} "
+                f"(missing connector jar or bad scheme): {e}"
+            ) from e
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._P(p))
+
+    def isdir(self, p: str) -> bool:
+        jp = self._P(p)
+        return self._fs.exists(jp) and self._fs.getFileStatus(
+            jp
+        ).isDirectory()
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._P(p))
+
+    def rename(self, a: str, b: str) -> None:
+        if not self._fs.rename(self._P(a), self._P(b)):
+            raise OSError(f"rename failed: {a} -> {b}")
+
+    def rmtree(self, p: str) -> None:
+        jp = self._P(p)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, True)
+
+    def create_excl(self, p: str, text: str) -> None:
+        jp = self._P(p)
+        if self._fs.exists(jp):  # fast path; create(False) re-checks
+            raise FileExistsError(p)
+        try:
+            out = self._fs.create(jp, False)
+        except Exception as e:
+            raise FileExistsError(f"{p}: {e}") from e
+        out.write(bytearray(text.encode()))
+        out.close()
+
+    def read_text(self, p: str) -> str:
+        # byte-at-a-time over py4j — fine for the tiny meta/lock
+        # files this module keeps (<200 bytes), nothing else
+        stream = self._fs.open(self._P(p))
+        try:
+            data = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+            return bytes(data).decode()
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self._fs.create(self._P(p), True)
+        out.write(bytearray(text.encode()))
+        out.close()
+
+    def list_names(self, p: str) -> list[str]:
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._P(p))
+        ]
+
+
+def _io(spark: SparkSession | None, path: str):
+    """Pick the IO backend for *path*. URI-scheme paths need a live
+    SparkSession for the JVM; local paths never do."""
+    if not _has_scheme(path):
+        return _LocalIO()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    if spark is None:
         raise ValueError(
-            f"{param}={path!r} has a URI scheme: plans.sidecars uses "
-            "local-filesystem primitives and would silently read "
-            "empty sidecar tables from a remote store, disabling "
-            "dedup. Use a local path (or mount), or port the "
-            "existence/meta/swap IO to the Hadoop FileSystem API."
+            f"{path!r} has a URI scheme — a SparkSession is required "
+            "to route sidecar maintenance IO through the Hadoop "
+            "FileSystem API (pass spark=...)."
         )
+    return _HadoopIO(spark, path)
 
 
 _LOCK_NAME = "_maintenance.lock"
@@ -128,7 +269,7 @@ def _lock_path(sidecar_dir: str) -> str:
     return os.path.join(sidecar_dir, _LOCK_NAME)
 
 
-def _check_unlocked(sidecar_dir: str) -> None:
+def _check_unlocked(io, sidecar_dir: str) -> None:
     """Raise while a compaction holds (or died holding) the
     maintenance lock — a batch running inside compaction's two-rename
     swap window would read a missing table as an EMPTY frame and
@@ -136,7 +277,7 @@ def _check_unlocked(sidecar_dir: str) -> None:
     compactor is live, clear with :func:`force_unlock_sidecars` (CLI:
     ``sidecars unlock``) and run ``sync`` — the vanished-table
     rebuild self-heals whatever state the crash left."""
-    if os.path.exists(_lock_path(sidecar_dir)):
+    if io.exists(_lock_path(sidecar_dir)):
         raise RuntimeError(
             f"sidecar maintenance lock present at "
             f"{_lock_path(sidecar_dir)} — a compaction is running or "
@@ -146,14 +287,17 @@ def _check_unlocked(sidecar_dir: str) -> None:
         )
 
 
-def force_unlock_sidecars(sidecar_dir: str) -> bool:
+def force_unlock_sidecars(
+    sidecar_dir: str, spark: SparkSession | None = None
+) -> bool:
     """Remove a stale maintenance lock (operator action after a
-    compaction crash). Returns whether a lock existed."""
-    try:
-        os.remove(_lock_path(sidecar_dir))
-        return True
-    except FileNotFoundError:
+    compaction crash). Returns whether a lock existed. *spark* is
+    only needed for URI-scheme dirs (Hadoop FS routing)."""
+    io = _io(spark, sidecar_dir)
+    if not io.exists(_lock_path(sidecar_dir)):
         return False
+    io.rmtree(_lock_path(sidecar_dir))
+    return True
 
 
 def _meta_path(sidecar_dir: str) -> str:
@@ -161,6 +305,7 @@ def _meta_path(sidecar_dir: str) -> str:
 
 
 def _check_meta(
+    io,
     sidecar_dir: str,
     shingle_n: int,
     num_hashes: int,
@@ -175,18 +320,16 @@ def _check_meta(
         "span_window": span_window,
     }
     path = _meta_path(sidecar_dir)
-    if os.path.exists(path):
-        with open(path) as fh:
-            existing = json.load(fh)
+    if io.exists(path):
+        existing = json.loads(io.read_text(path))
         if existing != meta:
             raise ValueError(
                 f"sidecar params mismatch at {sidecar_dir}: "
                 f"table built with {existing}, caller passed {meta}"
             )
         return
-    os.makedirs(sidecar_dir, exist_ok=True)
-    with open(path, "w") as fh:
-        json.dump(meta, fh)
+    io.mkdirs(sidecar_dir)
+    io.write_text(path, json.dumps(meta))
 
 
 def sidecar_frames(
@@ -235,20 +378,22 @@ def read_sidecar(
 ) -> DataFrame:
     """Read one sidecar table; an empty correctly-typed frame when
     the table doesn't exist yet (first batch against an empty
-    base). Raises on a remote URI or while the maintenance lock is
-    held — both are states where "empty frame" would silently
-    disable dedup."""
-    _check_local(sidecar_dir, "sidecar_dir")
-    _check_unlocked(sidecar_dir)
-    return _read(spark, sidecar_dir, which)
+    base). Raises while the maintenance lock is held — a state where
+    "empty frame" would silently disable dedup."""
+    io = _io(spark, sidecar_dir)
+    _check_unlocked(io, sidecar_dir)
+    return _read(spark, sidecar_dir, which, io)
 
 
-def _read(spark: SparkSession, sidecar_dir: str, which: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sidecar_dir: str, which: str, io=None
+) -> DataFrame:
     """read_sidecar without the lock guard — for compact_sidecars
     itself, which reads while HOLDING the lock."""
+    io = io or _io(spark, sidecar_dir)
     schema = _SCHEMAS[which]
     path = os.path.join(sidecar_dir, which)
-    if not os.path.isdir(path):
+    if not io.isdir(path):
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(path)
 
@@ -267,9 +412,11 @@ def append_sidecars(
     Delta-sized work: one text projection per table, no base read.
     ``fp`` is written LAST — it is the completion ledger
     :func:`sync_sidecars` keys on (see the module docstring)."""
-    _check_local(sidecar_dir, "sidecar_dir")
-    _check_unlocked(sidecar_dir)
-    _check_meta(sidecar_dir, shingle_n, num_hashes, band_size, span_window)
+    io = _io(spark, sidecar_dir)
+    _check_unlocked(io, sidecar_dir)
+    _check_meta(
+        io, sidecar_dir, shingle_n, num_hashes, band_size, span_window
+    )
     frames = sidecar_frames(
         admitted, shingle_n, num_hashes, band_size, span_window
     )
@@ -296,9 +443,8 @@ def build_sidecars(
     correct via set semantics, but size and probe cost double
     silently until a compaction folds it; r12 ADVICE): use ``sync``
     to catch up or ``compact`` to fold."""
-    _check_local(base_dir, "base_dir")
-    _check_local(sidecar_dir, "sidecar_dir")
-    if os.path.isdir(os.path.join(sidecar_dir, "fp")):
+    io = _io(spark, sidecar_dir)
+    if io.isdir(os.path.join(sidecar_dir, "fp")):
         raise ValueError(
             f"sidecars already exist at {sidecar_dir} — build would "
             "append a duplicate copy of every row. Use sync_sidecars "
@@ -358,26 +504,22 @@ def compact_sidecars(
     wrong). Raises RuntimeError if another compaction holds the
     lock.
     """
-    _check_local(sidecar_dir, "sidecar_dir")
-    os.makedirs(sidecar_dir, exist_ok=True)
+    io = _io(spark, sidecar_dir)
+    io.mkdirs(sidecar_dir)
     try:
-        fd = os.open(
-            _lock_path(sidecar_dir), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
+        io.create_excl(_lock_path(sidecar_dir), f"pid={os.getpid()}\n")
     except FileExistsError:
         raise RuntimeError(
             f"another compaction holds {_lock_path(sidecar_dir)} "
             "(or crashed holding it) — force_unlock_sidecars() / "
             "`sidecars unlock` after confirming no compactor is live."
         )
-    with os.fdopen(fd, "w") as fh:
-        fh.write(f"pid={os.getpid()}\n")
     out: dict[str, tuple[int, int]] = {}
     for which, keys in _PROBE_KEYS.items():
         path = os.path.join(sidecar_dir, which)
-        if not os.path.isdir(path):
+        if not io.isdir(path):
             continue
-        df = _read(spark, sidecar_dir, which)
+        df = _read(spark, sidecar_dir, which, io)
         before = df.count()
         compact = (
             df.distinct()
@@ -388,35 +530,36 @@ def compact_sidecars(
         old = path + "__old"
         compact.write.mode("overwrite").parquet(tmp)
         after = spark.read.schema(_SCHEMAS[which]).parquet(tmp).count()
-        import shutil
-
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
+        io.rmtree(old)
+        io.rename(path, old)
+        io.rename(tmp, path)
+        io.rmtree(old)
         out[which] = (before, after)
     # released ONLY on success: an exception mid-swap leaves the lock
     # so batches fail loudly instead of probing a missing table
-    os.remove(_lock_path(sidecar_dir))
+    io.rmtree(_lock_path(sidecar_dir))
     return out
 
 
-def sidecar_file_counts(sidecar_dir: str) -> dict[str, int]:
+def sidecar_file_counts(
+    sidecar_dir: str, spark: SparkSession | None = None
+) -> dict[str, int]:
     """Data-file count per existing sidecar table (parquet parts,
     not _SUCCESS/metadata) — the compaction-trigger metric. Append-
     only maintenance grows file count monotonically with batches, so
     it is a cheap, deterministic proxy for accumulated fragmentation
     (row-count would need a Spark job; bytes conflate fragmentation
-    with corpus growth)."""
+    with corpus growth). *spark* is only needed for URI-scheme
+    dirs."""
+    io = _io(spark, sidecar_dir)
     out: dict[str, int] = {}
     for which in _SCHEMAS:
         path = os.path.join(sidecar_dir, which)
-        if not os.path.isdir(path):
+        if not io.isdir(path):
             continue
         out[which] = sum(
             1
-            for f in os.listdir(path)
+            for f in io.list_names(path)
             if f.endswith(".parquet") and not f.startswith("_")
         )
     return out
@@ -436,7 +579,7 @@ def maybe_compact_sidecars(
     runs it at batch top, before any probe), which is exactly the
     window the compaction lock protocol requires. Returns the
     compaction stats when it fired, None when it didn't."""
-    counts = sidecar_file_counts(sidecar_dir)
+    counts = sidecar_file_counts(sidecar_dir, spark)
     if not counts or max(counts.values()) <= max_files_per_table:
         return None
     return compact_sidecars(
@@ -467,11 +610,13 @@ def sync_sidecars(
     re-appended for the missing ids (band/span rows may duplicate
     for the crashed slice — set-semantics probes, see module
     docstring)."""
-    _check_local(base_dir, "base_dir")
-    _check_local(sidecar_dir, "sidecar_dir")
-    _check_unlocked(sidecar_dir)
-    _check_meta(sidecar_dir, shingle_n, num_hashes, band_size, span_window)
-    if not os.path.isdir(base_dir):
+    io = _io(spark, sidecar_dir)
+    base_io = _io(spark, base_dir)
+    _check_unlocked(io, sidecar_dir)
+    _check_meta(
+        io, sidecar_dir, shingle_n, num_hashes, band_size, span_window
+    )
+    if not base_io.isdir(base_dir):
         return 0
     base = spark.read.parquet(base_dir).select("doc_id", "text")
     # a DERIVED table can vanish entirely while the fp ledger
@@ -486,8 +631,8 @@ def sync_sidecars(
     derived = ["bands"] + (["spans"] if span_window is not None else [])
     absent = [
         w for w in derived
-        if not os.path.isdir(os.path.join(sidecar_dir, w))
-        and os.path.isdir(os.path.join(sidecar_dir, "fp"))
+        if not io.isdir(os.path.join(sidecar_dir, w))
+        and io.isdir(os.path.join(sidecar_dir, "fp"))
     ]
     have = read_sidecar(spark, sidecar_dir, "fp").select("doc_id")
     missing = base.join(have, "doc_id", "left_anti")

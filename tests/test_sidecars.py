@@ -295,30 +295,51 @@ def test_sync_rebuilds_vanished_derived_table(spark, tmp_path):
     assert bands_ids == {1, 2, 3}
 
 
-def test_sidecar_uri_scheme_rejected(spark, tmp_path):
-    """Remote URIs would make the local-FS existence checks silently
-    read every table as empty (dedup bypass) — they must raise."""
+def test_sidecar_uri_scheme_via_hadoop_fs(spark, tmp_path):
+    """URI-scheme sidecar dirs route ALL maintenance IO (existence,
+    meta guard, lock, swap, file counts) through the Hadoop
+    FileSystem API — the full lifecycle works against a
+    URI-addressed store (file: here; the same code path serves
+    hdfs/abfss/s3a when their jars are present)."""
     from etl_python_azure_spark.plans.sidecars import (
-        append_sidecars,
         build_sidecars,
+        compact_sidecars,
         read_sidecar,
+        sidecar_file_counts,
         sync_sidecars,
     )
 
-    with pytest.raises(ValueError, match="URI scheme"):
+    base_dir = str(tmp_path / "base")
+    sc_uri = "file://" + str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_uri, span_window=4)
+    assert read_sidecar(spark, sc_uri, "fp").count() == len(_BASE_ROWS)
+    # the meta guard reads back through the FS API too
+    with pytest.raises(ValueError, match="params mismatch"):
+        sync_sidecars(spark, base_dir, sc_uri, span_window=8)
+    # probe equivalence through the URI-addressed tables
+    delta = _docs(spark, _DELTA_ROWS)
+    legacy = _admit_ids(spark, base_dir, delta, span_window=4)
+    via_uri = _admit_ids(
+        spark, base_dir, delta, sidecar_dir=sc_uri, span_window=4
+    )
+    assert via_uri == legacy
+    # lock-protected compaction + listing through the FS API
+    stats = compact_sidecars(spark, sc_uri, files_per_table=1)
+    assert stats["fp"][1] == len(_BASE_ROWS)
+    assert all(
+        v == 1 for v in sidecar_file_counts(sc_uri, spark).values()
+    )
+    assert sync_sidecars(spark, base_dir, sc_uri, span_window=4) == 0
+
+
+def test_sidecar_unknown_scheme_fails_loudly(spark):
+    """A scheme Hadoop cannot resolve (no connector jar) raises at
+    FileSystem resolution instead of silently probing empty."""
+    from etl_python_azure_spark.plans.sidecars import read_sidecar
+
+    with pytest.raises(ValueError, match="Hadoop FileSystem"):
         read_sidecar(spark, "abfss://corpus@acct.dfs.example/sc", "fp")
-    with pytest.raises(ValueError, match="URI scheme"):
-        append_sidecars(
-            spark, _docs(spark, _BASE_ROWS), "s3a://bucket/sc"
-        )
-    with pytest.raises(ValueError, match="URI scheme"):
-        sync_sidecars(
-            spark, "hdfs://nn/base", str(tmp_path / "sc"), span_window=4
-        )
-    with pytest.raises(ValueError, match="URI scheme"):
-        build_sidecars(
-            spark, str(tmp_path / "base"), "abfss://c@a.example/sc"
-        )
 
 
 def test_build_refuses_populated_dir(spark, tmp_path):
