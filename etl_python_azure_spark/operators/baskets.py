@@ -50,7 +50,10 @@ def basket_pair_stats(
         # pass assume_distinct=True when the caller already
         # deduplicated (user, basket, item) — skips a shuffle
         items = items.distinct()
-    items = items.persist()
+    # eager checkpoint: basket sizes, item counts, and both pair-join
+    # sides are concurrent branches of the one returned action (the
+    # r12 persist-vs-checkpoint rule)
+    items = items.localCheckpoint()
     nb1 = items.select("__bk").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

@@ -330,14 +330,19 @@ def minhash_lsh_pairs(
     bucket collisions become candidate pairs (equi-join, no n²).
     Candidates are then verified with exact Jaccard ≥ *threshold*.
     """
-    # raw (non-distinct) shingles feed both consumers — persist so the
-    # explode happens once; at 100 TB this is the relation you'd
-    # materialize/bucket anyway. MinHash minima are duplicate-
-    # insensitive, so signatures skip the distinct entirely; the
-    # distinct (set semantics for exact Jaccard) is applied LATER,
-    # only over docs that appear in some candidate pair — the big
-    # corpus-wide distinct shuffle shrinks to the collision set.
-    sh = word_shingles(df, id_col, text_col, n, distinct=False).persist()
+    # raw (non-distinct) shingles feed the band self-join's two map
+    # sides AND the confirmation semi-join — branches of ONE action,
+    # which the scheduler runs concurrently, so a lazy persist gives
+    # no compute dedup there (the r12 rule: persist for cross-ACTION
+    # reuse, checkpoint within one fan-out action; converting this
+    # site measured 3.9→2.3 s on minhash_dedup_pairs at sf0.1). At
+    # 100 TB this is the relation you'd materialize/bucket anyway.
+    # MinHash minima are duplicate-insensitive, so signatures skip
+    # the distinct entirely; the distinct (set semantics for exact
+    # Jaccard) is applied LATER, only over docs that appear in some
+    # candidate pair — the big corpus-wide distinct shuffle shrinks
+    # to the collision set.
+    sh = word_shingles(df, id_col, text_col, n, distinct=False).localCheckpoint()
     bands = band_assignments(sh, id_col, num_hashes, band_size)
     cand = (
         bands.alias("a")
@@ -395,12 +400,19 @@ def incremental_lsh_pairs(
     restricted to delta-involving pairs: a delta doc collides with
     any base doc it would have collided with in the full run.
     """
-    sh_d = word_shingles(delta, id_col, text_col, n, distinct=False).persist()
+    # eager checkpoints, not persist: both shingle tables feed
+    # concurrently-scheduled branches of the one candidate action
+    # (see minhash_lsh_pairs). sh_d is delta-sized; sh_b only exists
+    # on the legacy reprojection path (with a bands sidecar the base
+    # shingles are never computed).
+    sh_d = word_shingles(
+        delta, id_col, text_col, n, distinct=False
+    ).localCheckpoint()
     bands_d = band_assignments(sh_d, id_col, num_hashes, band_size)
     if base_bands is None:
         sh_b = word_shingles(
             base, id_col, text_col, n, distinct=False
-        ).persist()
+        ).localCheckpoint()
         bands_b = band_assignments(sh_b, id_col, num_hashes, band_size)
     else:
         sh_b = None
@@ -1124,7 +1136,11 @@ def minhash_calibration(
     candidate join, exact verify restricted to candidates, then a
     9-row-bounded aggregate. Nothing new shuffles.
     """
-    sh = word_shingles(df, id_col, text_col, n, distinct=False).persist()
+    # eager checkpoint: sig, bands, and the confirmation semi-join
+    # are concurrent branches of one action (see minhash_lsh_pairs)
+    sh = word_shingles(
+        df, id_col, text_col, n, distinct=False
+    ).localCheckpoint()
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = band_assignments(sh, id_col, num_hashes, band_size)
     cand = (
@@ -1231,14 +1247,17 @@ def lsh_band_sweep(
     Output: (bands, rows_per_band, j_bin5, n_pairs, n_detected,
     detect_rate, mean_theory_detect); j_bin5 = floor(J·5).
     """
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    # eager checkpoints: every banding configuration is a branch of
+    # the ONE returned-union action, so lazily-cached shared frames
+    # would be recomputed per branch (see minhash_lsh_pairs)
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
     truth = (
         _jaccard_on_pairs(sh, id_col, None)
         .filter(F.col("jaccard") >= F.lit(j_floor))
-        .persist()
+        .localCheckpoint()
     )
     # ONE signature pass feeds every banding configuration
-    sig = minhash_signatures(sh, id_col, num_hashes).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes).localCheckpoint()
     parts = []
     for r in band_sizes:
         n_bands = num_hashes // r

@@ -666,16 +666,24 @@ _R13_WINDOW = [
     "trailing_week_revenue",
     "trigram_lm_scores",
     # r14 window queue: lead with any queries whose plan or oracle
-    # changes in r14 and the queries new in r14 — plus
-    # unpivot_status_metrics, registered mid-r13 (the de-collided
-    # orders-status melt) after this window was booked, so its first
-    # driver row is r14's to record — then the r08-cohort names
-    # above that miss this window's 50-cut, then re-proof fill from
-    # the r09 cohort (next-stalest), alphabetical. Write the list AS
-    # CODE in the first r14 commit and repin
-    # tests/test_driver_contract.py's test_driver_window_invariants
-    # to _R14_WINDOW in the same commit (it asserts first-50 ==
-    # registry order).
+    # changes in r14 and the queries new in r14 — plus the r13
+    # changes this window could not cover: unpivot_status_metrics
+    # (registered mid-r13, de-collided orders-status melt, first
+    # driver row pending) and the queries whose PLANS changed in the
+    # r13 persist→localCheckpoint conversion of the LSH/basket/
+    # z-norm operators but that sit outside this window's first 50 —
+    # minhash_dedup_pairs, incremental_dedup_pairs, near_dup_clusters,
+    # dup_cluster_histogram, minhash_jaccard_calibration,
+    # lsh_band_sweep, quality_keeper_dedup, keeper_policy_delta,
+    # keeper_fallback_drops, hll_source_overlap,
+    # ts_similarity_blocked_pairs (all re-proven locally at sf0.01 +
+    # the sf0.1 deep tier in r13; driver evidence is r14's to
+    # record) — then the r08-cohort names above that miss this
+    # window's 50-cut, then re-proof fill from the r09 cohort
+    # (next-stalest), alphabetical. Write the list AS CODE in the
+    # first r14 commit and repin tests/test_driver_contract.py's
+    # test_driver_window_invariants to _R14_WINDOW in the same
+    # commit (it asserts first-50 == registry order).
 ]
 
 _R05_WINDOW = [

@@ -1018,7 +1018,9 @@ def ts_similarity_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
     )
-    z = znorm_series(daily).persist()
+    # eager checkpoint: SAX blocking and the verify pass read z as
+    # concurrent branches of one action (the r12 rule)
+    z = znorm_series(daily).localCheckpoint()
     blocks = sax_words(z, segments=6)
     return ts_similarity_pairs(z, blocks).select(
         "key_a", "key_b", "dist"

@@ -80,9 +80,10 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
         .distinct()
-        # deliberately-leaked handle (sizes + sketch agg + the lazy
-        # result all read it); released by the caller's clearCache()
-        .persist()
+        # eager checkpoint: sizes, the sketch agg, and the result
+        # are concurrent branches of one action (the r12
+        # persist-vs-checkpoint rule); blocks free at GC
+        .localCheckpoint()
     )
     sz = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
     top4 = sz.orderBy(F.desc("n_tokens"), F.asc("source")).limit(_OV_TOP)
