@@ -6,13 +6,20 @@ frame-sample / feature-extract run as Arrow-batched Pandas
 transforms (``mapInPandas``) so bytes stream executor-side in
 columnar batches — the driver never sees payloads.
 
-The decode step itself needs codec libraries (PIL/ffmpeg/…) that are
-NOT in this container, so the actual pixel/sample decoding is
-**stubbed**: ``decoder=None`` raises ``NotImplementedError`` at plan
-build time, and tests inject :func:`deterministic_fake_decoder`,
-which derives stable pseudo-features from the md5 of the bytes. The
-Spark-side contract — schemas, batch iteration, partitioning, UDF
-signatures — is real and tested.
+PIXEL/SAMPLE decoding needs codec libraries (PIL/ffmpeg/…) that are
+NOT in this container, so feature extraction stays injectable:
+tests use :func:`deterministic_fake_decoder`, which derives stable
+pseudo-features from the md5 of the bytes. But CONTAINER HEADERS are
+public, fixed byte layouts — no codec needed — so the default
+decode path is real since r14: :func:`parse_media_header` reads PNG
+IHDR / JPEG SOFn / GIF / BMP (v3 + core) dimensions and WAV RIFF
+duration with pure Python ``struct`` parsing, returning all-``None``
+fields (never raising) on truncated/corrupt/unknown bytes.
+:func:`synthesize_media_bytes` is the inverse used by fixtures and
+the ``media_dimensions_report`` oracle query: it emits real
+container bytes for chosen dimensions, so the encode→parse round
+trip is DuckDB-checkable (an endianness or offset bug in the parser
+breaks the value hash).
 """
 
 from __future__ import annotations
@@ -79,6 +86,266 @@ def deterministic_fake_decoder(content: bytes) -> dict:
     }
 
 
+# JPEG start-of-frame markers that carry dimensions (baseline,
+# progressive, lossless, arithmetic variants); C4/C8/CC are
+# DHT/JPG/DAC — tables, not frames
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+# markers with NO length field: TEM, RSTn, SOI, EOI
+_JPEG_BARE = frozenset([0x01, *range(0xD0, 0xDA)])
+
+
+def parse_media_header(content: bytes | None) -> dict:
+    """Sniff container format + dimensions/duration from raw bytes.
+
+    Pure-Python ``struct``-level parsing of public, fixed header
+    layouts — no codec libraries:
+
+    - PNG: 8-byte signature, IHDR width/height (big-endian u32).
+    - JPEG: segment walk from SOI to the first SOFn marker
+      (height/width big-endian u16 at offsets 3/5 of the frame
+      segment); bare markers (RSTn/TEM) and entropy padding ``FF``
+      fill are skipped per the JFIF spec.
+    - GIF: ``GIF87a``/``GIF89a`` logical-screen width/height
+      (little-endian u16).
+    - BMP: ``BM`` + BITMAPINFOHEADER (v3+: i32 LE, top-down bitmaps
+      store negative height → abs) or the 12-byte BITMAPCOREHEADER
+      (u16 LE).
+    - WAV: RIFF/WAVE chunk walk; ``duration_ms = data_size * 1000
+      // byte_rate`` from the fmt chunk (header-declared sizes, the
+      same contract ffprobe-style sniffers use).
+
+    Returns ``{"format", "width", "height", "duration_ms"}`` with
+    ``None`` fields (never raises) for truncated, corrupt, or
+    unrecognized bytes — the caller decides whether unparseable is
+    an error.
+    """
+    none = {"format": None, "width": None, "height": None, "duration_ms": None}
+    if not content:
+        return none
+    b = bytes(content)
+    n = len(b)
+    # --- PNG ---------------------------------------------------
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if n >= 24 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return {"format": "png", "width": w, "height": h, "duration_ms": None}
+        return none
+    # --- JPEG --------------------------------------------------
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 1 < n:
+            if b[i] != 0xFF:  # not a marker: corrupt stream
+                return none
+            while i < n and b[i] == 0xFF:  # FF fill bytes are legal
+                i += 1
+            if i >= n:
+                return none
+            marker = b[i]
+            i += 1
+            if marker in _JPEG_BARE:
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return none
+            if i + 1 >= n:
+                return none
+            seg_len = int.from_bytes(b[i : i + 2], "big")
+            if seg_len < 2:
+                return none
+            if marker in _JPEG_SOF:
+                if i + 7 > n:
+                    return none
+                h = int.from_bytes(b[i + 3 : i + 5], "big")
+                w = int.from_bytes(b[i + 5 : i + 7], "big")
+                return {
+                    "format": "jpeg",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+            i += seg_len
+        return none
+    # --- GIF ---------------------------------------------------
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if n >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            return {"format": "gif", "width": w, "height": h, "duration_ms": None}
+        return none
+    # --- BMP ---------------------------------------------------
+    if b[:2] == b"BM":
+        if n >= 18:
+            hdr_size = int.from_bytes(b[14:18], "little")
+            if hdr_size >= 40 and n >= 26:  # BITMAPINFOHEADER+
+                w = int.from_bytes(b[18:22], "little", signed=True)
+                h = int.from_bytes(b[22:26], "little", signed=True)
+                return {
+                    "format": "bmp",
+                    "width": abs(w),
+                    "height": abs(h),
+                    "duration_ms": None,
+                }
+            if hdr_size == 12 and n >= 22:  # BITMAPCOREHEADER
+                w = int.from_bytes(b[18:20], "little")
+                h = int.from_bytes(b[20:22], "little")
+                return {
+                    "format": "bmp",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+        return none
+    # --- WAV ---------------------------------------------------
+    if b[:4] == b"RIFF" and n >= 12 and b[8:12] == b"WAVE":
+        i = 12
+        byte_rate = None
+        data_size = None
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            csize = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 + 12 <= n:
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_size = csize
+            # chunks are word-aligned (odd sizes get a pad byte);
+            # the data payload itself may be absent (header-only
+            # fixture) — stop the walk rather than misread past it
+            if cid == b"data":
+                break
+            i += 8 + csize + (csize & 1)
+        if byte_rate and data_size is not None:
+            return {
+                "format": "wav",
+                "width": None,
+                "height": None,
+                "duration_ms": data_size * 1000 // byte_rate,
+            }
+        return none
+    return none
+
+
+def synthesize_media_bytes(
+    fmt: str, width: int = 0, height: int = 0, duration_ms: int = 0
+) -> bytes:
+    """Emit real container-header bytes for the chosen fields.
+
+    The inverse of :func:`parse_media_header` for fixture/oracle
+    use: output is a VALID header (signatures, segment lengths,
+    chunk sizes all well-formed) with the payload omitted — enough
+    for any header sniffer, deterministic for DuckDB oracles. WAV
+    uses a fixed 16 kB/s byte rate (8 kHz · 16-bit mono) so
+    ``duration_ms`` round-trips exactly for any integer input.
+    """
+    if fmt == "png":
+        ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ihdr += b"\x08\x02\x00\x00\x00"  # bit depth 8, truecolor RGB
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # CRC placeholder (not verified)
+        )
+    if fmt == "jpeg":
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+        sof0 = (
+            b"\xff\xc0"
+            + (17).to_bytes(2, "big")
+            + b"\x08"  # precision
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"  # 3 components
+        )
+        return b"\xff\xd8" + app0 + sof0
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + b"\xf7\x00\x00"  # GCT flags, background, aspect
+        )
+    if fmt == "bmp":
+        info = (
+            (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")  # planes
+            + (24).to_bytes(2, "little")  # bpp
+            + b"\x00" * 24
+        )
+        return b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little") + info
+    if fmt == "wav":
+        byte_rate = 16000  # 8 kHz * 16-bit * mono
+        data_size = byte_rate * duration_ms // 1000
+        fmt_chunk = (
+            b"fmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")  # PCM
+            + (1).to_bytes(2, "little")  # mono
+            + (8000).to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + (2).to_bytes(2, "little")  # block align
+            + (16).to_bytes(2, "little")  # bits/sample
+        )
+        data_hdr = b"data" + data_size.to_bytes(4, "little")
+        riff_size = 4 + len(fmt_chunk) + len(data_hdr) + data_size
+        return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt_chunk + data_hdr
+    raise ValueError(f"unknown media format: {fmt!r}")
+
+
+HEADER_SCHEMA_FIELDS = [
+    T.StructField("media_format", T.StringType()),
+    T.StructField("media_width", T.IntegerType()),
+    T.StructField("media_height", T.IntegerType()),
+    T.StructField("media_duration_ms", T.LongType()),
+]
+
+
+def decode_media_headers(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach real header-sniffed metadata columns via ``mapInPandas``.
+
+    Output: input columns + ``media_format``/``media_width``/
+    ``media_height``/``media_duration_ms`` (all NULL for
+    unparseable bytes — rows are never dropped, so a downstream
+    filter decides quarantine policy). Arrow-batched; the per-row
+    parse touches only the first few hundred bytes of each payload.
+    """
+    out_schema = T.StructType(list(df.schema.fields) + HEADER_SCHEMA_FIELDS)
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            parsed = [
+                parse_media_header(bytes(c) if c is not None else None)
+                for c in pdf[content_col]
+            ]
+            pdf = pdf.copy()
+            pdf["media_format"] = [p["format"] for p in parsed]
+            pdf["media_width"] = [p["width"] for p in parsed]
+            pdf["media_height"] = [p["height"] for p in parsed]
+            pdf["media_duration_ms"] = [p["duration_ms"] for p in parsed]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def builtin_header_decoder(content: bytes) -> dict:
+    """Default :data:`Decoder`: real container-header parsing.
+
+    Pixel features stay ``None`` (no codec libraries here — inject a
+    real decoder for pixels); width/height come from
+    :func:`parse_media_header`, so the default decode path works on
+    real PNG/JPEG/GIF/BMP bytes instead of raising.
+    """
+    parsed = parse_media_header(content)
+    return {
+        "features": None,
+        "decoded_width": parsed["width"],
+        "decoded_height": parsed["height"],
+    }
+
+
 def decode_features(
     df: DataFrame,
     content_col: str = "content",
@@ -92,14 +359,13 @@ def decode_features(
     as pandas batches; one decoder call per row inside the batch
     loop (vectorize inside *decoder* when the codec allows).
 
-    Raises ``NotImplementedError`` without an injected *decoder* —
-    real codecs are not available in this environment.
+    Without an injected *decoder* the default is
+    :func:`builtin_header_decoder` — real header-level width/height,
+    NULL features (pixel codecs are not available in this
+    environment; inject one for real feature extraction).
     """
     if decoder is None:
-        raise NotImplementedError(
-            f"no {batch_note} decoder available in this environment; "
-            "inject decoder= (tests use deterministic_fake_decoder)"
-        )
+        decoder = builtin_header_decoder
 
     out_schema = T.StructType(
         list(df.schema.fields)

@@ -665,25 +665,145 @@ _R13_WINDOW = [
     "top3_per_segment_agg",
     "trailing_week_revenue",
     "trigram_lm_scores",
-    # r14 window queue: lead with any queries whose plan or oracle
-    # changes in r14 and the queries new in r14 — plus the r13
-    # changes this window could not cover: unpivot_status_metrics
-    # (registered mid-r13, de-collided orders-status melt, first
-    # driver row pending) and the queries whose PLANS changed in the
-    # r13 persist→localCheckpoint conversion of the LSH/basket/
-    # z-norm operators but that sit outside this window's first 50 —
-    # minhash_dedup_pairs, incremental_dedup_pairs, near_dup_clusters,
-    # dup_cluster_histogram, minhash_jaccard_calibration,
-    # lsh_band_sweep, quality_keeper_dedup, keeper_policy_delta,
-    # keeper_fallback_drops, hll_source_overlap,
-    # ts_similarity_blocked_pairs (all re-proven locally at sf0.01 +
-    # the sf0.1 deep tier in r13; driver evidence is r14's to
-    # record) — then the r08-cohort names above that miss this
-    # window's 50-cut, then re-proof fill from the r09 cohort
-    # (next-stalest), alphabetical. Write the list AS CODE in the
-    # first r14 commit and repin tests/test_driver_contract.py's
-    # test_driver_window_invariants to _R14_WINDOW in the same
-    # commit (it asserts first-50 == registry order).
+    # (r14 queue drained: see _R14_WINDOW below, written as code in
+    # the first r14 commit per the r07/r08 lesson.)
+]
+
+# The r14 window drains the queue the r13 verdict booked at
+# _R13_WINDOW's tail: slot 1 is unpivot_status_metrics — the only
+# registry query with zero driver rows ever (registered mid-r13 when
+# the unpivot_order_metrics name collision was de-collided; oracle
+# and sf0.1 deep sweep already green) — then the queries NEW in r14
+# (media_dimensions_report: pure-Python PNG/JPEG/GIF/BMP/WAV header
+# decode replacing the NotImplementedError default;
+# similar_user_activity_ann: the IVF twin of the exact all-pairs
+# user-profile verifier), then the two fold-family queries whose
+# plans the r14 persist audit may touch (sidecar_compaction_equiv,
+# curation_drop_attribution — fresh r13 rows, but re-prove under the
+# driver if the audit changes their checkpoint shape; harmless
+# re-proof otherwise), then the 11 queries whose PLANS changed in
+# the r13 persist→localCheckpoint conversion but sat outside the
+# r13 window's 50-cut, then r08-cohort re-proof fill (the 34
+# remaining names whose newest driver evidence is round 8,
+# alphabetical — draining the cohort so nothing predates r09), then
+# r09-cohort overflow armor (49 names, alphabetical — whatever
+# misses the 50-cut heads the r15 queue). The list deliberately
+# overflows 50 so a missing name cannot shrink the window.
+_R14_WINDOW = [
+    # never driver-checked — first-ever driver row
+    "unpivot_status_metrics",
+    # new in round 14
+    "media_dimensions_report",
+    "similar_user_activity_ann",
+    # fold-family: r14 persist-audit targets (re-prove)
+    "sidecar_compaction_equiv",
+    "curation_drop_attribution",
+    # plan changed in r13 (persist→localCheckpoint conversion) —
+    # driver evidence still pre-dates the change
+    "minhash_dedup_pairs",
+    "incremental_dedup_pairs",
+    "near_dup_clusters",
+    "dup_cluster_histogram",
+    "minhash_jaccard_calibration",
+    "lsh_band_sweep",
+    "quality_keeper_dedup",
+    "keeper_policy_delta",
+    "keeper_fallback_drops",
+    "hll_source_overlap",
+    "ts_similarity_blocked_pairs",
+    # r08-cohort re-proof fill (34 names; alphabetical)
+    "cube_order_stats",
+    "custdist_order_counts",
+    "customer_set_ops",
+    "customers_with_big_order",
+    "distinct_cardinalities",
+    "drift_tolerant_select",
+    "drop_all_null_columns_q",
+    "dropna_after_left_join",
+    "filter_variety",
+    "grouping_sets_revenue",
+    "heaps_law_vocab_fit",
+    "json_flatten_props",
+    "large_volume_customers",
+    "mase_seasonal_screen",
+    "mmr_diversified_topk",
+    "mmr_ivf_topk",
+    "nation_revenue_share",
+    "ngram_jaccard_pairs",
+    "order_rank_stats",
+    "order_value_quantiles",
+    "orders_with_large_items",
+    "prefix_jaccard_pairs",
+    "promo_revenue_by_supp_nation",
+    "rich_inactive_customers",
+    "rm3_expanded_bm25",
+    "rollup_quantity",
+    "scalar_null_toolbox",
+    "shipping_priority",
+    "sliding_window_refresh",
+    "string_length_gate",
+    "string_toolbox",
+    "top3_per_segment_agg",
+    "trailing_week_revenue",
+    "trigram_lm_scores",
+    # r09-cohort overflow armor (49 names; alphabetical; the tail
+    # past the 50-cut heads the r15 queue)
+    "ann_bruteforce_topk",
+    "ann_ivf_incremental",
+    "ann_ivf_kmeans_recall",
+    "ann_ivf_recall",
+    "ann_ivfpq_recall",
+    "ann_lsh_multitable_topk",
+    "ann_lsh_recall",
+    "ann_lsh_topk",
+    "asof_last_view_before_purchase",
+    "benchmark_contamination",
+    "cdc_replay_equiv",
+    "conversion_funnel",
+    "cross_doc_dup_spans",
+    "cusum_value_changepoints",
+    "dedup_keep_best",
+    "deterministic_split_counts",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "domain_extraction_stats",
+    "dsir_importance_scores",
+    "embedding_array_stats",
+    "embedding_cosine_pairs",
+    "embedding_lsh_dup_pairs",
+    "event_value_histogram",
+    "exact_dedup",
+    "filter_events",
+    "fuzzy_part_name_pairs",
+    "heavy_hitter_tokens",
+    "hourly_event_rollup",
+    "ivf_probe_recall_sweep",
+    "lang_id_guess",
+    "lsh_bucket_assignments",
+    "maintained_rollup_equiv",
+    "media_content_stats",
+    "media_decode_dimensions",
+    "pii_redaction_stats",
+    "readability_by_source",
+    "semdedup_cluster_pairs",
+    "semdedup_recall_audit",
+    "sessionize_events",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "sketch_distinct_maintenance",
+    "sliding_window_counts",
+    "stable_sample_docs",
+    "stratified_sample_by_lang",
+    "text_quality_scores",
+    "token_count_stats",
+    "url_domain_dedup_health",
+    # r15 window queue: lead with any queries whose plan or oracle
+    # changes in r15 and the queries new in r15, then the r09-cohort
+    # names above that miss this window's 50-cut, then re-proof fill
+    # from the r10 cohort (next-stalest), alphabetical. Write the
+    # list AS CODE in the first r15 commit and repin
+    # tests/test_driver_contract.py's test_driver_window_invariants
+    # to _R15_WINDOW in the same commit.
 ]
 
 _R05_WINDOW = [
@@ -869,6 +989,6 @@ def registry() -> dict[str, QuerySpec]:
     from . import round12  # noqa: F401
     from . import round13  # noqa: F401
 
-    ordered = {n: _REGISTRY[n] for n in _R13_WINDOW if n in _REGISTRY}
+    ordered = {n: _REGISTRY[n] for n in _R14_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})
     return ordered

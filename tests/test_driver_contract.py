@@ -69,58 +69,50 @@ def test_driver_window_invariants():
     unique names, all registered, and every registry query has an
     oracle (no rows-only entries slip back in) with no nested output
     columns (the driver's canonicalizer cannot hash them)."""
-    from etl_python_azure_spark.queries import _R13_WINDOW, registry
+    from etl_python_azure_spark.queries import _R14_WINDOW, registry
 
     reg = registry()
-    # the r13 list deliberately OVERFLOWS 50 (missing-name armor:
+    # the r14 list deliberately OVERFLOWS 50 (missing-name armor:
     # the driver records the first 50 resolvable entries, so a typo
     # slides fill up instead of shrinking the window)
-    resolvable = [n for n in _R13_WINDOW if n in reg]
+    resolvable = [n for n in _R14_WINDOW if n in reg]
     assert len(resolvable) >= 50
-    assert len(set(_R13_WINDOW)) == len(_R13_WINDOW)
+    assert len(set(_R14_WINDOW)) == len(_R14_WINDOW)
     assert list(reg)[:50] == resolvable[:50]
     assert all(spec.oracle is not None for spec in reg.values())
-    # r13 mandate (r12 verdict, top_next): slots 1-2 are the queries
-    # whose plan changed this round (curate_corpus v2's
-    # persist→localCheckpoint conversion; dedup_sidecar_equiv's
-    # report-collect drop + span-recipe unification), slot 3 the
-    # query NEW in round 13 (mid-fold compaction equivalence), then
-    # the 37 r05-stale names (computed from the CORRECTNESS_r* union
-    # — the _R12_WINDOW tail past the 50-cut), then r08-cohort fill
-    changed_r13 = ["curation_counts_report", "dedup_sidecar_equiv"]
-    new_r13 = ["sidecar_compaction_equiv"]
-    r05_thirty_seven = [
-        "customers_without_orders", "derived_surrogate_key",
-        "doc_length_auc_by_source", "embedding_norm_health",
-        "event_pair_rules", "filter_project_scale",
-        "first_last_order_price", "gopher_quality_report",
-        "iso_split_and_parse", "label_projection_stats",
-        "lang_id_confusion", "left_join_enrich",
-        "monthly_order_volume", "null_fill_cast",
-        "null_safe_join", "outlier_orders_p95",
-        "pca_top2_components", "pca_top_component",
-        "pivot_qty_by_status", "pricing_summary",
-        "purged_fold_report", "rank_normalized_value_by_type",
-        "revenue_by_nation", "running_customer_spend",
-        "score_reliability_bins", "segment_target_encoding",
-        "source_dup_health", "source_signature_terms",
-        "source_temperature_mix", "split_leakage_report",
-        "top100_orders", "top3_orders_per_segment",
-        "union_with_drift", "unpivot_order_metrics",
-        "value_quartiles_by_type", "weighted_sample_docs",
-        "window_toolbox_orders",
+    # r14 mandate (r13 verdict, top_next): slot 1 is the only
+    # registry query with zero driver rows ever (registered mid-r13
+    # by the name de-collision), slots 2-3 the queries NEW in round
+    # 14, slots 4-5 the fold-family persist-audit targets, slots
+    # 6-16 the 11 queries whose plans changed in the r13
+    # persist→localCheckpoint conversion, then the r08-cohort fill
+    # (draining the cohort), then r09-cohort overflow armor
+    never_checked = ["unpivot_status_metrics"]
+    new_r14 = ["media_dimensions_report", "similar_user_activity_ann"]
+    audit_targets = ["sidecar_compaction_equiv", "curation_drop_attribution"]
+    changed_r13_plans = [
+        "minhash_dedup_pairs", "incremental_dedup_pairs",
+        "near_dup_clusters", "dup_cluster_histogram",
+        "minhash_jaccard_calibration", "lsh_band_sweep",
+        "quality_keeper_dedup", "keeper_policy_delta",
+        "keeper_fallback_drops", "hll_source_overlap",
+        "ts_similarity_blocked_pairs",
     ]
-    assert _R13_WINDOW[:2] == changed_r13
-    assert _R13_WINDOW[2:3] == new_r13
-    assert _R13_WINDOW[3:40] == r05_thirty_seven
-    # the r08-cohort fill is alphabetical (stalest cohort first; the
-    # tail past the 50-cut heads the r14 queue)
-    r08_fill = _R13_WINDOW[40:]
+    assert _R14_WINDOW[:1] == never_checked
+    assert _R14_WINDOW[1:3] == new_r14
+    assert _R14_WINDOW[3:5] == audit_targets
+    assert _R14_WINDOW[5:16] == changed_r13_plans
+    # the r08-cohort fill is alphabetical (stalest cohort first;
+    # 34 names drain it completely), then the r09 armor is also
+    # alphabetical (its tail past the 50-cut heads the r15 queue)
+    r08_fill = _R14_WINDOW[16:50]
     assert r08_fill == sorted(r08_fill)
-    # every r13-new name must resolve by round end (they land over
+    r09_armor = _R14_WINDOW[50:]
+    assert r09_armor == sorted(r09_armor)
+    # every r14-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
     # window at 50 meanwhile)
-    missing = [n for n in new_r13 if n not in reg]
+    missing = [n for n in new_r14 if n not in reg]
     assert not missing or len(resolvable) >= 50, missing
 
 

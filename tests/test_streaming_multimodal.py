@@ -12,8 +12,11 @@ from etl_python_azure_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     attach_content_stats,
     decode_features,
+    decode_media_headers,
     deterministic_fake_decoder,
+    parse_media_header,
     sample_frames,
+    synthesize_media_bytes,
 )
 from etl_python_azure_spark.session import load_tables
 from etl_python_azure_spark.streaming.pipeline import (
@@ -173,9 +176,126 @@ def test_decode_features_fake_decoder(spark):
     assert rows[2].decoded_width >= 1
 
 
-def test_decode_without_decoder_raises(spark):
-    with pytest.raises(NotImplementedError, match="decoder"):
-        decode_features(_media_df(spark))
+def test_decode_default_is_header_parser(spark):
+    """r14: the default decoder reads real container headers instead
+    of raising — non-container bytes yield NULL dims, real PNG bytes
+    yield the encoded dims, features stay NULL (no pixel codecs)."""
+    png = synthesize_media_bytes("png", width=320, height=200)
+    rows = [
+        (1, png, None),
+        (2, b"fake-video-bytes", None),
+    ]
+    out = decode_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r.media_id: r for r in out.collect()}
+    assert (got[1].decoded_width, got[1].decoded_height) == (320, 200)
+    assert got[1].features is None
+    assert (got[2].decoded_width, got[2].decoded_height) == (None, None)
+
+
+# ---- parse_media_header: pure-Python, no Spark ------------------
+
+_ROUND_TRIPS = [
+    ("png", 1, 1, None),
+    ("png", 65535, 4096, None),
+    ("jpeg", 320, 200, None),
+    ("jpeg", 1, 65535, None),
+    ("gif", 640, 480, None),
+    ("bmp", 800, 600, None),
+    ("wav", None, None, 0),
+    ("wav", None, None, 12345),
+]
+
+
+@pytest.mark.parametrize("fmt,w,h,d", _ROUND_TRIPS)
+def test_header_round_trip(fmt, w, h, d):
+    raw = synthesize_media_bytes(fmt, width=w or 0, height=h or 0, duration_ms=d or 0)
+    got = parse_media_header(raw)
+    assert got == {"format": fmt, "width": w, "height": h, "duration_ms": d}
+
+
+def test_header_parser_jpeg_variants():
+    # SOF2 (progressive) after a COM segment and an RST fill: the
+    # segment walk must skip non-frame segments and bare markers
+    com = b"\xff\xfe" + (7).to_bytes(2, "big") + b"hello"
+    sof2 = (
+        b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+        + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    raw = b"\xff\xd8" + com + b"\xff\xff" + b"\xff\x01" + sof2
+    got = parse_media_header(raw)
+    assert (got["format"], got["width"], got["height"]) == ("jpeg", 77, 99)
+    # DHT (C4) must NOT be mistaken for a frame
+    dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x00\x00"
+    assert parse_media_header(b"\xff\xd8" + dht)["format"] is None
+
+
+def test_header_parser_bmp_core_and_topdown():
+    # 12-byte BITMAPCOREHEADER (u16 dims)
+    core = (
+        b"BM" + (26).to_bytes(4, "little") + b"\x00" * 4
+        + (26).to_bytes(4, "little") + (12).to_bytes(4, "little")
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    )
+    got = parse_media_header(core)
+    assert (got["format"], got["width"], got["height"]) == ("bmp", 320, 240)
+    # top-down BMP stores negative height → abs
+    v3 = bytearray(synthesize_media_bytes("bmp", width=64, height=48))
+    v3[22:26] = (-48).to_bytes(4, "little", signed=True)
+    got = parse_media_header(bytes(v3))
+    assert (got["width"], got["height"]) == (64, 48)
+
+
+_NONE = {"format": None, "width": None, "height": None, "duration_ms": None}
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        None,
+        b"",
+        b"\x00" * 64,  # unknown magic
+        b"not media at all",
+        synthesize_media_bytes("png", 9, 9)[:5],  # truncated sig
+        synthesize_media_bytes("png", 9, 9)[:20],  # sig ok, IHDR cut
+        synthesize_media_bytes("jpeg", 9, 9)[:5],  # SOI + partial APP0
+        synthesize_media_bytes("jpeg", 9, 9)[:27],  # SOF cut mid-dims
+        b"\xff\xd8\x00\x00",  # JPEG with corrupt marker stream
+        b"\xff\xd8\xff\xd9",  # EOI before any SOF
+        synthesize_media_bytes("gif", 9, 9)[:5],
+        synthesize_media_bytes("bmp", 9, 9)[:10],
+        synthesize_media_bytes("wav", duration_ms=100)[:5],
+        synthesize_media_bytes("wav", duration_ms=100)[:11],  # no WAVE tag
+        # WAV with zero byte_rate must not divide by zero
+        bytes(
+            bytearray(synthesize_media_bytes("wav", duration_ms=100))[:28]
+            + b"\x00\x00\x00\x00"
+            + bytearray(synthesize_media_bytes("wav", duration_ms=100))[32:]
+        ),
+    ],
+)
+def test_header_parser_corrupt_never_raises(blob):
+    assert parse_media_header(blob) == _NONE
+
+
+def test_synthesize_unknown_format_raises():
+    with pytest.raises(ValueError, match="unknown media format"):
+        synthesize_media_bytes("tiff", 1, 1)
+
+
+def test_decode_media_headers_spark(spark):
+    rows = [
+        (1, synthesize_media_bytes("gif", width=12, height=34), None),
+        (2, synthesize_media_bytes("wav", duration_ms=2500), None),
+        (3, b"\x00garbage", None),
+        (4, None, None),
+    ]
+    out = decode_media_headers(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    got = {r.media_id: r for r in out.collect()}
+    assert (got[1].media_format, got[1].media_width, got[1].media_height) == ("gif", 12, 34)
+    assert (got[2].media_format, got[2].media_duration_ms) == ("wav", 2500)
+    assert got[3].media_format is None
+    assert got[4].media_format is None
+    assert len(got) == 4  # unparseable rows kept, not dropped
 
 
 def test_sample_frames(spark):
