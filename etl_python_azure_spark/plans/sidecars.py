@@ -127,9 +127,19 @@ _SCHEMAS = {"fp": _FP_SCHEMA, "bands": _BANDS_SCHEMA, "spans": _SPANS_SCHEMA}
 def _has_scheme(path: str) -> bool:
     import re
 
-    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://?", path)) and (
-        "://" in path or path.startswith("file:/")
-    )
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/", path)
+    if not m:
+        return False
+    # Hadoop Path accepts single-slash URIs ('hdfs:/tmp/sc',
+    # 's3a:/bucket/sc') as well as '://' forms, so ANY scheme
+    # prefix routes to _HadoopIO — requiring '://' sent legal
+    # single-slash URIs to _LocalIO, where isdir() returned False
+    # and read_sidecar silently yielded an empty frame (r13 ADVICE:
+    # the exact silent-empty dedup-disable this routing exists to
+    # prevent). The one carve-out is a Windows drive letter
+    # ('C:/...'): single char, while every real Hadoop scheme
+    # (file, hdfs, s3a, abfss, wasb, gs, o3fs, viewfs...) has >= 2.
+    return len(m.group(1)) >= 2
 
 
 class _LocalIO:
@@ -215,7 +225,15 @@ class _HadoopIO:
         try:
             out = self._fs.create(jp, False)
         except Exception as e:
-            raise FileExistsError(f"{p}: {e}") from e
+            # map ONLY the already-exists race to FileExistsError —
+            # compact_sidecars reports that as "another compaction
+            # holds the lock", and steering an operator toward
+            # force_unlock on a permission/transient-store error
+            # would be wrong (r13 ADVICE). Re-check existence for
+            # stores that raise a differently-named wrapper.
+            if "FileAlreadyExistsException" in str(e) or self._fs.exists(jp):
+                raise FileExistsError(f"{p}: {e}") from e
+            raise
         out.write(bytearray(text.encode()))
         out.close()
 
@@ -287,17 +305,40 @@ def _check_unlocked(io, sidecar_dir: str) -> None:
         )
 
 
+def _sweep_compaction_leftovers(io, sidecar_dir: str) -> None:
+    """Clean the ``<table>__compact`` / ``<table>__old`` dirs a
+    crashed compaction leaves behind (r13 verdict item 7 — without
+    this they double sidecar disk until the NEXT compaction of the
+    same table). Crash-window aware: if the crash fell between the
+    two swap renames the LIVE table is missing and ``__old`` holds
+    the full pre-compaction data — rename it back (restoring the
+    exact pre-compaction state, cheaper and strictly safer than the
+    full-base rebuild sync would otherwise run) before deleting the
+    half-written ``__compact``."""
+    for which in _SCHEMAS:
+        path = os.path.join(sidecar_dir, which)
+        old = path + "__old"
+        if io.isdir(old) and not io.isdir(path):
+            io.rename(old, path)
+        io.rmtree(old)
+        io.rmtree(path + "__compact")
+
+
 def force_unlock_sidecars(
     sidecar_dir: str, spark: SparkSession | None = None
 ) -> bool:
     """Remove a stale maintenance lock (operator action after a
-    compaction crash). Returns whether a lock existed. *spark* is
+    compaction crash) and sweep the crash's ``__compact``/``__old``
+    leftovers — restoring a mid-swap table from ``__old`` when the
+    live dir vanished. Returns whether a lock existed. *spark* is
     only needed for URI-scheme dirs (Hadoop FS routing)."""
     io = _io(spark, sidecar_dir)
-    if not io.exists(_lock_path(sidecar_dir)):
-        return False
-    io.rmtree(_lock_path(sidecar_dir))
-    return True
+    had_lock = io.exists(_lock_path(sidecar_dir))
+    if had_lock:
+        io.rmtree(_lock_path(sidecar_dir))
+    if io.isdir(sidecar_dir):
+        _sweep_compaction_leftovers(io, sidecar_dir)
+    return had_lock
 
 
 def _meta_path(sidecar_dir: str) -> str:

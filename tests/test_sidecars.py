@@ -333,6 +333,102 @@ def test_sidecar_uri_scheme_via_hadoop_fs(spark, tmp_path):
     assert sync_sidecars(spark, base_dir, sc_uri, span_window=4) == 0
 
 
+def test_has_scheme_accepts_single_slash_uris():
+    """r13 ADVICE (medium): Hadoop Path accepts single-slash URIs
+    ('hdfs:/tmp/sc') — they must route to _HadoopIO, not fall
+    through to _LocalIO where isdir()=False silently disables
+    dedup. Windows drive letters stay local."""
+    from etl_python_azure_spark.plans.sidecars import _has_scheme
+
+    assert _has_scheme("hdfs:/tmp/sc")
+    assert _has_scheme("s3a:/bucket/sc")
+    assert _has_scheme("hdfs://nn:8020/tmp/sc")
+    assert _has_scheme("abfss://c@a.dfs.example/sc")
+    assert _has_scheme("file:/tmp/sc")
+    assert _has_scheme("file:///tmp/sc")
+    assert not _has_scheme("C:/Users/x/sc")  # Windows drive, local
+    assert not _has_scheme("/tmp/sc")
+    assert not _has_scheme("relative/path/sc")
+
+
+def test_sidecar_single_slash_uri_end_to_end(spark, tmp_path):
+    """The single-slash URI form works through the full build→read
+    cycle (file:/ here; same routing serves hdfs:/ etc.)."""
+    from etl_python_azure_spark.plans.sidecars import (
+        build_sidecars,
+        read_sidecar,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_uri = "file:/" + str(tmp_path / "sc").lstrip("/")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_uri, span_window=4)
+    assert read_sidecar(spark, sc_uri, "fp").count() == len(_BASE_ROWS)
+
+
+def test_unlock_sweeps_compaction_leftovers(spark, tmp_path):
+    """r13 verdict item 7: a compaction that crashes AFTER writing
+    its `__compact` temp dir (but before the swap) leaves orphan
+    dirs that nothing removed until the next compaction — unlock now
+    sweeps them, and probes still match reprojection."""
+    from etl_python_azure_spark.plans.sidecars import (
+        _lock_path,
+        build_sidecars,
+        force_unlock_sidecars,
+        read_sidecar,
+        sync_sidecars,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    # crash-inject: temp dir written, lock held, swap never ran
+    os.makedirs(os.path.join(sc_dir, "fp__compact"))
+    with open(os.path.join(sc_dir, "fp__compact", "part-x.parquet"), "wb") as fh:
+        fh.write(b"half-written")
+    with open(_lock_path(sc_dir), "w") as fh:
+        fh.write("pid=0\n")
+
+    assert force_unlock_sidecars(sc_dir) is True
+    leftovers = [n for n in os.listdir(sc_dir) if "__" in n]
+    assert leftovers == []
+    assert sync_sidecars(spark, base_dir, sc_dir, span_window=4) == 0
+    delta = _docs(spark, _DELTA_ROWS)
+    legacy = _admit_ids(spark, base_dir, delta, span_window=4)
+    via_sc = _admit_ids(
+        spark, base_dir, delta, sidecar_dir=sc_dir, span_window=4
+    )
+    assert via_sc == legacy
+
+
+def test_unlock_restores_mid_swap_table_from_old(spark, tmp_path):
+    """Crash BETWEEN the two swap renames: the live table is gone
+    and `__old` holds the full pre-compaction data — unlock renames
+    it back instead of deleting it (strictly cheaper and safer than
+    the full-base rebuild sync would otherwise run)."""
+    from etl_python_azure_spark.plans.sidecars import (
+        _lock_path,
+        build_sidecars,
+        force_unlock_sidecars,
+        read_sidecar,
+    )
+
+    base_dir = str(tmp_path / "base")
+    sc_dir = str(tmp_path / "sc")
+    _docs(spark, _BASE_ROWS).write.parquet(base_dir)
+    build_sidecars(spark, base_dir, sc_dir, span_window=4)
+    # crash-inject mid-swap: live fp renamed away, compact half-done
+    os.rename(os.path.join(sc_dir, "fp"), os.path.join(sc_dir, "fp__old"))
+    os.makedirs(os.path.join(sc_dir, "fp__compact"))
+    with open(_lock_path(sc_dir), "w") as fh:
+        fh.write("pid=0\n")
+
+    assert force_unlock_sidecars(sc_dir) is True
+    assert [n for n in os.listdir(sc_dir) if "__" in n] == []
+    assert read_sidecar(spark, sc_dir, "fp").count() == len(_BASE_ROWS)
+
+
 def test_sidecar_unknown_scheme_fails_loudly(spark):
     """A scheme Hadoop cannot resolve (no connector jar) raises at
     FileSystem resolution instead of silently probing empty."""
