@@ -555,22 +555,32 @@ def compact_sidecars(
             "(or crashed holding it) — force_unlock_sidecars() / "
             "`sidecars unlock` after confirming no compactor is live."
         )
+    from pyspark.sql import Observation
+
     out: dict[str, tuple[int, int]] = {}
     for which, keys in _PROBE_KEYS.items():
         path = os.path.join(sidecar_dir, which)
         if not io.isdir(path):
             continue
         df = _read(spark, sidecar_dir, which, io)
-        before = df.count()
+        # the (before, after) stats ride the WRITE job as
+        # Observations — the previous explicit df.count() +
+        # written-files re-read cost two extra full-table jobs per
+        # table (6 per compaction; measured in the r14 persist
+        # audit, see PLANS.md)
+        obs_in = Observation()
+        obs_out = Observation()
         compact = (
-            df.distinct()
+            df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+            .distinct()
             .repartitionByRange(files_per_table, *[F.col(k) for k in keys])
             .sortWithinPartitions(*keys)
+            .observe(obs_out, F.count(F.lit(1)).alias("n"))
         )
         tmp = path + "__compact"
         old = path + "__old"
         compact.write.mode("overwrite").parquet(tmp)
-        after = spark.read.schema(_SCHEMAS[which]).parquet(tmp).count()
+        before, after = int(obs_in.get["n"]), int(obs_out.get["n"])
         io.rmtree(old)
         io.rename(path, old)
         io.rename(tmp, path)

@@ -695,9 +695,16 @@ _R14_WINDOW = [
     # new in round 14
     "media_dimensions_report",
     "similar_user_activity_ann",
-    # fold-family: r14 persist-audit targets (re-prove)
+    # fold-family: r14 persist-audit targets — all three plans DID
+    # change (compaction stats ride the write as Observations;
+    # survivors checkpointed in the shared fold body; the url probe
+    # reads the flags checkpoint), so dedup_sidecar_equiv joins the
+    # two booked names. Head grows to 17, so the alphabetically-last
+    # r08 fill name (trigram_lm_scores) slips past the 50-cut and
+    # heads the r15 queue — changed-plan re-proof outranks staleness.
     "sidecar_compaction_equiv",
     "curation_drop_attribution",
+    "dedup_sidecar_equiv",
     # plan changed in r13 (persist→localCheckpoint conversion) —
     # driver evidence still pre-dates the change
     "minhash_dedup_pairs",

@@ -438,9 +438,13 @@ def curation_drop_attribution(
         # the dsir stage is derived from `tagged` (tagged == dsir
         # survivors + split), so the un-persisted DSIR scoring plan
         # is never re-evaluated (it cost a second full LM pass —
-        # 60 s → ~38 s at sf0.1)
+        # 60 s → ~38 s at sf0.1). The url stage likewise probes the
+        # `flags` CHECKPOINT, whose doc_id set is by construction
+        # the URL-kept set — probing fr["url"] re-executed the whole
+        # URL keep-one window (full scan + shuffle) a second time
+        # (r14 persist audit)
         stage_ids = [
-            ("url", fr["url"]),
+            ("url", fr["flags"]),
             ("quality", fr["quality"]),
             ("exact", fr["exact"]),
             ("near", fr["near"]),

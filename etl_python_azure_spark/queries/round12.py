@@ -100,9 +100,13 @@ def _sidecar_admit_fold(
             )
             # exact tier: probe the fp SIDECAR (not the base text)
             state_fp = read_sidecar(spark, sc_dir, "fp")
+            # checkpointed because BOTH the span projection below
+            # and the admit chain consume it — without this the
+            # window-dedup shuffle + fp anti-join re-executed once
+            # per consumer (r14 persist audit)
             survivors = survivors.join(
                 state_fp.select("fp"), "fp", "left_anti"
-            )
+            ).localCheckpoint()
             # span tier: batch spans vs the span SIDECAR or a
             # lower-id same-batch exact survivor
             bsp = span_fingerprints(

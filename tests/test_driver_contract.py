@@ -89,7 +89,13 @@ def test_driver_window_invariants():
     # (draining the cohort), then r09-cohort overflow armor
     never_checked = ["unpivot_status_metrics"]
     new_r14 = ["media_dimensions_report", "similar_user_activity_ann"]
-    audit_targets = ["sidecar_compaction_equiv", "curation_drop_attribution"]
+    # all three fold-family plans changed in the r14 persist audit
+    # (Observation stats, shared-fold survivors checkpoint, flags
+    # probe), so dedup_sidecar_equiv joined the two booked targets
+    audit_targets = [
+        "sidecar_compaction_equiv", "curation_drop_attribution",
+        "dedup_sidecar_equiv",
+    ]
     changed_r13_plans = [
         "minhash_dedup_pairs", "incremental_dedup_pairs",
         "near_dup_clusters", "dup_cluster_histogram",
@@ -100,14 +106,16 @@ def test_driver_window_invariants():
     ]
     assert _R14_WINDOW[:1] == never_checked
     assert _R14_WINDOW[1:3] == new_r14
-    assert _R14_WINDOW[3:5] == audit_targets
-    assert _R14_WINDOW[5:16] == changed_r13_plans
-    # the r08-cohort fill is alphabetical (stalest cohort first;
-    # 34 names drain it completely), then the r09 armor is also
-    # alphabetical (its tail past the 50-cut heads the r15 queue)
-    r08_fill = _R14_WINDOW[16:50]
+    assert _R14_WINDOW[3:6] == audit_targets
+    assert _R14_WINDOW[6:17] == changed_r13_plans
+    # the r08-cohort fill is alphabetical (stalest cohort first; 34
+    # names, of which the 17-name head pushes the alphabetically
+    # last — trigram_lm_scores — past the 50-cut to head the r15
+    # queue), then the r09 armor is also alphabetical
+    r08_fill = _R14_WINDOW[17:51]
     assert r08_fill == sorted(r08_fill)
-    r09_armor = _R14_WINDOW[50:]
+    assert r08_fill[-1] == "trigram_lm_scores"
+    r09_armor = _R14_WINDOW[51:]
     assert r09_armor == sorted(r09_armor)
     # every r14-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
