@@ -58,7 +58,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", help="write full result parquet here")
     q.add_argument("--limit", type=int, default=20)
     q.add_argument(
-        "--explain", action="store_true", help="print the physical plan"
+        "--explain", action="store_true",
+        help="print the physical plan. NOTE: queries built on eager"
+        " checkpoints execute their pipeline at BUILD time and the"
+        " printed plan collapses to Scan ExistingRDD — set"
+        " SPARK_GRAFT_LAZY_PLANS=1 to keep builders lazy and print"
+        " the full logical tree without running it (plan audits"
+        " only; never for timed runs)",
     )
 
     sc = sub.add_parser(

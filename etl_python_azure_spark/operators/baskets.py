@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint as _ckpt
+
 
 def basket_pair_stats(
     df: DataFrame,
@@ -53,7 +55,7 @@ def basket_pair_stats(
     # eager checkpoint: basket sizes, item counts, and both pair-join
     # sides are concurrent branches of the one returned action (the
     # r12 persist-vs-checkpoint rule)
-    items = items.localCheckpoint()
+    items = items.transform(_ckpt)
     nb1 = items.select("__bk").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint as _ckpt
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -342,7 +344,7 @@ def minhash_lsh_pairs(
     # Jaccard) is applied LATER, only over docs that appear in some
     # candidate pair — the big corpus-wide distinct shuffle shrinks
     # to the collision set.
-    sh = word_shingles(df, id_col, text_col, n, distinct=False).localCheckpoint()
+    sh = word_shingles(df, id_col, text_col, n, distinct=False).transform(_ckpt)
     bands = band_assignments(sh, id_col, num_hashes, band_size)
     cand = (
         bands.alias("a")
@@ -407,12 +409,12 @@ def incremental_lsh_pairs(
     # shingles are never computed).
     sh_d = word_shingles(
         delta, id_col, text_col, n, distinct=False
-    ).localCheckpoint()
+    ).transform(_ckpt)
     bands_d = band_assignments(sh_d, id_col, num_hashes, band_size)
     if base_bands is None:
         sh_b = word_shingles(
             base, id_col, text_col, n, distinct=False
-        ).localCheckpoint()
+        ).transform(_ckpt)
         bands_b = band_assignments(sh_b, id_col, num_hashes, band_size)
     else:
         sh_b = None
@@ -1140,7 +1142,7 @@ def minhash_calibration(
     # are concurrent branches of one action (see minhash_lsh_pairs)
     sh = word_shingles(
         df, id_col, text_col, n, distinct=False
-    ).localCheckpoint()
+    ).transform(_ckpt)
     sig = minhash_signatures(sh, id_col, num_hashes)
     bands = band_assignments(sh, id_col, num_hashes, band_size)
     cand = (
@@ -1250,14 +1252,14 @@ def lsh_band_sweep(
     # eager checkpoints: every banding configuration is a branch of
     # the ONE returned-union action, so lazily-cached shared frames
     # would be recomputed per branch (see minhash_lsh_pairs)
-    sh = word_shingles(df, id_col, text_col, n).localCheckpoint()
+    sh = word_shingles(df, id_col, text_col, n).transform(_ckpt)
     truth = (
         _jaccard_on_pairs(sh, id_col, None)
         .filter(F.col("jaccard") >= F.lit(j_floor))
-        .localCheckpoint()
+        .transform(_ckpt)
     )
     # ONE signature pass feeds every banding configuration
-    sig = minhash_signatures(sh, id_col, num_hashes).localCheckpoint()
+    sig = minhash_signatures(sh, id_col, num_hashes).transform(_ckpt)
     parts = []
     for r in band_sizes:
         n_bands = num_hashes // r

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import eager_checkpoint as _ckpt
+
 
 def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
     """Stable bucket in [0, buckets) from md5 of the key.
@@ -547,7 +549,7 @@ def ranked_cumsum(
         # with this checkpoint. The materialized frame is id + carry
         # + two scalars per document (never text), the same bound as
         # the operator's own shuffle.
-        narrow = narrow.localCheckpoint()
+        narrow = narrow.transform(_ckpt)
         probs = [i / score_buckets for i in range(1, score_buckets)]
         edges = sorted(
             set(

@@ -28,6 +28,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..session import eager_checkpoint as _ckpt
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -94,7 +96,7 @@ def curate_corpus(
     # re-ran the quality gate + dedup window. Eager checkpoint
     # materializes once, serially, and truncates lineage; blocks
     # free when the frame is GC'd at call end.
-    exact = exact.localCheckpoint()
+    exact = exact.transform(_ckpt)
 
     # near-dedup: LSH candidates verified by exact Jaccard; greedy
     # drop of the higher id in every confirmed pair (the standard
@@ -119,7 +121,7 @@ def curate_corpus(
     # default-heap driver in the v3 chain before r12's fix).
     b = hash_bucket("doc_id", 100)
     split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    tagged = near.withColumn("split", split).localCheckpoint()
+    tagged = near.withColumn("split", split).transform(_ckpt)
     ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
     leaked = (
         ps.groupBy("fp")
@@ -304,14 +306,14 @@ def curate_increment(
     # delta-sized stage once, serially, and truncate lineage;
     # blocks free when the frame is GC'd at batch end (the caller's
     # clearCache() stays harmless).
-    ).localCheckpoint()
+    ).transform(_ckpt)
 
     # collision-sized; referenced by BOTH drop branches below and,
     # through the survivors lineage, by every later tier
     pairs = incremental_lsh_pairs(
         base, vs_base, "doc_id", "text", threshold=near_dup_threshold,
         base_bands=base_bands,
-    ).localCheckpoint()
+    ).transform(_ckpt)
     # greedy keep-first: drop the delta side of every confirmed pair
     # (a pair's delta doc is the newer one whenever the other side is
     # base; for delta-delta pairs drop the higher id, same policy as
@@ -337,7 +339,7 @@ def curate_increment(
         .distinct()
     )
     # delta-sized; consumed by the span probes AND the quota rank
-    survivors = vs_base.join(drop, "doc_id", "left_anti").localCheckpoint()
+    survivors = vs_base.join(drop, "doc_id", "left_anti").transform(_ckpt)
 
     if span_window is not None:
         from ..operators.dedup import span_fingerprints
@@ -460,7 +462,7 @@ def curate_corpus_v3_frames(
     # one-pass n_url/n_quality aggregate of the counts consumer
     flags = gopher_quality_flags(
         d, carry_cols=["source", "lang", "text"]
-    ).localCheckpoint()
+    ).transform(_ckpt)
     frames["flags"] = flags
     kept = flags.filter(F.col("pass_all")).select(
         "doc_id", "source", "lang", "text"
@@ -472,7 +474,7 @@ def curate_corpus_v3_frames(
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-    ).localCheckpoint()
+    ).transform(_ckpt)
     frames["exact"] = exact
 
     pairs = minhash_lsh_pairs(
@@ -488,7 +490,7 @@ def curate_corpus_v3_frames(
         )
     else:
         drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    near = exact.join(drop, "doc_id", "left_anti").localCheckpoint()
+    near = exact.join(drop, "doc_id", "left_anti").transform(_ckpt)
     frames["near"] = near
 
     # span dedup: a doc at least half of whose W-token spans are
@@ -506,7 +508,7 @@ def curate_corpus_v3_frames(
         .filter(F.lit(2) * F.col("__nc") >= F.col("__ns"))
         .select("doc_id")
     )
-    span_kept = near.join(span_drop, "doc_id", "left_anti").localCheckpoint()
+    span_kept = near.join(span_drop, "doc_id", "left_anti").transform(_ckpt)
     frames["span"] = span_kept
 
     # DSIR gate: keep docs scoring more English-subcorpus-like than
@@ -526,7 +528,7 @@ def curate_corpus_v3_frames(
 
     b = hash_bucket("doc_id", 100)
     split = F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
-    tagged = selected.withColumn("split", split).localCheckpoint()
+    tagged = selected.withColumn("split", split).transform(_ckpt)
     frames["tagged"] = tagged
     ps = tagged.select(F.md5("text").alias("fp"), "split").distinct()
     frames["leaked"] = (

@@ -75,6 +75,40 @@ def get_spark(
     return spark
 
 
+def eager_checkpoint(df):
+    """Eagerly ``localCheckpoint`` a SHARED multi-consumer frame —
+    the engine-wide rule (r12/r13, measured): consumers of a shared
+    stage frame land in stages the scheduler runs CONCURRENTLY
+    inside one action, where a lazy ``persist`` dedupes nothing and
+    un-truncated lineage compounds into multi-megabyte plans.
+    Call sites use ``df.transform(eager_checkpoint)`` so the chain
+    style stays intact.
+
+    Plan-audit escape hatch (r13 ADVICE): ``SPARK_GRAFT_LAZY_PLANS=1``
+    returns the frame unchanged, so ``cli query --explain`` and
+    ``scripts/dump_plans.py`` can print the FULL logical tree without
+    executing the pipeline at builder time (eager checkpoints
+    otherwise run the whole upstream pipeline before the first
+    ``explain``, and the printed plan collapses to Scan ExistingRDD).
+    Correctness is unaffected — shared subtrees simply recompute —
+    but never set it for timed runs. Fold bodies whose checkpoints
+    guard files deleted before return (``_sidecar_admit_fold``) call
+    ``.localCheckpoint()`` directly and ignore the flag on purpose.
+
+    Cluster fault-tolerance note (r13 ADVICE, also in SCALING.md):
+    ``localCheckpoint`` blocks are executor-local and non-replicated
+    with lineage truncated — an executor loss fails downstream
+    actions instead of recomputing. Where executor churn dominates
+    (spot fleets), swap in ``persist(MEMORY_AND_DISK_2)`` + count()
+    or a reliable ``checkpoint()`` to a replicated store; locally
+    and on stable fleets the eager local form wins (dd04a/d514
+    measurements).
+    """
+    if os.environ.get("SPARK_GRAFT_LAZY_PLANS") == "1":
+        return df
+    return df.localCheckpoint()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read one or more of the standard parquet tables from *sf_dir*.
 

@@ -369,3 +369,30 @@ def test_hard_negative_mining_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hard_negative_mining")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lazy_plans_flag_keeps_builders_lazy_and_correct(
+    spark, sf_dir, monkeypatch
+):
+    """SPARK_GRAFT_LAZY_PLANS=1 (r13 ADVICE): builders skip the
+    eager checkpoints, so plan inspection shows the FULL tree (the
+    parquet scan, not Scan ExistingRDD) without executing the
+    pipeline — and the result multiset is identical to eager mode
+    (shared subtrees recompute; semantics unchanged)."""
+    from etl_python_azure_spark.queries import registry
+
+    reg = registry()
+    name = "minhash_dedup_pairs"
+    eager_df = reg[name].builder(spark, sf_dir)
+    eager_plan = eager_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in eager_plan  # eager mode: checkpointed
+
+    monkeypatch.setenv("SPARK_GRAFT_LAZY_PLANS", "1")
+    lazy_df = reg[name].builder(spark, sf_dir)
+    lazy_plan = lazy_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in lazy_plan  # full lineage survives
+    assert "parquet" in lazy_plan.lower()
+
+    assert sorted(map(tuple, lazy_df.collect())) == sorted(
+        map(tuple, eager_df.collect())
+    )
