@@ -287,6 +287,9 @@ OPTIONAL = [
     "token_budget_equalized",
     # round-13 surface
     "sidecar_compaction_equiv",
+    # round-14 surface
+    "media_dimensions_report",
+    "similar_user_activity_ann",
     # round-12 rotation: 16 more never-benched queries — array/nested
     # plans and multi-level aggregates first, then the remaining
     # window/rollup/cube shapes; the untimed tail is now ≤40 scalar

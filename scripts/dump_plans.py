@@ -143,6 +143,9 @@ QUERIES = [
     "mmr_diversified_topk",
     "unpivot_order_metrics",
     "unpivot_status_metrics",
+    # round-14
+    "media_dimensions_report",
+    "similar_user_activity_ann",
     # round-6 (curation_counts_report is omitted: its builder RUNS
     # the curate_corpus pipeline and returns a one-row count frame,
     # so its plan is a LocalRelation — the pipeline's plan facts are
