@@ -112,6 +112,12 @@ def parse_media_header(content: bytes | None) -> dict:
     - BMP: ``BM`` + BITMAPINFOHEADER (v3+: i32 LE, top-down bitmaps
       store negative height → abs) or the 12-byte BITMAPCOREHEADER
       (u16 LE).
+    - WEBP: RIFF/WEBP first chunk — VP8X (24-bit canvas dims − 1),
+      VP8L (0x2F signature, packed 14-bit dims − 1) or VP8 lossy
+      (0x9D012A sync code, 14-bit dims).
+    - MP4/ISO-BMFF: top-level box walk to ``moov``, child walk to
+      ``mvhd`` (version 0 and 1 layouts); ``duration_ms =
+      duration * 1000 // timescale``.
     - WAV: RIFF/WAVE chunk walk; ``duration_ms = data_size * 1000
       // byte_rate`` from the fmt chunk (header-declared sizes, the
       same contract ffprobe-style sniffers use).
@@ -197,6 +203,82 @@ def parse_media_header(content: bytes | None) -> dict:
                     "duration_ms": None,
                 }
         return none
+    # --- WEBP --------------------------------------------------
+    if b[:4] == b"RIFF" and n >= 12 and b[8:12] == b"WEBP":
+        if n < 20:
+            return none
+        chunk = b[12:16]
+        if chunk == b"VP8X":  # extended: 24-bit canvas dims - 1
+            if n >= 30:
+                w = int.from_bytes(b[24:27], "little") + 1
+                h = int.from_bytes(b[27:30], "little") + 1
+                return {
+                    "format": "webp",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+            return none
+        if chunk == b"VP8L":  # lossless: 14-bit dims - 1, packed
+            if n >= 25 and b[20] == 0x2F:
+                packed = int.from_bytes(b[21:25], "little")
+                return {
+                    "format": "webp",
+                    "width": (packed & 0x3FFF) + 1,
+                    "height": ((packed >> 14) & 0x3FFF) + 1,
+                    "duration_ms": None,
+                }
+            return none
+        if chunk == b"VP8 ":  # lossy: sync code then 14-bit dims
+            if n >= 30 and b[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(b[26:28], "little") & 0x3FFF
+                h = int.from_bytes(b[28:30], "little") & 0x3FFF
+                return {
+                    "format": "webp",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                }
+            return none
+        return none
+    # --- MP4 / ISO-BMFF ---------------------------------------
+    if n >= 8 and b[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= n:  # top-level box walk to moov
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            if size < 8:  # size 0/1 (to-EOF / 64-bit) unsupported here
+                return none
+            if btype == b"moov":
+                j = i + 8
+                end = min(i + size, n)
+                while j + 8 <= end:  # moov children to mvhd
+                    csize = int.from_bytes(b[j : j + 4], "big")
+                    ctype = b[j + 4 : j + 8]
+                    if csize < 8:
+                        return none
+                    if ctype == b"mvhd":
+                        v = b[j + 8] if j + 8 < n else None
+                        if v == 0 and j + 28 <= n:
+                            ts = int.from_bytes(b[j + 20 : j + 24], "big")
+                            dur = int.from_bytes(b[j + 24 : j + 28], "big")
+                        elif v == 1 and j + 40 <= n:
+                            ts = int.from_bytes(b[j + 28 : j + 32], "big")
+                            dur = int.from_bytes(b[j + 32 : j + 40], "big")
+                        else:
+                            return none
+                        if not ts:
+                            return none
+                        return {
+                            "format": "mp4",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": dur * 1000 // ts,
+                        }
+                    j += csize
+                return none
+            i += size
+        return none
     # --- WAV ---------------------------------------------------
     if b[:4] == b"RIFF" and n >= 12 and b[8:12] == b"WAVE":
         i = 12
@@ -276,6 +358,28 @@ def synthesize_media_bytes(
             + b"\x00" * 24
         )
         return b"BM" + (54).to_bytes(4, "little") + b"\x00" * 4 + (54).to_bytes(4, "little") + info
+    if fmt == "webp":  # VP8X extended header (canvas dims - 1)
+        vp8x = (
+            b"VP8X"
+            + (10).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"  # feature flags + reserved
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        return b"RIFF" + (4 + len(vp8x)).to_bytes(4, "little") + b"WEBP" + vp8x
+    if fmt == "mp4":  # ftyp + moov/mvhd v0, timescale 1000
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (512).to_bytes(4, "big")
+        mvhd = (
+            (108).to_bytes(4, "big")
+            + b"mvhd"
+            + b"\x00" * 4  # version 0 + flags
+            + b"\x00" * 8  # creation + modification time
+            + (1000).to_bytes(4, "big")  # timescale: 1 tick = 1 ms
+            + duration_ms.to_bytes(4, "big")
+            + b"\x00" * 80  # rate/volume/matrix/next_track_id
+        )
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        return ftyp + moov
     if fmt == "wav":
         byte_rate = 16000  # 8 kHz * 16-bit * mono
         data_size = byte_rate * duration_ms // 1000

@@ -80,13 +80,13 @@ def media_decode_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # media_dimensions_report fixture arithmetic (shared by the Spark
 # synth step, in Python, and the DuckDB oracle, in SQL — doc_id is
 # 0-based so `%` agrees between the two):
-#   fmt         = doc_id % 5      -> png jpeg gif bmp wav
-#   width       = 16 + doc_id % 1009   (images only)
-#   height      = 16 + doc_id % 757    (images only)
-#   duration_ms = 100 * (1 + doc_id % 50)  (wav only)
+#   fmt         = doc_id % 7  -> png jpeg gif bmp wav webp mp4
+#   width       = 16 + doc_id % 1009   (image formats)
+#   height      = 16 + doc_id % 757    (image formats)
+#   duration_ms = 100 * (1 + doc_id % 50)  (wav + mp4)
 #   corrupt     = doc_id % 17 == 0  -> bytes truncated to 5; the
 #                 parser must yield all-NULL fields (never raise)
-_FMT_NAMES = ["png", "jpeg", "gif", "bmp", "wav"]
+_FMT_NAMES = ["png", "jpeg", "gif", "bmp", "wav", "webp", "mp4"]
 
 
 def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +106,7 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = []
             for media_id in pdf["media_id"]:
                 i = int(media_id)
-                fmt = _FMT_NAMES[i % 5]
+                fmt = _FMT_NAMES[i % 7]
                 raw = synthesize_media_bytes(
                     fmt,
                     width=16 + i % 1009,
@@ -126,15 +126,16 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
         SELECT CASE WHEN doc_id % 17 = 0 THEN NULL
-                    ELSE CASE doc_id % 5
+                    ELSE CASE doc_id % 7
                          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                          WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
-                         ELSE 'wav' END END AS media_format,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
-                    ELSE 16 + doc_id % 1009 END AS w,
-               CASE WHEN doc_id % 17 = 0 OR doc_id % 5 = 4 THEN NULL
-                    ELSE 16 + doc_id % 757 END AS h,
-               CASE WHEN doc_id % 17 <> 0 AND doc_id % 5 = 4
+                         WHEN 4 THEN 'wav' WHEN 5 THEN 'webp'
+                         ELSE 'mp4' END END AS media_format,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 7 IN (4, 6)
+                    THEN NULL ELSE 16 + doc_id % 1009 END AS w,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 7 IN (4, 6)
+                    THEN NULL ELSE 16 + doc_id % 757 END AS h,
+               CASE WHEN doc_id % 17 <> 0 AND doc_id % 7 IN (4, 6)
                     THEN 100 * (1 + doc_id % 50) ELSE NULL END AS d
         FROM documents)
     SELECT media_format,
@@ -149,14 +150,14 @@ def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_dimensions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode→parse round trip over REAL container bytes.
 
-    The Spark side synthesizes valid PNG/JPEG/GIF/BMP/WAV headers
-    from ``doc_id`` arithmetic (every 17th payload truncated to 5
-    bytes), then recovers format/width/height/duration with
+    The Spark side synthesizes valid PNG/JPEG/GIF/BMP/WAV/WEBP/MP4
+    headers from ``doc_id`` arithmetic (every 17th payload truncated
+    to 5 bytes), then recovers format/width/height/duration with
     :func:`..operators.multimodal.parse_media_header` — the r14
     default decoder. The oracle recomputes the fields from the same
-    arithmetic directly, so any endianness/offset/segment-walk bug
-    in the parser (or a crash on the corrupt rows) breaks the value
-    hash. Corrupt rows land in the NULL-format group.
+    arithmetic directly, so any endianness/offset/segment-walk/box-
+    walk bug in the parser (or a crash on the corrupt rows) breaks
+    the value hash. Corrupt rows land in the NULL-format group.
     """
     parsed = decode_media_headers(_synth_media(spark, sf_dir))
     return parsed.groupBy("media_format").agg(

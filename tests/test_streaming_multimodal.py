@@ -201,8 +201,12 @@ _ROUND_TRIPS = [
     ("jpeg", 1, 65535, None),
     ("gif", 640, 480, None),
     ("bmp", 800, 600, None),
+    ("webp", 1, 1, None),
+    ("webp", 16383, 10000, None),
     ("wav", None, None, 0),
     ("wav", None, None, 12345),
+    ("mp4", None, None, 0),
+    ("mp4", None, None, 654321),
 ]
 
 
@@ -227,6 +231,47 @@ def test_header_parser_jpeg_variants():
     # DHT (C4) must NOT be mistaken for a frame
     dht = b"\xff\xc4" + (5).to_bytes(2, "big") + b"\x00\x00\x00"
     assert parse_media_header(b"\xff\xd8" + dht)["format"] is None
+
+
+def test_header_parser_webp_vp8_and_vp8l():
+    """The synthesizer emits VP8X; the lossy (VP8 sync code) and
+    lossless (VP8L packed 14-bit) first-chunk layouts parse too."""
+    vp8 = (
+        b"VP8 " + (10).to_bytes(4, "little")
+        + b"\x00\x00\x00"  # frame tag
+        + b"\x9d\x01\x2a"  # sync code
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+    )
+    raw = b"RIFF" + (4 + len(vp8)).to_bytes(4, "little") + b"WEBP" + vp8
+    got = parse_media_header(raw)
+    assert (got["format"], got["width"], got["height"]) == ("webp", 320, 240)
+
+    packed = (100 - 1) | ((75 - 1) << 14)
+    vp8l = (
+        b"VP8L" + (5).to_bytes(4, "little")
+        + b"\x2f" + packed.to_bytes(4, "little")
+    )
+    raw = b"RIFF" + (4 + len(vp8l)).to_bytes(4, "little") + b"WEBP" + vp8l
+    got = parse_media_header(raw)
+    assert (got["format"], got["width"], got["height"]) == ("webp", 100, 75)
+
+
+def test_header_parser_mp4_v1_and_preceding_boxes():
+    """mvhd version 1 (64-bit times) and a moov that is NOT the
+    first top-level box both parse via the box walks."""
+    mvhd = (
+        (120).to_bytes(4, "big") + b"mvhd"
+        + b"\x01\x00\x00\x00"  # version 1
+        + b"\x00" * 16  # 64-bit creation + modification
+        + (90000).to_bytes(4, "big")  # timescale
+        + (90000 * 7).to_bytes(8, "big")  # duration: 7 s
+        + b"\x00" * 80
+    )
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    free = (16).to_bytes(4, "big") + b"free" + b"\x00" * 8
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (512).to_bytes(4, "big")
+    got = parse_media_header(ftyp + free + moov)
+    assert (got["format"], got["duration_ms"]) == ("mp4", 7000)
 
 
 def test_header_parser_bmp_core_and_topdown():
@@ -265,6 +310,22 @@ _NONE = {"format": None, "width": None, "height": None, "duration_ms": None}
         synthesize_media_bytes("bmp", 9, 9)[:10],
         synthesize_media_bytes("wav", duration_ms=100)[:5],
         synthesize_media_bytes("wav", duration_ms=100)[:11],  # no WAVE tag
+        synthesize_media_bytes("webp", 9, 9)[:5],
+        synthesize_media_bytes("webp", 9, 9)[:25],  # VP8X cut mid-dims
+        b"RIFF\x08\x00\x00\x00WEBPXXXX",  # unknown first chunk
+        synthesize_media_bytes("mp4", duration_ms=100)[:5],
+        synthesize_media_bytes("mp4", duration_ms=100)[:20],  # no moov
+        # moov present but mvhd truncated before the duration field
+        synthesize_media_bytes("mp4", duration_ms=100)[:40],
+        # mvhd with zero timescale must not divide by zero
+        # (timescale bytes sit at 44:48 of the synthesized file:
+        # 16-byte ftyp + moov hdr 8 + mvhd hdr 8 + ver/flags 4 +
+        # creation/modification 8)
+        bytes(
+            bytearray(synthesize_media_bytes("mp4", duration_ms=100))[:44]
+            + b"\x00\x00\x00\x00"
+            + bytearray(synthesize_media_bytes("mp4", duration_ms=100))[48:]
+        ),
         # WAV with zero byte_rate must not divide by zero
         bytes(
             bytearray(synthesize_media_bytes("wav", duration_ms=100))[:28]
