@@ -621,8 +621,14 @@ def _user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similar_user_activity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
+    from ..session import eager_checkpoint
 
-    prof = _user_profiles(spark, sf_dir)
+    # the profile table feeds THREE consumers inside ivf_topk
+    # (centroid pick, corpus assignment, query probes) — checkpoint
+    # it once so the events aggregation (the expensive part at
+    # 100 TB) runs a single time (the engine's shared-frame rule);
+    # the exact twin keeps its unchanged verifier plan
+    prof = eager_checkpoint(_user_profiles(spark, sf_dir))
     return ivf_topk(
         prof,
         prof,
