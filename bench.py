@@ -290,6 +290,7 @@ OPTIONAL = [
     # round-14 surface
     "media_dimensions_report",
     "similar_user_activity_ann",
+    "concat_chunk_packing_report",
     # round-12 rotation: 16 more never-benched queries — array/nested
     # plans and multi-level aggregates first, then the remaining
     # window/rollup/cube shapes; the untimed tail is now ≤40 scalar

@@ -356,6 +356,66 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing PLACEMENT: documents are
+    laid out in *id_col* order on one global token tape (the BPE-ish
+    token alphabet, *sep_tokens* separator after every document —
+    the EOS convention), and the tape is cut every *seq_len* tokens
+    into training sequences. Returns where each document lands:
+
+    ``(id, n_tokens, tape_start, first_seq, last_seq, n_seqs_spanned,
+    is_split)`` — ``is_split`` marks documents crossing a sequence
+    boundary (they contribute partial context windows; the metric
+    packing policies tune ``seq_len`` against).
+
+    Scale shape: the only global dependency is the running token
+    offset, computed with :func:`..operators.prefix.
+    distributed_prefix_sum` (two-phase bucketed cumsum — no
+    single-partition window, one shuffle by order-contiguous
+    bucket). Everything after the offset is per-row arithmetic.
+    Zero-token documents occupy no tape and report their boundary
+    position unsplit.
+
+    The OTHER packing convention — whole documents assigned to
+    token-budget bins, no splitting, bins overfill by ≤1 doc — is
+    the ``sequence_packing`` registry query (`queries/corpus.py`);
+    this one is the padding-free GPT convention where documents DO
+    cross boundaries, and the report quantifies how often.
+    """
+    from .prefix import distributed_prefix_sum
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("__adv", F.col("n_tokens") + F.lit(sep_tokens))
+    cum = distributed_prefix_sum(
+        toks, id_col, "__adv", out_col="tape_start", exclusive=True
+    )
+    first = F.expr(f"tape_start div {seq_len}")
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(tape_start + n_tokens - 1) div {seq_len}"),
+    ).otherwise(first)
+    return (
+        cum.withColumn("first_seq", first.cast("long"))
+        .withColumn("last_seq", last.cast("long"))
+        .withColumn(
+            "n_seqs_spanned", (F.col("last_seq") - F.col("first_seq") + 1)
+        )
+        .withColumn("is_split", (F.col("last_seq") > F.col("first_seq")))
+        .select(
+            id_col, "n_tokens", "tape_start", "first_seq", "last_seq",
+            "n_seqs_spanned", "is_split",
+        )
+    )
+
+
 def oov_rate(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -692,9 +692,12 @@ _R13_WINDOW = [
 _R14_WINDOW = [
     # never driver-checked — first-ever driver row
     "unpivot_status_metrics",
-    # new in round 14
+    # new in round 14 (concat_chunk_packing_report landed late-round, so
+    # the head is 18 and TWO r08 fill names — trailing_week_revenue,
+    # trigram_lm_scores — slip past the 50-cut to head the r15 queue)
     "media_dimensions_report",
     "similar_user_activity_ann",
+    "concat_chunk_packing_report",
     # fold-family: r14 persist-audit targets — all three plans DID
     # change (compaction stats ride the write as Observations;
     # survivors checkpointed in the shared fold body; the url probe
@@ -995,6 +998,7 @@ def registry() -> dict[str, QuerySpec]:
     from . import round11b  # noqa: F401
     from . import round12  # noqa: F401
     from . import round13  # noqa: F401
+    from . import round14  # noqa: F401
 
     ordered = {n: _REGISTRY[n] for n in _R14_WINDOW if n in _REGISTRY}
     ordered.update({n: s for n, s in _REGISTRY.items() if n not in ordered})

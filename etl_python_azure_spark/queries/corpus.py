@@ -217,6 +217,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, shuffle-light approximation of first-fit packing
     used to batch training sequences (bins overfill by at most one
     document; exact first-fit needs per-bin state and buys little).
+    The concat-and-chunk twin — documents split across fixed
+    boundaries, padding-free — is `concat_chunk_packing_report`
+    (`queries/round14.py` / `operators.text.pack_sequences`).
 
     The running token count is a
     :func:`..operators.prefix.distributed_prefix_sum` — a global

@@ -146,6 +146,7 @@ QUERIES = [
     # round-14
     "media_dimensions_report",
     "similar_user_activity_ann",
+    "concat_chunk_packing_report",
     # round-6 (curation_counts_report is omitted: its builder RUNS
     # the curate_corpus pipeline and returns a one-row count frame,
     # so its plan is a LocalRelation — the pipeline's plan facts are

@@ -88,7 +88,10 @@ def test_driver_window_invariants():
     # persist→localCheckpoint conversion, then the r08-cohort fill
     # (draining the cohort), then r09-cohort overflow armor
     never_checked = ["unpivot_status_metrics"]
-    new_r14 = ["media_dimensions_report", "similar_user_activity_ann"]
+    new_r14 = [
+        "media_dimensions_report", "similar_user_activity_ann",
+        "concat_chunk_packing_report",
+    ]
     # all three fold-family plans changed in the r14 persist audit
     # (Observation stats, shared-fold survivors checkpoint, flags
     # probe), so dedup_sidecar_equiv joined the two booked targets
@@ -105,17 +108,18 @@ def test_driver_window_invariants():
         "ts_similarity_blocked_pairs",
     ]
     assert _R14_WINDOW[:1] == never_checked
-    assert _R14_WINDOW[1:3] == new_r14
-    assert _R14_WINDOW[3:6] == audit_targets
-    assert _R14_WINDOW[6:17] == changed_r13_plans
+    assert _R14_WINDOW[1:4] == new_r14
+    assert _R14_WINDOW[4:7] == audit_targets
+    assert _R14_WINDOW[7:18] == changed_r13_plans
     # the r08-cohort fill is alphabetical (stalest cohort first; 34
-    # names, of which the 17-name head pushes the alphabetically
-    # last — trigram_lm_scores — past the 50-cut to head the r15
-    # queue), then the r09 armor is also alphabetical
-    r08_fill = _R14_WINDOW[17:51]
+    # names, of which the 18-name head pushes the two alphabetically
+    # last — trailing_week_revenue, trigram_lm_scores — past the
+    # 50-cut to head the r15 queue), then the r09 armor is also
+    # alphabetical
+    r08_fill = _R14_WINDOW[18:52]
     assert r08_fill == sorted(r08_fill)
     assert r08_fill[-1] == "trigram_lm_scores"
-    r09_armor = _R14_WINDOW[51:]
+    r09_armor = _R14_WINDOW[52:]
     assert r09_armor == sorted(r09_armor)
     # every r14-new name must resolve by round end (they land over
     # the round's commits; the `resolvable` armor above keeps the
