@@ -621,34 +621,114 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("__norm", F.sqrt(norm2))
 
 
+# --- blocked Arrow/numpy kernel helpers (r14 optimization) -----------------
+#
+# The interpreted ``aggregate`` fold costs ~5 µs per 64-dim dot
+# evaluation; the all-pairs verifiers evaluate millions. These
+# helpers let a pandas cogroup hand (queries × corpus-block) tiles
+# to numpy, which folds the dot LEFT-TO-RIGHT OVER DIMENSIONS with
+# vectorized elementwise ops — the identical IEEE operation sequence
+# to the ``aggregate`` fold above and DuckDB's ``list_reduce``, so
+# every cosine is bit-identical cross-engine (elementwise float64
+# add/mul/div and sqrt are correctly rounded in both numpy and the
+# JVM). Requires non-null fixed-dim vectors (the registry corpora
+# guarantee this; a NULL vector would make the fold emit NULL and
+# the kernel raise — loud either way).
+
+
+def _np_mats(pdf, id_col: str, vec_col: str):
+    """(ids, float64 matrix, fold-order norms) from a pandas group."""
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    acc = np.zeros(len(ids), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc = acc + mat[:, d] * mat[:, d]
+    return ids, mat, np.sqrt(acc)
+
+
+def _np_cosines(qm, cm, qn, cn):
+    """All (query × corpus) cosines, dims folded in index order."""
+    import numpy as np
+
+    acc = np.zeros((qm.shape[0], cm.shape[0]), dtype=np.float64)
+    for d in range(qm.shape[1]):
+        acc = acc + qm[:, d][:, None] * cm[:, d][None, :]
+    return acc / (qn[:, None] * cn[None, :])
+
+
+def _blocked(df: DataFrame, id_col: str, num_blocks: int) -> DataFrame:
+    """Tag rows with a deterministic hash block (result-invariant:
+    blocking only partitions the pair space, never the output)."""
+    return df.withColumn(
+        "__gb",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int"),
+    )
+
+
+def _replicated(df: DataFrame, num_blocks: int) -> DataFrame:
+    """Replicate every row into all blocks (the query side)."""
+    return df.withColumn(
+        "__gb", F.explode(F.sequence(F.lit(0), F.lit(num_blocks - 1)))
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.46,
+    blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine similarity ≥ *threshold*.
 
     Brute-force O(n²) — correct baseline and verifier. At 100 TB,
     generate candidates with sign-LSH buckets first
     (:func:`.similarity.lsh_buckets`) and verify only collisions.
+
+    r14: the pair space is tiled through the blocked Arrow/numpy
+    kernel (one pandas cogroup task per corpus hash block, the other
+    side replicated) instead of a JVM crossJoin evaluating the
+    interpreted ``aggregate`` fold per pair — measured 10.6 → ~1.5 s
+    at sf0.1 with bit-identical cosines (see the kernel notes above
+    and tests/test_blocked_cosine_kernel.py). *blocks* only tiles
+    the computation; any value yields the same output.
     """
-    n = with_norm(df.select(id_col, vec_col), vec_col)
-    a = n.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        F.col("__norm").alias("__na"),
+
+    def fn(apdf, bpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        aids, am, an = _np_mats(apdf, id_col, vec_col)
+        bids, bm, bn = _np_mats(bpdf, "__rid", "__rvec")
+        cos = _np_cosines(am, bm, an, bn)
+        keep = (aids[:, None] < bids[None, :]) & (cos >= threshold)
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": aids[ai], "id_b": bids[bi], "cosine": cos[ai, bi]}
+        )
+
+    a_exp = _replicated(df.select(id_col, vec_col), blocks)
+    # the corpus side gets DISJOINT column names: a self-cogroup of
+    # one base frame otherwise leaves the Python function's argument
+    # list referencing the left side's attribute ids, and column
+    # pruning then strips the right child to its grouping key
+    # (KeyError in the kernel under count()-shaped consumers)
+    b_blk = _blocked(
+        df.select(
+            F.col(id_col).alias("__rid"), F.col(vec_col).alias("__rvec")
+        ),
+        "__rid",
+        blocks,
     )
-    b = n.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        F.col("__norm").alias("__nb"),
+    return (
+        a_exp.groupby("__gb")
+        .cogroup(b_blk.groupby("__gb"))
+        .applyInPandas(fn, "id_a bigint, id_b bigint, cosine double")
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = (dot_expr("__va", "__vb") / (F.col("__na") * F.col("__nb"))).alias(
-        "cosine"
-    )
-    return pairs.select("id_a", "id_b", cos).filter(F.col("cosine") >= threshold)
 
 
 def dedup_clusters(
