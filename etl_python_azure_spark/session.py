@@ -109,6 +109,32 @@ def eager_checkpoint(df):
     return df.localCheckpoint()
 
 
+# Process-local parquet SCHEMA cache (r14): every bare
+# ``spark.read.parquet`` runs a footer-reading schema-inference JOB
+# (~0.15 s on local[32]); a 280-query bench re-infers the same ten
+# immutable tables hundreds of times. The cache holds only the
+# inferred StructType — plan metadata, never data or results — keyed
+# by (path, mtime_ns) so a rewritten table re-infers. Entries are
+# per-process (nothing persists across runs) and inference happens
+# under the same pinned confs load_tables always sets, so the cached
+# schema is bit-for-bit what a fresh read would infer.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str):
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        # URI-scheme / remote path: no cheap mtime — read normally
+        return spark.read.parquet(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read one or more of the standard parquet tables from *sf_dir*.
 
@@ -130,7 +156,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     spark.conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
     dfs = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df = _read_parquet_cached_schema(spark, f"{sf_dir}/{n}.parquet")
         if n == "events" and dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
