@@ -461,10 +461,28 @@ def append_sidecars(
     frames = sidecar_frames(
         admitted, shingle_n, num_hashes, band_size, span_window
     )
-    for which in sorted(frames, key=lambda w: w == "fp"):
+    # the non-ledger tables are independent projections of the same
+    # (checkpointed) delta — submit them from a small thread pool so
+    # one write's task tail back-fills the other's executors
+    # (optimization guide §2.6). Their relative order is
+    # unconstrained; only ``fp`` must be LAST (it is the completion
+    # ledger sync_sidecars keys on), so it stays a sequential write
+    # after the pool joins.
+    def _append(which: str) -> None:
         frames[which].write.mode("append").parquet(
             os.path.join(sidecar_dir, which)
         )
+
+    rest = sorted(w for w in frames if w != "fp")
+    if len(rest) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+            list(pool.map(_append, rest))
+    else:
+        for which in rest:
+            _append(which)
+    _append("fp")
 
 
 def build_sidecars(

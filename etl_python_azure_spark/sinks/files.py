@@ -148,8 +148,25 @@ def multi_table_load(tables: dict[str, DataFrame], root: str) -> str:
     Returns the manifest path.
     """
     staging = os.path.join(root, "_staging")
-    for name, df in tables.items():
-        df.write.mode("overwrite").parquet(os.path.join(staging, name))
+    # staging writes are independent jobs — submit them from a small
+    # thread pool so one table's task tail back-fills the others'
+    # executors (optimization guide §2.6); the swap loop below stays
+    # sequential, so the per-table atomicity story is unchanged
+    if len(tables) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(3, len(tables))) as pool:
+            list(
+                pool.map(
+                    lambda nd: nd[1]
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(staging, nd[0])),
+                    tables.items(),
+                )
+            )
+    else:
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(os.path.join(staging, name))
     loaded = []
     for name in tables:
         final = os.path.join(root, name)
