@@ -635,6 +635,64 @@ def ivf_assign(
     )
 
 
+def _celled_topk_partials(
+    probes: DataFrame, index: DataFrame, k: int
+) -> DataFrame:
+    """Per-(query, probed-cell) top-*k* cosine partials via a pandas
+    cogroup on the cell key — the IVF analog of
+    :func:`_blocked_topk_partials`: each cell's (probing queries ×
+    members) tile is handed to numpy, which folds the dot
+    left-to-right over dimensions (bit-identical to the ``dot_expr``
+    fold) and divides by the JVM-computed norms riding on the rows.
+    Emits ≤ k candidates per (query, cell) — a superset of the
+    global winners under the (cosine desc, id asc) total order —
+    for the caller's window to merge."""
+
+    def fn(qpdf, cpdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        qids = qpdf["query_id"].to_numpy()
+        cids = cpdf["neighbor_id"].to_numpy()
+        qm = np.stack(qpdf["__vq"].to_numpy()).astype(np.float64)
+        cm = np.stack(cpdf["__vc"].to_numpy()).astype(np.float64)
+        qn = qpdf["__nq"].to_numpy()
+        cn = cpdf["__nc"].to_numpy()
+        acc = np.zeros((qm.shape[0], cm.shape[0]), dtype=np.float64)
+        for d in range(qm.shape[1]):
+            acc = acc + qm[:, d][:, None] * cm[:, d][None, :]
+        cos = acc / (qn[:, None] * cn[None, :])
+        self_mask = qids[:, None] == cids[None, :]
+        order_c = np.argsort(cids, kind="stable")
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(qids)):
+            valid = ~self_mask[qi]
+            cand = order_c[valid[order_c]]
+            top = cand[np.argsort(-cos[qi][cand], kind="stable")[:k]]
+            out_q.append(np.full(len(top), qids[qi]))
+            out_n.append(cids[top])
+            out_c.append(cos[qi][top])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "neighbor_id": np.concatenate(out_n) if out_n else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return (
+        probes.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(
+            fn, "query_id bigint, neighbor_id bigint, cosine double"
+        )
+    )
+
+
 def ivf_topk_from_index(
     index: DataFrame,
     queries: DataFrame,
@@ -643,11 +701,17 @@ def ivf_topk_from_index(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    arrow_rank: bool = False,
 ) -> DataFrame:
     """Top-*k* search over a prebuilt inverted file (see
     :func:`ivf_assign`): probe nprobe cells per query, rank exactly
     inside the probed cells. No corpus-side work beyond the cell
-    equi-join."""
+    equi-join.
+
+    *arrow_rank* routes the probed-cell cosine + rank through the
+    cell-cogroup numpy kernel (:func:`_celled_topk_partials`) —
+    bit-identical results; worth it when |queries| ≈ |corpus| so the
+    probe join evaluates corpus-scale interpreted dot folds."""
     qn = with_norm(queries.select(id_col, vec_col), vec_col)
     probes = _nearest_cells(qn, centroids, id_col, vec_col, nprobe).select(
         F.col(id_col).alias("query_id"),
@@ -655,18 +719,21 @@ def ivf_topk_from_index(
         F.col("__norm").alias("__nq"),
         "cell",
     )
-    sims = (
-        F.broadcast(probes)
-        .join(index, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))).alias(
-                "cosine"
-            ),
+    if arrow_rank:
+        sims = _celled_topk_partials(probes, index, k)
+    else:
+        sims = (
+            F.broadcast(probes)
+            .join(index, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot_expr("__vq", "__vc") / (F.col("__nq") * F.col("__nc"))
+                ).alias("cosine"),
+            )
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -682,6 +749,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    arrow_rank: bool = False,
 ) -> DataFrame:
     """Approximate top-*k* via an inverted file: each corpus vector is
     assigned to its nearest centroid's cell (one equi-key), each query
@@ -710,7 +778,8 @@ def ivf_topk(
     )
     index = ivf_assign(corpus, cents, id_col, vec_col)
     return ivf_topk_from_index(
-        index, queries, cents, id_col, vec_col, k, nprobe
+        index, queries, cents, id_col, vec_col, k, nprobe,
+        arrow_rank=arrow_rank,
     )
 
 

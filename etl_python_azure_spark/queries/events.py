@@ -636,6 +636,9 @@ def similar_user_activity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB) runs a single time (the engine's shared-frame rule);
     # the exact twin keeps its unchanged verifier plan
     prof = eager_checkpoint(_user_profiles(spark, sf_dir))
+    # arrow_rank: every user probes 4 of 16 cells, so the probe join
+    # evaluates ~n²/4 interpreted dot folds — the cell-cogroup numpy
+    # kernel computes the same bits vectorized (r14)
     return ivf_topk(
         prof,
         prof,
@@ -644,4 +647,5 @@ def similar_user_activity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         num_centroids=16,
         nprobe=4,
+        arrow_rank=True,
     )

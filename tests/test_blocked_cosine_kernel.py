@@ -177,3 +177,17 @@ def test_plane_projection_bit_identical(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_ivf_arrow_rank_bit_identical(spark):
+    """ivf_topk(arrow_rank=True) must equal the JVM fold path bitwise
+    (same probes, same cosines, same tie order), and must survive
+    count()-shaped column pruning."""
+    from etl_python_azure_spark.operators.similarity import ivf_topk
+
+    em = load_tables(spark, SF_DIR, "embeddings")
+    got = ivf_topk(em, em, k=3, num_centroids=8, nprobe=3, arrow_rank=True)
+    want = ivf_topk(em, em, k=3, num_centroids=8, nprobe=3)
+    assert _as_strings(got) == _as_strings(want)
+    assert len(_as_strings(want)) > 0
+    assert got.count() == want.count()

@@ -390,3 +390,27 @@ def test_span_contamination_hand_case(spark):
     # doc 0's spans appear in doc 50 (different id) → flagged
     assert out[0] == (12, 1)
     assert out[50][1] == 1
+
+
+def test_gopher_repetition_kernel_matches_fold(spark):
+    """r14: the Arrow kernel must be BIT-identical to the pure-Column
+    sort+fold reference on real data (string-compare the doubles)."""
+    from pyspark.sql import functions as F
+
+    from etl_python_azure_spark.operators.text import (
+        _gopher_repetition_fractions_fold,
+        gopher_repetition_fractions,
+    )
+    from etl_python_azure_spark.session import load_tables
+
+    d = load_tables(spark, "/root/testdata/sf0.001", "documents")
+    def canon(df):
+        return sorted(
+            tuple(str(v) for v in r)
+            for r in df.select(
+                *[F.col(c).cast("string") for c in sorted(df.columns)]
+            ).collect()
+        )
+    got = canon(gopher_repetition_fractions(d, "doc_id", "text"))
+    want = canon(_gopher_repetition_fractions_fold(d, "doc_id", "text"))
+    assert got == want and len(got) > 0
