@@ -357,23 +357,24 @@ def curate_increment(
             base_sp = span_fingerprints(
                 base, "doc_id", "text", span_window, fp_col="__sfp"
             ).select("__sfp").distinct()
-        in_base = ssp.join(base_sp, "__sfp", "left_semi")
-        in_lower = ssp.alias("s").join(
-            ssp.alias("s2"),
-            (F.col("s.__sfp") == F.col("s2.__sfp"))
-            & (F.col("s2.doc_id") < F.col("s.doc_id")),
-            "left_semi",
-        ).select("s.doc_id", "s.__sfp")
-        covered = in_base.unionByName(in_lower).distinct()
+        # one window + one flag join + one aggregate (r14): a span is
+        # covered iff it sits in the base span state OR a lower-id
+        # same-delta survivor shares it — ssp is DISTINCT per
+        # (doc_id, __sfp), so "exists lower-id holder" ≡ the window
+        # min over the span's delta holders being below this doc.
+        # Replaces the two semi-joins + union + distinct + count the
+        # probe used to take (set-identical by construction; the
+        # fold queries' oracles re-pin it end to end).
+        mn = F.min("doc_id").over(Window.partitionBy("__sfp"))
+        cov = (
+            (F.col("__mn") < F.col("doc_id")) | F.col("__st").isNotNull()
+        ).cast("long")
         span_drop = (
-            ssp.join(
-                covered.withColumn("__c", F.lit(1)),
-                ["doc_id", "__sfp"],
-                "left",
-            )
+            ssp.withColumn("__mn", mn)
+            .join(base_sp.withColumn("__st", F.lit(1)), "__sfp", "left")
             .groupBy("doc_id")
             .agg(
-                F.sum(F.coalesce("__c", F.lit(0))).alias("__nc"),
+                F.sum(cov).alias("__nc"),
                 F.count(F.lit(1)).alias("__ns"),
             )
             .filter(F.lit(2) * F.col("__nc") >= F.col("__ns"))

@@ -786,20 +786,24 @@ def streaming_span_dedup_equiv(
         bsp = spans_all.join(
             survivors.select("doc_id"), "doc_id", "left_semi"
         )
-        # covered: span held by a lower-id same-batch survivor …
-        low = bsp.alias("s").join(
-            bsp.alias("s2"),
-            (F.col("s.sfp") == F.col("s2.sfp"))
-            & (F.col("s2.doc_id") < F.col("s.doc_id")),
-            "left_semi",
-        ).select("s.doc_id", "s.sfp")
-        # … or present in the admitted span state
+        # covered: span held by a lower-id same-batch survivor (bsp
+        # is DISTINCT per (doc_id, sfp), so "exists lower-id holder"
+        # ≡ window min over the span's batch holders < this doc) or
+        # present in the admitted span state — one window + one flag
+        # join + one aggregate instead of two semi-joins + union +
+        # distinct + count (r14; set-identical, oracle-pinned)
+        flagged = bsp.withColumn(
+            "__mn", F.min("doc_id").over(Window.partitionBy("sfp"))
+        )
+        cov = F.col("__mn") < F.col("doc_id")
         if state_sp is not None:
-            instate = bsp.join(state_sp, "sfp", "left_semi")
-            covered = low.unionByName(instate).distinct()
-        else:
-            covered = low.distinct()
-        nc = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+            flagged = flagged.join(
+                state_sp.withColumn("__st", F.lit(1)), "sfp", "left"
+            )
+            cov = cov | F.col("__st").isNotNull()
+        nc = flagged.groupBy("doc_id").agg(
+            F.sum(cov.cast("long")).alias("nc")
+        )
         adm = (
             survivors.join(ns, "doc_id", "left")
             .withColumn("ns", F.coalesce("ns", F.lit(0)))

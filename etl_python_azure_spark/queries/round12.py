@@ -108,35 +108,38 @@ def _sidecar_admit_fold(
                 state_fp.select("fp"), "fp", "left_anti"
             ).localCheckpoint()
             # span tier: batch spans vs the span SIDECAR or a
-            # lower-id same-batch exact survivor
-            bsp = span_fingerprints(
-                survivors, "doc_id", "text", span_w
-            ).localCheckpoint()  # fold-step lineage truncation
-            ns = bsp.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("ns")
-            )
-            low = (
-                bsp.alias("s")
-                .join(
-                    bsp.alias("s2"),
-                    (F.col("s.sfp") == F.col("s2.sfp"))
-                    & (F.col("s2.doc_id") < F.col("s.doc_id")),
-                    "left_semi",
-                )
-                .select("s.doc_id", "s.sfp")
-            )
+            # lower-id same-batch exact survivor. One window + one
+            # flag join + ONE aggregate producing both ns and nc
+            # (r14): bsp is DISTINCT per (doc_id, sfp), so "exists
+            # lower-id same-batch holder" ≡ window min over the
+            # span's batch holders < this doc; the sidecar probe
+            # becomes a distinct-sfp flag join. Replaces the
+            # self-semi-join + semi-join + union + distinct + two
+            # aggregates (set-identical; the shared oracle re-pins
+            # it), and bsp's single consumer no longer needs its own
+            # checkpoint.
+            bsp = span_fingerprints(survivors, "doc_id", "text", span_w)
             state_sp = read_sidecar(spark, sc_dir, "spans")
-            instate = bsp.join(
-                state_sp.select("sfp"), "sfp", "left_semi"
+            flagged = bsp.withColumn(
+                "__mn", F.min("doc_id").over(Window.partitionBy("sfp"))
+            ).join(
+                state_sp.select("sfp").distinct().withColumn(
+                    "__st", F.lit(1)
+                ),
+                "sfp",
+                "left",
             )
-            covered = low.unionByName(instate).distinct()
-            nc = covered.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("nc")
+            cov = (
+                (F.col("__mn") < F.col("doc_id"))
+                | F.col("__st").isNotNull()
+            ).cast("long")
+            counts = flagged.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("ns"),
+                F.sum(cov).alias("nc"),
             )
             adm = (
-                survivors.join(ns, "doc_id", "left")
+                survivors.join(counts, "doc_id", "left")
                 .withColumn("ns", F.coalesce("ns", F.lit(0)))
-                .join(nc, "doc_id", "left")
                 .withColumn("nc", F.coalesce("nc", F.lit(0)))
                 .filter(
                     ~(
