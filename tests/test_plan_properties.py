@@ -216,8 +216,17 @@ def test_round4c_plan_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_pq_adc_recall")
     assert "BroadcastHashJoin" in plan
     # BPE: windows stay partitioned by word, no single-partition sort
-    # (the 1-row best-pair frames legitimately broadcast)
-    plan = _plan(spark, sf_dir, "bpe_learned_merges")
+    # (the 1-row best-pair frames legitimately broadcast). r14 made
+    # the per-round tables EAGER checkpoints, so the consume-side
+    # plan collapses to ExistingRDD scans — audit the full logical
+    # shape through the SPARK_GRAFT_LAZY_PLANS escape hatch instead.
+    import os
+
+    os.environ["SPARK_GRAFT_LAZY_PLANS"] = "1"
+    try:
+        plan = _plan(spark, sf_dir, "bpe_learned_merges")
+    finally:
+        del os.environ["SPARK_GRAFT_LAZY_PLANS"]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
