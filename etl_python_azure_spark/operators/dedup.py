@@ -637,7 +637,12 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def _np_mats(pdf, id_col: str, vec_col: str):
-    """(ids, float64 matrix, fold-order norms) from a pandas group."""
+    """(ids, float64 matrix, fold-order norms) from a pandas group.
+
+    Asserts every norm is non-zero (r14 ADVICE): Spark ranks NaN
+    cosines as the largest double while numpy sorts them last, so a
+    zero-norm vector would make kernel and JVM fold silently diverge
+    — fail loudly instead (the registry corpora carry none)."""
     import numpy as np
 
     ids = pdf[id_col].to_numpy()
@@ -645,6 +650,12 @@ def _np_mats(pdf, id_col: str, vec_col: str):
     acc = np.zeros(len(ids), dtype=np.float64)
     for d in range(mat.shape[1]):
         acc = acc + mat[:, d] * mat[:, d]
+    if not acc.all():
+        raise ValueError(
+            f"zero-norm {vec_col} vector(s) in cosine kernel input "
+            f"(ids e.g. {ids[acc == 0][:3]!r}) — NaN cosine ordering "
+            "differs between numpy and the JVM fold"
+        )
     return ids, mat, np.sqrt(acc)
 
 
@@ -724,10 +735,14 @@ def embedding_cosine_pairs(
         "__rid",
         blocks,
     )
+    # id output fields take the INPUT id column's type (r14 ADVICE:
+    # hardcoded bigint broke/coerced string-id callers that the old
+    # JVM crossJoin path accepted)
+    id_t = df.schema[id_col].dataType.simpleString()
     return (
         a_exp.groupby("__gb")
         .cogroup(b_blk.groupby("__gb"))
-        .applyInPandas(fn, "id_a bigint, id_b bigint, cosine double")
+        .applyInPandas(fn, f"id_a {id_t}, id_b {id_t}, cosine double")
     )
 
 

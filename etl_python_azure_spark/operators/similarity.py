@@ -136,25 +136,32 @@ def _blocked_topk_partials(
         cids, cm, cn = _np_mats(cpdf, "__rid", "__rvec")
         cos = _np_cosines(qm, cm, qn, cn)
         # exclude self-matches, then per-query group-local top-k
-        # under the (cosine desc, neighbor_id asc) total order
-        self_mask = qids[:, None] == cids[None, :]
-        out_q, out_n, out_c = [], [], []
+        # under the (cosine desc, neighbor_id asc) total order.
+        # r15: fully vectorized (guide §4.2 — the r14 kernel looped
+        # per query in Python): columns are pre-ordered id-ascending,
+        # the sort key is -cosine with self entries pushed to +inf,
+        # and ONE stable row-wise argsort gives every query's
+        # (-cosine, id) order at once — identical selection to the
+        # old per-row stable sort, since +inf sorts after every
+        # finite key and the filter below drops those slots (exactly
+        # the old "fewer than k candidates" behavior).
         order_c = np.argsort(cids, kind="stable")
-        for qi in range(len(qids)):
-            row = cos[qi]
-            valid = ~self_mask[qi]
-            # sort candidate indices by (-cosine, neighbor_id):
-            # stable sort on -cosine over id-ascending order
-            cand = order_c[valid[order_c]]
-            top = cand[np.argsort(-row[cand], kind="stable")[:k]]
-            out_q.append(np.full(len(top), qids[qi]))
-            out_n.append(cids[top])
-            out_c.append(row[top])
+        cids_o = cids[order_c]
+        cos_o = cos[:, order_c]
+        keys = -cos_o
+        keys[qids[:, None] == cids_o[None, :]] = np.inf
+        kk = min(k, keys.shape[1])
+        idx = np.argsort(keys, axis=1, kind="stable")[:, :kk]
+        valid = np.isfinite(
+            np.take_along_axis(keys, idx, axis=1)
+        ).ravel()
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q) if out_q else [],
-                "neighbor_id": np.concatenate(out_n) if out_n else [],
-                "cosine": np.concatenate(out_c) if out_c else [],
+                "query_id": np.repeat(qids, kk)[valid],
+                "neighbor_id": cids_o[idx].ravel()[valid],
+                "cosine": np.take_along_axis(cos_o, idx, axis=1).ravel()[
+                    valid
+                ],
             }
         )
 
@@ -666,21 +673,26 @@ def _celled_topk_partials(
         for d in range(qm.shape[1]):
             acc = acc + qm[:, d][:, None] * cm[:, d][None, :]
         cos = acc / (qn[:, None] * cn[None, :])
-        self_mask = qids[:, None] == cids[None, :]
+        # r15: one vectorized stable argsort for every query at once
+        # (same selection as the old per-row loop — see the
+        # _blocked_topk_partials kernel notes)
         order_c = np.argsort(cids, kind="stable")
-        out_q, out_n, out_c = [], [], []
-        for qi in range(len(qids)):
-            valid = ~self_mask[qi]
-            cand = order_c[valid[order_c]]
-            top = cand[np.argsort(-cos[qi][cand], kind="stable")[:k]]
-            out_q.append(np.full(len(top), qids[qi]))
-            out_n.append(cids[top])
-            out_c.append(cos[qi][top])
+        cids_o = cids[order_c]
+        cos_o = cos[:, order_c]
+        keys = -cos_o
+        keys[qids[:, None] == cids_o[None, :]] = np.inf
+        kk = min(k, keys.shape[1])
+        idx = np.argsort(keys, axis=1, kind="stable")[:, :kk]
+        valid = np.isfinite(
+            np.take_along_axis(keys, idx, axis=1)
+        ).ravel()
         return pd.DataFrame(
             {
-                "query_id": np.concatenate(out_q) if out_q else [],
-                "neighbor_id": np.concatenate(out_n) if out_n else [],
-                "cosine": np.concatenate(out_c) if out_c else [],
+                "query_id": np.repeat(qids, kk)[valid],
+                "neighbor_id": cids_o[idx].ravel()[valid],
+                "cosine": np.take_along_axis(cos_o, idx, axis=1).ravel()[
+                    valid
+                ],
             }
         )
 

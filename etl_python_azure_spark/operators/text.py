@@ -1297,40 +1297,109 @@ def gopher_repetition_fractions(
     )
     top_list, dup_list = list(top_ns), list(dup_ns)
 
+    ns_all = sorted(set(top_list) | set(dup_list))
+
     def kernel(it):
+        # r15: fully vectorized (guide §4.2 — the r14 kernel still
+        # looped per document per gram in Python; ~20x on the gram
+        # loop). Same integers as the dict form, computed with numpy
+        # group ops: token strings are factorized to codes once per
+        # batch, an n-gram is the int-row (doc, code_0..code_{n-1}),
+        # occurrence counts come from np.unique over those rows, and
+        # char mass uses a prefix sum of token lengths (mass of one
+        # occurrence = Σ token lens = len(" ".join) - (n-1) exactly).
+        # total/dup/top are integer sums/maxes per doc (reduceat over
+        # the doc-major unique-gram order), and each output fraction
+        # stays ONE double division of those integers — bit-identical
+        # to the fold form (pinned in tests/test_round10.py).
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            rows = []
-            for doc_id, toks in zip(pdf[id_col], pdf["__toks"]):
-                toks = list(toks)
-                rec = [doc_id, len(toks)]
-                stats = {}
-                for n in sorted(set(top_list) | set(dup_list)):
-                    counts: dict[str, int] = {}
-                    for i in range(len(toks) - n + 1):
-                        g = " ".join(toks[i : i + n])
-                        counts[g] = counts.get(g, 0) + 1
-                    total = dup = top = 0
-                    sep = n - 1
-                    for g, c in counts.items():
-                        mass = c * (len(g) - sep)
-                        total += mass
-                        if c >= 2:
-                            dup += mass
-                        if mass > top:
-                            top = mass
-                    stats[n] = (total, dup, top)
-                for n in top_list:
-                    total, _dup, top = stats[n]
-                    rec.append(float(top) / float(total) if total > 0 else 0.0)
-                for n in dup_list:
-                    total, dup, _top = stats[n]
-                    rec.append(float(dup) / float(total) if total > 0 else 0.0)
-                rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[id_col, "n_words"] + out_cols
+            n_docs = len(pdf)
+            if n_docs == 0:
+                yield pd.DataFrame(
+                    {c: [] for c in [id_col, "n_words"] + out_cols}
+                )
+                continue
+            # a NULL text would reach here as None — treat as empty
+            # (the registry corpora carry no NULLs; r14 ADVICE asks
+            # the kernel not to crash on them)
+            tok_arrays = [
+                np.asarray(t if t is not None else [], dtype=object)
+                for t in pdf["__toks"]
+            ]
+            doc_lens = np.fromiter(
+                (len(t) for t in tok_arrays), dtype=np.int64, count=n_docs
             )
+            total_toks = int(doc_lens.sum())
+            if total_toks:
+                flat = np.concatenate(tok_arrays)
+                codes, uniques = pd.factorize(flat)
+                tok_len = np.fromiter(
+                    (len(u) for u in uniques),
+                    dtype=np.int64,
+                    count=len(uniques),
+                )
+                pos_len = tok_len[codes]
+                cs = np.concatenate(
+                    ([0], np.cumsum(pos_len))
+                )  # prefix char mass
+            starts = np.concatenate(([0], np.cumsum(doc_lens)))[:-1]
+            cols = {
+                id_col: pdf[id_col].to_numpy(),
+                "n_words": doc_lens,
+            }
+            stats = {}
+            for n in ns_all:
+                tot = np.zeros(n_docs, dtype=np.int64)
+                dup = np.zeros(n_docs, dtype=np.int64)
+                top = np.zeros(n_docs, dtype=np.int64)
+                gcounts = np.maximum(doc_lens - n + 1, 0)
+                G = int(gcounts.sum())
+                if G:
+                    gram_doc = np.repeat(np.arange(n_docs), gcounts)
+                    first = np.cumsum(gcounts) - gcounts
+                    gi = (
+                        np.arange(G)
+                        - np.repeat(first, gcounts)
+                        + np.repeat(starts, gcounts)
+                    )
+                    glen = cs[gi + n] - cs[gi]
+                    key = np.empty((G, n + 1), dtype=np.int64)
+                    key[:, 0] = gram_doc
+                    for j in range(n):
+                        key[:, j + 1] = codes[gi + j]
+                    view = np.ascontiguousarray(key).view(
+                        [("", np.int64)] * (n + 1)
+                    ).ravel()
+                    _, first_idx, counts = np.unique(
+                        view, return_index=True, return_counts=True
+                    )
+                    # unique rows sort doc-major (doc is field 0)
+                    u_doc = gram_doc[first_idx]
+                    mass = counts * glen[first_idx]
+                    seg = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(u_doc)) + 1)
+                    )
+                    present = u_doc[seg]
+                    tot[present] = np.add.reduceat(mass, seg)
+                    dup[present] = np.add.reduceat(
+                        np.where(counts >= 2, mass, 0), seg
+                    )
+                    top[present] = np.maximum.reduceat(mass, seg)
+                stats[n] = (tot, dup, top)
+            for n in top_list:
+                tot, _d, top = stats[n]
+                cols[f"top{n}_char_frac"] = np.where(
+                    tot > 0, top / np.where(tot > 0, tot, 1), 0.0
+                )
+            for n in dup_list:
+                tot, dup, _t = stats[n]
+                cols[f"dup{n}_char_frac"] = np.where(
+                    tot > 0, dup / np.where(tot > 0, tot, 1), 0.0
+                )
+            yield pd.DataFrame(cols)[[id_col, "n_words"] + out_cols]
 
     toks_jvm = F.split(F.lower(F.col(text_col)), " ")
     return df.select(F.col(id_col), toks_jvm.alias("__toks")).mapInPandas(

@@ -135,7 +135,14 @@ def curate_corpus(
     )
 
     out = os.path.join(sink_root, "train")
-    capped.write.mode("overwrite").partitionBy("source").parquet(out)
+    # AQE-rebalance by the partition column before the sink (guide
+    # §6): without it every upstream task emits one file per source
+    # dir (~32x file inflation measured on the latinad sink, r15)
+    from ..sinks.files import _rebalanced
+
+    _rebalanced(capped, "source").write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(out)
 
     # ONE aggregation covers all three split counts (and their sum is
     # the post-near-dedup count — no separate near.count() action)
@@ -646,7 +653,12 @@ def curate_corpus_v3(
         counts["n_train_capped"] = capped.count()
     else:
         out = os.path.join(sink_root, "train")
-        capped.write.mode("overwrite").partitionBy("source").parquet(out)
+        from ..sinks.files import _rebalanced
+
+        # file sizing: see curate_corpus (guide §6 rebalance-on-write)
+        _rebalanced(capped, "source").write.mode("overwrite").partitionBy(
+            "source"
+        ).parquet(out)
         # schema-pinned read-back: see curate_corpus
         counts["n_train_capped"] = (
             spark.read.schema(capped.schema).parquet(out).count()

@@ -176,27 +176,9 @@ def run_latinad(
     reports = drop_all_null_columns(reports)  # P8 (`L:253`)
 
     if sink_root:
-        # three independent sinks — overlap their jobs so the write
-        # tails back-fill each other (optimization guide §2.6); the
-        # raw responses are pinned above, so the fan-out still runs
-        # once regardless of action interleaving
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            fs = [
-                pool.submit(
-                    full_refresh, displays, f"{sink_root}/display_info"
-                ),  # K2 (`L:195`)
-                pool.submit(
-                    full_refresh, contents, f"{sink_root}/contenido_display"
-                ),  # K2
-                pool.submit(
-                    ranged_overwrite,
-                    reports,
-                    f"{sink_root}/contenido_data",
-                    "Fecha",
-                ),  # K3
-            ]
-            for f in fs:
-                f.result()
+        full_refresh(displays, f"{sink_root}/display_info")  # K2 (`L:195`)
+        full_refresh(contents, f"{sink_root}/contenido_display")  # K2
+        ranged_overwrite(
+            reports, f"{sink_root}/contenido_data", "Fecha"
+        )  # K3
     return LatinadResult(displays, contents, reports, failed)

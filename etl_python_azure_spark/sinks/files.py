@@ -27,9 +27,23 @@ import time
 from pyspark.sql import DataFrame
 
 
+def _rebalanced(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE-rebalance *df* before a sink write (optimization guide §6:
+    coalesce on write). Without it every upstream task emits one file
+    per output partition — the Latinad window refresh wrote 832 files
+    for 25k rows (32 tasks × 26 date dirs, r15 measurement). The
+    REBALANCE hint is the scale-adaptive form: AQE coalesces small
+    post-shuffle partitions to the advisory size AND splits skewed
+    ones, so the same code yields one small file per date locally and
+    ~advisory-sized files per date at 100 TB (a fixed ``coalesce(n)``
+    could do neither). No-op (hint ignored, with a warning) when AQE
+    is off. Row content is unchanged — only file layout."""
+    return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+
+
 def full_refresh(df: DataFrame, path: str, partition_by: list[str] | None = None):
-    """K2: replace the whole table."""
-    w = df.write.mode("overwrite")
+    """K2: replace the whole table (files sized by AQE rebalance)."""
+    w = _rebalanced(df, *(partition_by or [])).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
@@ -42,18 +56,22 @@ def ranged_overwrite(df: DataFrame, path: str, partition_col: str):
     date). Uses ``partitionOverwriteMode=dynamic`` so untouched
     partitions survive — the sliding-window refresh (T3) becomes a
     partition-pruned overwrite instead of a ranged DELETE.
+
+    The dynamic mode is a PER-WRITE option (not a session conf
+    mutation): thread-safe under concurrent writers — a racing
+    partitioned overwrite elsewhere in the session can no longer be
+    silently flipped from replace-whole-table to dynamic (r14
+    ADVICE). Rows are AQE-rebalanced by *partition_col* first so each
+    touched partition gets contiguous, advisory-sized files instead
+    of one shard per upstream task (guide §6).
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        _rebalanced(df, partition_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_bucketed(
@@ -148,25 +166,10 @@ def multi_table_load(tables: dict[str, DataFrame], root: str) -> str:
     Returns the manifest path.
     """
     staging = os.path.join(root, "_staging")
-    # staging writes are independent jobs — submit them from a small
-    # thread pool so one table's task tail back-fills the others'
-    # executors (optimization guide §2.6); the swap loop below stays
-    # sequential, so the per-table atomicity story is unchanged
-    if len(tables) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(3, len(tables))) as pool:
-            list(
-                pool.map(
-                    lambda nd: nd[1]
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(staging, nd[0])),
-                    tables.items(),
-                )
-            )
-    else:
-        for name, df in tables.items():
-            df.write.mode("overwrite").parquet(os.path.join(staging, name))
+    for name, df in tables.items():
+        _rebalanced(df).write.mode("overwrite").parquet(
+            os.path.join(staging, name)
+        )
     loaded = []
     for name in tables:
         final = os.path.join(root, name)
